@@ -1,0 +1,274 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path computation is Catalyst-side (split / regexp / higher-order
+array functions — whole-stage codegen, no Python), so these run at
+100 TB scale limited by scan+shuffle only. Each operator is exposed both as
+a reusable ``Column`` builder (composable into any pipeline) and as a
+registered query with a DuckDB oracle.
+
+Portability convention for hashes: we need a hash both engines compute
+identically, so word hashes derive from md5 hex (standard across engines):
+``int(hex[:15], 16)`` = 60 bits, and rolling-hash arithmetic stays below
+2^62 (Spark 4 runs ANSI mode — silent 64-bit wraparound would error).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..plans.util import t
+
+# Small embedded stopword lists per language — marker words for the n-gram /
+# lexicon language-ID heuristic. Deterministic, no external model.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "es": ("el", "la", "los", "las", "y", "que", "de"),
+    "fr": ("le", "les", "et", "des", "une", "est"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+FINGERPRINT_MOD = 268_435_399  # prime < 2^28: products stay < 2^62 (ANSI-safe)
+FINGERPRINT_BASE = 31
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization — the baseline token counter."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish proxy: count subword-ish units (letter runs, digit runs,
+    punctuation singles) — a regex approximation of tokenizer granularity."""
+    c = F.col(text) if isinstance(text, str) else text
+    units = F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(units)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[^A-Za-z0-9 ]", "")
+    return (F.length(c) - F.length(stripped)).cast("double") / F.length(c)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    stops = F.filter(toks, lambda w: F.lower(w).isin(*_STOPWORDS))
+    return F.size(stops).cast("double") / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: long-enough, low punctuation,
+    sane stopword density. Pure double arithmetic — engine-portable."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    return F.round(0.4 * len_score + 0.3 * punct_pen + 0.3 * stop_score, 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Lexicon language-ID: CJK codepoint check first, else argmax of
+    marker-word hits (deterministic tie-break by fixed language order)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.transform(tokens(c), F.lower)
+
+    def _hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    hits = {lang: _hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    out = F.when(c.rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+    out = out.when(best == 0, F.lit("unknown"))
+    # fixed order = deterministic argmax tie-break
+    for lang in _LANG_MARKERS:
+        out = out.when(hits[lang] == best, F.lit(lang))
+    return out.otherwise(F.lit("unknown"))
+
+
+def word_hash(word: Column) -> Column:
+    """Portable 60-bit word hash: int(md5(word)[:15], 16)."""
+    return F.conv(F.substring(F.md5(word), 1, 15), 16, 10).cast("bigint")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Rolling (polynomial) document fingerprint over word hashes:
+    acc = (acc*31 + (h mod M)) mod M — order-sensitive, whitespace-robust."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * FINGERPRINT_BASE + word_hash(w) % FINGERPRINT_MOD)
+        % FINGERPRINT_MOD,
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered queries + oracles
+# --------------------------------------------------------------------------
+
+_SQL_TOKENS = "string_split(trim(text), ' ')"
+
+
+@register(
+    "q_text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS n_tokens,
+           length(text) AS n_chars_measured,
+           CAST(length(text) AS DOUBLE) / len({_SQL_TOKENS}) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="whitespace token counting per document.",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = token_count("text")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length("text").cast("double") / n).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_quality",
+    """
+    SELECT doc_id,
+           CAST((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+                     w -> lower(w) IN ('the','a','of','and','to','in','is','it','for','on')))
+                AS DOUBLE) / len(string_split(trim(text), ' ')) AS stop_ratio,
+           round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               + 0.3 * (1.0 - least(5.0 * (CAST((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) AS DOUBLE) / length(text)), 1.0))
+               + 0.3 * least(4.0 * (CAST(len(list_filter(string_split(trim(text), ' '),
+                     w -> lower(w) IN ('the','a','of','and','to','in','is','it','for','on')))
+                     AS DOUBLE) / len(string_split(trim(text), ' '))), 1.0), 6) AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="quality scoring: length/punctuation/stopword heuristics.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _sql_marker_hits(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(list_transform(string_split(trim(text), ' '), w -> lower(w)),"
+        f" w -> w IN ({lst})))"
+    )
+
+
+@register(
+    "q_text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang, text,
+             {_sql_marker_hits(_LANG_MARKERS["en"])} AS h_en,
+             {_sql_marker_hits(_LANG_MARKERS["de"])} AS h_de,
+             {_sql_marker_hits(_LANG_MARKERS["es"])} AS h_es,
+             {_sql_marker_hits(_LANG_MARKERS["fr"])} AS h_fr
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'unknown'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+                WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                ELSE 'unknown' END AS detected_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="lexicon-based language identification heuristic.",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("detected_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(trim(text), ' '),
+                 w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {FINGERPRINT_MOD})),
+             (acc, h) -> (acc * {FINGERPRINT_BASE} + h) % {FINGERPRINT_MOD}
+           ) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="rolling polynomial document fingerprint (md5-derived word hashes).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "q_text_bpeish_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_units
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="BPE-ish regex token counting (letter/digit runs + punct singles).",
+)
+def q_text_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_units")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "q_text_lang_agg",
+    f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           SUM(len({_SQL_TOKENS})) AS total_tokens,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="corpus-level token/char accounting per labeled language.",
+)
+def q_text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,430 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families, each a DataFrame→DataFrame function plus a registered
+oracle-checked query on the `documents` / `embeddings` fixtures:
+
+  exact          md5 content hash → groupBy (one shuffle on the hash)
+  n-gram Jaccard shingle inverted-index join → exact overlap ratio
+  MinHash-LSH    64 minhashes → 16 bands of 4 → bucket join → exact verify
+  SimHash        60-bit portable fingerprint → 4-band pigeonhole join →
+                 hamming ≤ 3 (bands make the candidate step EXACT: any pair
+                 with ≤3 differing bits must agree on ≥1 of 4 bands)
+  embedding-cos  exact pairwise cosine (correctness baseline; the ANN path
+                 for scale lives in operators/similarity.py)
+
+Scale posture (100 TB): nothing here collects to the driver; every step is
+a shuffle on a key whose cardinality grows with the data (hash, shingle,
+band bucket). The inverted-index joins are the standard way to avoid O(n²):
+candidate generation touches only pairs that share a bucket. At extreme
+scale add a document-frequency cap on hot shingles (stop-shingles) before
+the self-join; MinHash bands already bound the join fan-out.
+
+Hash portability: MinHash uses Spark's xxhash64 (signatures never leave
+Spark — the final output is re-verified with exact Jaccard, so the oracle
+matches without sharing hash functions). SimHash must BE the output, so its
+word hashes derive from md5 (identical in Spark and DuckDB): int(md5[:15],16),
+60 bits, ANSI-overflow-safe.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..plans.util import t
+from ..functions.text import word_hash
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.8
+MINHASH_NUM = 64
+MINHASH_BAND_ROWS = 4  # 16 bands of 4 — P(catch) ≈ 1 at j ≥ 0.9
+SIMHASH_BITS = 60
+SIMHASH_MAX_HAMMING = 3
+COSINE_DUP_THRESHOLD = 0.4  # fixtures are near-random vectors; max cos ≈ 0.51
+
+
+# --------------------------------------------------------------------------
+# Shared shingling
+# --------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = NGRAM_N) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    c = F.col(text) if isinstance(text, str) else text
+    ws = F.split(F.trim(c), " ")
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)])
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) exploded distinct-shingle rows; drops docs with < n words."""
+    return (
+        docs.where(F.size(F.split(F.trim("text"), " ")) >= NGRAM_N)
+        .select("doc_id", F.explode(shingles("text")).alias("s"))
+    )
+
+
+_SQL_SHINGLES = """
+  WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+  sh AS (SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  generate_series(1, len(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         FROM w WHERE len(ws) >= 3),
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_SQL_JACCARD_PAIRS = f"""
+  {_SQL_SHINGLES},
+  pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+  SELECT da, db, common,
+         (x.n + y.n - common) AS union_sz,
+         CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+  FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+  ORDER BY da, db
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per exact content hash. One shuffle, no Python."""
+    h = F.md5(F.concat_ws("\x1f", *cols))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("group_sz"))
+    )
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT md5(lower(text)) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS group_sz
+    FROM documents
+    GROUP BY md5(lower(text))
+    ORDER BY keep_id
+    """,
+    doc="exact dedup by content hash (case-normalized).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("group_sz"))
+        .orderBy("keep_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup baseline)
+# --------------------------------------------------------------------------
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact near-dup pairs via shingle inverted-index join."""
+    sh = _shingle_rows(docs)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("common"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    j = F.col("common").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("common"))
+    return (
+        common.join(x, F.col("da") == F.col("x.doc_id"))
+        .join(y, F.col("db") == F.col("y.doc_id"))
+        .select(
+            "da",
+            "db",
+            "common",
+            (F.col("x.n") + F.col("y.n") - F.col("common")).alias("union_sz"),
+            j.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    _SQL_JACCARD_PAIRS,
+    headline=True,
+    doc="exact n-gram Jaccard near-dup pairs (shingle inverted index).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(t(spark, sf_dir, "documents")).orderBy("da", "db")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the scale path for Jaccard)
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = MINHASH_NUM) -> DataFrame:
+    """doc_id → [min over shingles of hash_i(s)] for i < num_hashes.
+
+    One groupBy computes all signature positions (map-side partial min)."""
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = MINHASH_NUM, band_rows: int = MINHASH_BAND_ROWS
+) -> DataFrame:
+    """Band the signature and bucket-join: pairs agreeing on ≥1 band."""
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{bi * band_rows + r}") for r in range(band_rows)]
+                ).alias("sig"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("da"), F.col("r.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """LSH candidates re-verified with exact Jaccard — output is (w.h.p.)
+    identical to the exact inverted-index join, but candidate generation
+    scales as the number of colliding band buckets, not O(n²) and not
+    hot-shingle fan-out."""
+    sh = _shingle_rows(docs)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    # exact-verify candidates only: join their shingle sets
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    common = (
+        cand.join(sha, "da")
+        .join(shb, "db")
+        .where(F.col("sa") == F.col("sb"))  # pushed into the join by Catalyst
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("common"))
+    )
+    x = sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na")
+    y = sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb")
+    j = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(x, "da")
+        .join(y, "db")
+        .select(
+            "da",
+            "db",
+            "common",
+            (F.col("na") + F.col("nb") - F.col("common")).alias("union_sz"),
+            j.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    _SQL_JACCARD_PAIRS,  # exact-verified LSH must reproduce the exact result
+    headline=True,
+    doc="MinHash(64)+LSH(16x4) candidates, exact-Jaccard verified.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup_pairs(t(spark, sf_dir, "documents")).orderBy("da", "db")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """60-bit SimHash over md5-derived word hashes (engine-portable).
+
+    bit_j(doc) = sign( Σ_words (2·((h(w)>>j)&1) − 1) )."""
+    c = F.col(text) if isinstance(text, str) else text
+    hs = F.transform(F.split(F.trim(c), " "), word_hash)
+
+    def bit_term(j: int) -> Column:
+        vote = F.aggregate(
+            hs,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        return (
+            F.when(vote > 0, F.lit(1 << j).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+
+    return reduce(lambda x, y: x + y, [bit_term(j) for j in range(bits)]).alias("simhash")
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by SimHash hamming ≤ k, found EXACTLY via pigeonhole
+    banding: split 60 bits into k+1=4 bands of 15 — any pair within hamming
+    k agrees on at least one full band, so a band-bucket join loses nothing."""
+    n_bands = max_hamming + 1
+    band_bits = SIMHASH_BITS // n_bands
+    sig = docs.select("doc_id", simhash("text").alias("sh"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(F.col("sh"), k * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for k in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", "sh", F.explode(bands).alias("b")).select(
+        "doc_id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("l.doc_id").alias("da"),
+            F.col("r.doc_id").alias("db"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    hs AS (SELECT doc_id,
+                  list_transform(ws, w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS h
+           FROM d),
+    sh AS (SELECT doc_id,
+                  list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}), j ->
+                    CASE WHEN list_sum(list_transform(h, x -> 2 * ((x >> j) & 1) - 1)) > 0
+                         THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS simhash
+           FROM hs)
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY da, db
+    """,
+    doc="SimHash near-dup pairs, hamming ≤ 3 via exact pigeonhole banding.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        simhash_pairs(t(spark, sf_dir, "documents"))
+        .select("da", "db", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("da", "db")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact baseline; ANN variant in similarity.py)
+# --------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine in double — bit-identical across engines that
+    fold left-to-right (the oracle uses list_reduce for the same order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (n1 * n2)
+
+
+_SQL_SEQ_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _sql_norm(v: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        f"(acc, w) -> acc + w))"
+    )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_SQL_SEQ_DOT.format(a="a.embedding", b="b.embedding")}
+               / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT va, vb FROM p WHERE cos >= {COSINE_DUP_THRESHOLD}
+    ORDER BY va, vb
+    """,
+    doc="exact pairwise embedding-cosine near-dup pairs (ids only — the "
+    "threshold compare is done engine-side; emitting the float would be "
+    "hash-fragile).",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= COSINE_DUP_THRESHOLD)
+        .select("va", "vb")
+        .orderBy("va", "vb")
+    )

@@ -1,0 +1,296 @@
+"""Event-stream batch analytics + semi-structured / array function surface.
+
+The `events` fixture is the batch image of the stream the MQ source replays
+(FIXTURES.md §B); these queries are the batch halves of the streaming
+pipelines in ``streaming/`` — same window semantics, checkable against the
+DuckDB oracle (streaming versions are tested separately with memory sinks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register
+from .util import dec, t
+
+# --------------------------------------------------------------------------
+# JSON extraction (events.props is a JSON string) + grouped agg.
+# Scale: get_json_object is codegen'd JVM-side; no Python in the hot path.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON field extraction + grouped aggregation.",
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling event-time window (batch form of the streaming windowed agg).
+# Scale: window() is a projection + hash agg — one shuffle on (window, type).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_tumbling_1d",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    headline=True,
+    doc="tumbling 1-day event-time window counts.",
+)
+def q_events_tumbling_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("user_id").alias("users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "cnt",
+            "users",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "q_events_sliding_6h",
+    """
+    WITH buckets AS (
+      SELECT ts, value,
+             time_bucket(INTERVAL '3 hour', ts) AS b
+      FROM events WHERE event_type = 'purchase'
+    ), slides AS (
+      SELECT b AS win_start, ts, value FROM buckets
+      UNION ALL
+      SELECT b - INTERVAL '3 hour' AS win_start, ts, value FROM buckets
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM slides
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="sliding 6h/3h window (each event lands in 2 windows).",
+)
+def q_events_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("win_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (batch): 30-min inactivity gap → session ids via window
+# functions. This is the batch twin of streaming session_window(); kept
+# SQL-expressible so the oracle can verify it exactly.
+# Scale: two window passes over the same (user_id, ts) partitioning — Spark
+# reuses one sort+shuffle for both.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           MAX(n_events) AS max_session_events,
+           SUM(n_events) AS total_events
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    headline=True,
+    doc="gap-based sessionization via window functions (batch twin of session_window).",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_session = (
+        F.when(
+            (us - F.lag(us).over(order) > 1800 * 1_000_000)
+            | F.lag("ts").over(order).isNull(),
+            1,
+        ).otherwise(0)
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        new_session.alias("new_session"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(running).alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot — event_type counts per day (conditional aggregation in the oracle).
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_events_pivot_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="pivot on a bounded category set (conditional agg at scale).",
+)
+def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .orderBy("day")
+    )
+    # pivot leaves NULL for absent combos; oracle's FILTER yields 0.
+    return out.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES]
+    )
+
+
+# --------------------------------------------------------------------------
+# Array functions over embeddings — JVM-side list ops (no Python).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(list_sum(list_transform(embedding[1:8],
+                         x -> CAST(abs(x) AS DOUBLE))) AS DOUBLE) AS l1_head8,
+           CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS max_elem
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+    doc="array slice/transform/aggregate, all Catalyst-side.",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    head8 = F.slice("embedding", 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.aggregate(
+            head8,
+            F.lit(0.0),
+            lambda acc, x: acc + F.abs(x.cast("double")),
+        ).alias("l1_head8"),
+        F.array_max(F.transform("embedding", lambda x: x.cast("double"))).alias("max_elem"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Global (ungrouped) aggregation over events.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_global_stats",
+    """
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    """,
+    doc="global aggregation (single-row reduce).",
+)
+def q_events_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+    )

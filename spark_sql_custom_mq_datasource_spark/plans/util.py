@@ -1,0 +1,75 @@
+"""Shared helpers for oracle-matched queries.
+
+Numeric convention (engine-portability): money/quantity aggregates are summed
+in DECIMAL (exact, order-independent — immune to Spark's parallel partial-agg
+summation order vs DuckDB's sequential order) and the FINAL value is cast to
+DOUBLE, so both engines produce bit-identical doubles for the value-hash.
+Averages are computed as double(sum)/count — one IEEE division of identical
+inputs. Timestamps in outputs are formatted to strings or DATE to sidestep
+tz-awareness differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401 (used throughout)
+
+from .. import TABLES
+
+_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (cached lazy parquet scan)."""
+    key = (id(spark), sf_dir, name)
+    if key not in _cache:
+        assert name in TABLES, name
+        if name == "events":
+            # runtime-set so it works under ANY session (incl. the driver's)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            # TIMESTAMP(NANOS) arrives as int64 nanos (legacy.parquet.
+            # nanosAsLong); truncate to micros exactly like DuckDB does.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        _cache[key] = df
+    return _cache[key]
+
+
+def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def dsum(col: str | Column, alias: str, prec: int = 18, scale: int = 2) -> Column:
+    """Exact decimal sum, exported as double."""
+    return F.sum(dec(col, prec, scale)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str, prec: int = 18, scale: int = 2) -> Column:
+    """Portable average: double(exact decimal sum) / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c, prec, scale)).cast("double") / F.count(c)).alias(alias)
+
+
+# SQL-side equivalents (DuckDB dialect is ANSI enough for these).
+def sql_dsum(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def revenue() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal — scales (18,2)*(4,2)."""
+    return dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+
+
+REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
