@@ -1,0 +1,63 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Methodology: a warm-up pass first materializes JVM/codegen/Python-worker
+startup and OS page cache for the parquet files, then each query is timed
+on a full execute+collect (results are small by construction). The metric
+is total seconds over the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from spark_sql_custom_mq_datasource_spark.session import get_spark
+    from spark_sql_custom_mq_datasource_spark.plans.registry import (
+        QUERIES,
+        get_headline,
+        get_queries,
+    )
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = get_headline()
+    get_queries()
+
+    # Warm-up: executes one light query per table family.
+    QUERIES["q1_pricing_summary"].fn(spark, sf_dir).collect()
+    QUERIES["q_events_tumbling_1d"].fn(spark, sf_dir).collect()
+    QUERIES["q_text_token_stats"].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

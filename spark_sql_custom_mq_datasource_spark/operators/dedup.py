@@ -32,6 +32,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..plans.util import t
@@ -131,30 +132,81 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact near-dup pairs via shingle inverted-index join."""
-    sh = _shingle_rows(docs)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("common"))
+def _verify_pairs(
+    cand: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard check of candidate (da, db) pairs: one row per pair via
+    per-doc shingle ARRAYS + array_intersect — no row explosion, unlike a
+    shingle-level re-join. Candidates are few by construction, so the two
+    array joins are broadcast-sized at any corpus scale."""
+    sets = docs.where(F.size(F.split(F.trim("text"), " ")) >= NGRAM_N).select(
+        "doc_id", shingles("text").alias("sset")
     )
-    x, y = sz.alias("x"), sz.alias("y")
-    j = F.col("common").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("common"))
+    a = sets.select(
+        F.col("doc_id").alias("da"), F.col("sset").alias("sa"), F.size("sset").alias("na")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("db"), F.col("sset").alias("sb"), F.size("sset").alias("nb")
+    )
+    common = F.size(F.array_intersect("sa", "sb"))
+    j = common.cast("double") / (F.col("na") + F.col("nb") - common)
     return (
-        common.join(x, F.col("da") == F.col("x.doc_id"))
-        .join(y, F.col("db") == F.col("y.doc_id"))
+        cand.join(a, "da")
+        .join(b, "db")
         .select(
             "da",
             "db",
-            "common",
-            (F.col("x.n") + F.col("y.n") - F.col("common")).alias("union_sz"),
+            common.alias("common"),
+            (F.col("na") + F.col("nb") - common).alias("union_sz"),
             j.alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact near-dup pairs via PREFIX-FILTERED inverted-index join (the
+    PPJoin family's prefix principle).
+
+    A naive shingle self-join fans out quadratically on hot shingles
+    (Σ freq² pairs). Prefix filtering is lossless for a Jaccard threshold t:
+    order each doc's shingles by ascending global frequency; two docs with
+    J ≥ t MUST share a shingle within each one's first
+    (n - ceil(t·n) + 1) shingles. Joining only those prefix rows — the
+    RAREST shingles of each doc — collapses the hot-shingle fan-out while
+    provably losing no qualifying pair; survivors are re-verified exactly.
+    At 100 TB this is the difference between a runnable join and Σ freq²."""
+    sh = _shingle_rows(docs)
+    freq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        sh.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "s", "pos", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    pa, pb = F.col("a.pos"), F.col("b.pos")
+    # PPJoin pruning, both lossless at threshold t:
+    #  length filter:     J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb)
+    #  positional filter: overlap ≤ 1 + min(na−pa, nb−pb), and J ≥ t needs
+    #                     overlap ≥ ceil(t/(1+t)·(na+nb))
+    min_overlap = F.ceil(F.lit(threshold / (1 + threshold)) * (na + nb))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(na, nb) >= F.ceil(F.lit(threshold) * F.greatest(na, nb)))
+            & (1 + F.least(na - pa, nb - pb) >= min_overlap),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    return _verify_pairs(cand, docs, threshold)
 
 
 @register(
@@ -223,33 +275,8 @@ def minhash_dedup_pairs(
     scales as the number of colliding band buckets, not O(n²) and not
     hot-shingle fan-out."""
     sh = _shingle_rows(docs)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand = lsh_candidate_pairs(minhash_signatures(sh))
-    # exact-verify candidates only: join their shingle sets
-    sha = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
-    shb = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
-    common = (
-        cand.join(sha, "da")
-        .join(shb, "db")
-        .where(F.col("sa") == F.col("sb"))  # pushed into the join by Catalyst
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("common"))
-    )
-    x = sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na")
-    y = sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb")
-    j = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        common.join(x, "da")
-        .join(y, "db")
-        .select(
-            "da",
-            "db",
-            "common",
-            (F.col("na") + F.col("nb") - F.col("common")).alias("union_sz"),
-            j.alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs(cand, docs, threshold)
 
 
 @register(
@@ -402,29 +429,58 @@ def _sql_norm(v: str) -> str:
     )
 
 
+def normalized(vec: Column) -> Column:
+    """Unit-normalize once in a projection so each pair costs ONE fold
+    (dot), not three (dot + two norms) — 3× less interpreted-HOF work in
+    the pairwise stage, and the normalization is O(n) not O(n²)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.transform(vec, lambda x: x.cast("double") / norm)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_SQL_NORMALIZED = (
+    "list_transform({v}, x -> CAST(x AS DOUBLE) / " + _sql_norm("{v}") + ")"
+)
+
+
 @register(
     "q_dedup_embedding_cosine",
     f"""
-    WITH p AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb,
-             {_SQL_SEQ_DOT.format(a="a.embedding", b="b.embedding")}
-               / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WITH u AS (
+      SELECT vec_id, {_SQL_NORMALIZED.format(v="embedding")} AS ue
+      FROM embeddings
     )
-    SELECT va, vb FROM p WHERE cos >= {COSINE_DUP_THRESHOLD}
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE {_SQL_SEQ_DOT.format(a="a.ue", b="b.ue")} >= {COSINE_DUP_THRESHOLD}
     ORDER BY va, vb
     """,
     doc="exact pairwise embedding-cosine near-dup pairs (ids only — the "
     "threshold compare is done engine-side; emitting the float would be "
-    "hash-fragile).",
+    "hash-fragile). Vectors are unit-normalized in a projection first.",
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", normalized(F.col("embedding")).alias("ue")
+    )
+    a = emb.select(F.col("vec_id").alias("va"), F.col("ue").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("ue").alias("eb"))
     return (
         a.join(b, F.col("va") < F.col("vb"))
-        .where(cosine(F.col("ea"), F.col("eb")) >= COSINE_DUP_THRESHOLD)
+        .where(dot(F.col("ea"), F.col("eb")) >= COSINE_DUP_THRESHOLD)
         .select("va", "vb")
         .orderBy("va", "vb")
     )

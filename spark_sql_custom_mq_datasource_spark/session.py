@@ -37,6 +37,7 @@ def builder_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
         # read as int64 nanos and convert (util.t handles the cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.showConsoleProgress", "false")
     )
 
 

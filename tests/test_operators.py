@@ -1,0 +1,148 @@
+"""Property/semantic tests for the LLM-pipeline operators
+(SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_pairs,
+)
+from spark_sql_custom_mq_datasource_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return t(spark, sf_dir, "documents")
+
+
+class TestDedup:
+    def test_jaccard_pairs_canonical_order(self, spark, docs):
+        rows = jaccard_pairs(docs).collect()
+        assert rows, "fixtures contain planted near-dups"
+        for r in rows:
+            assert r["da"] < r["db"]  # irreflexive, canonical direction
+            assert JACCARD_THRESHOLD <= r["jaccard"] <= 1.0
+
+    def test_minhash_equals_exact(self, spark, docs):
+        """LSH+verify must reproduce the exact inverted-index join here
+        (planted dups are j≈0.98, far above the banding miss region)."""
+        exact = {(r["da"], r["db"]) for r in jaccard_pairs(docs).collect()}
+        lsh = {(r["da"], r["db"]) for r in minhash_dedup_pairs(docs).collect()}
+        assert lsh == exact
+
+    def test_dedup_idempotent(self, spark, docs):
+        """Removing dup partners then re-running finds nothing new."""
+        pairs = jaccard_pairs(docs).collect()
+        drop = {r["db"] for r in pairs}
+        kept = docs.where(~F.col("doc_id").isin(*drop)) if drop else docs
+        again = jaccard_pairs(kept).collect()
+        assert again == []
+
+    def test_simhash_banding_is_exact(self, spark, docs):
+        """Pigeonhole banding must equal brute-force hamming ≤ 3."""
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import simhash
+
+        sig = docs.select("doc_id", simhash("text").alias("sh"))
+        a = sig.select(F.col("doc_id").alias("da"), F.col("sh").alias("ha"))
+        b = sig.select(F.col("doc_id").alias("db"), F.col("sh").alias("hb"))
+        brute = {
+            (r["da"], r["db"])
+            for r in a.join(b, F.col("da") < F.col("db"))
+            .where(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+            .collect()
+        }
+        banded = {(r["da"], r["db"]) for r in simhash_pairs(docs).collect()}
+        assert banded == brute
+
+
+class TestText:
+    def test_quality_in_unit_interval(self, spark, docs):
+        bad = docs.where(
+            (quality_score("text") < 0) | (quality_score("text") > 1)
+        ).count()
+        assert bad == 0
+
+    def test_fingerprint_stable_and_whitespace_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [("a b c",), ("a b c",), ("c b a",)], ["text"]
+        ).select(fingerprint("text").alias("fp"))
+        fps = [r["fp"] for r in df.collect()]
+        assert fps[0] == fps[1]
+        assert fps[0] != fps[2]  # order-sensitive rolling hash
+
+    def test_lang_id_cjk_and_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("你好 世界",),
+                ("the cat and the dog of the house",),
+                ("der hund und die katze ist",),
+                ("zzz qqq xxx",),
+            ],
+            ["text"],
+        ).select(lang_id("text").alias("l"))
+        assert [r["l"] for r in df.collect()] == ["zh", "en", "de", "unknown"]
+
+    def test_token_count_simple(self, spark):
+        df = spark.createDataFrame([("a b  c",)], ["text"]).select(
+            token_count("text").alias("n")
+        )
+        assert df.collect()[0]["n"] == 3
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            TOPK,
+            ann_bruteforce_topk,
+        )
+
+        emb = t(spark, sf_dir, "embeddings")
+        rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        queries = emb.where(F.col("vec_id") < 3)
+        got = {
+            (r["qid"], r["rk"]): r["neighbor_id"]
+            for r in ann_bruteforce_topk(emb, queries, TOPK).collect()
+        }
+        for qid in range(3):
+            qv = mat[ids == qid][0]
+            sims = mat @ qv
+            sims[ids == qid] = -2
+            order = np.lexsort((ids, -sims))[:TOPK]
+            for rk, idx in enumerate(order, start=1):
+                assert got[(qid, rk)] == ids[idx]
+
+
+class TestMultimodal:
+    def test_frame_sampling_counts(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            FRAME_BYTES,
+            FRAME_SAMPLE_STEP,
+            attach_payload,
+            sample_frames,
+        )
+
+        docs = t(spark, sf_dir, "documents").limit(50)
+        mm = attach_payload(docs)
+        frames = sample_frames(mm).groupBy("doc_id").count().collect()
+        sizes = {r["doc_id"]: r["n"] for r in mm.select(
+            "doc_id", F.length("payload").alias("n")).collect()}
+        for r in frames:
+            n_frames = -(-sizes[r["doc_id"]] // FRAME_BYTES)
+            expected = -(-n_frames // FRAME_SAMPLE_STEP)
+            assert r["count"] == expected
