@@ -1,0 +1,420 @@
+"""Streaming analytics pipelines (SURVEY.md §7 M5) — Structured Streaming
+twins of the batch analytics queries, runnable under the driver's batch
+correctness gate.
+
+Strategy: each registered query replays a fixture table through a REAL
+Structured Streaming query (file stream source or the custom `mq` source),
+drains it with ``Trigger.AvailableNow`` into a memory sink, and returns the
+sink table as a batch DataFrame. Because the inputs are finite and
+deterministic, the streamed result is exactly comparable to an ANSI-SQL
+oracle — including watermark semantics, which append-mode queries encode in
+the oracle as a `max(ts) - delay` cutoff (the reference documents this
+micro-batch lifecycle at README.md:474-487; watermarking is the stock-Spark
+machinery the reference's demo relies on, README.md:86).
+
+Scale notes (100 TB posture):
+  * All stateful operators key their state by the SAME columns the batch
+    twin shuffles on (window+type, user_id, event_type) — state is
+    hash-partitioned across executors by key, so a 1000-executor cluster
+    spreads it; nothing here collects to the driver.
+  * Watermarks bound state: append-mode windows and stream-stream joins
+    evict state once the watermark passes, which is what makes these
+    pipelines runnable on an unbounded 100 TB/day firehose.
+  * applyInPandasWithState state is O(#keys), not O(#rows).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..plans.registry import register
+from ..plans.util import t
+
+# --------------------------------------------------------------------------
+# Plumbing
+# --------------------------------------------------------------------------
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file-stream source (the batch image of the
+    stream the mq source models, FIXTURES.md §B).
+
+    The parquet has TIMESTAMP(NANOS); under legacy.parquet.nanosAsLong the
+    file schema types `ts` as int64 nanos, converted here to micros exactly
+    like plans.util.t does for the batch twin.
+    """
+    raw = t(spark, sf_dir, "events")  # sets nanosAsLong; cached scan
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    del raw
+    return (
+        spark.readStream.schema(file_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def run_to_table(
+    spark: SparkSession,
+    df: DataFrame,
+    output_mode: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain a finite streaming DataFrame via Trigger.AvailableNow into a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = "strm_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(f"streaming query {name} did not drain in {timeout_sec}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# 1. Tumbling window, complete mode — bit-identical to the batch window agg.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_tumbling_1d",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="STREAMING tumbling 1-day window (complete mode, availableNow drain); "
+    "oracle = the batch tumbling agg.",
+)
+def q_stream_tumbling_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = run_to_table(spark, agg, "complete")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "cnt",
+    ).orderBy("win_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# 2. Tumbling window, APPEND mode + watermark — the oracle encodes exactly
+#    Spark's late-data contract: a window is emitted iff the final watermark
+#    (global max ts − delay) has passed its end. Verifies the no-data batch
+#    + watermark eviction path end to end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_tumbling_watermark",
+    """
+    WITH cut AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL '1 day', min(ts)) + INTERVAL 1 DAY
+             <= (SELECT wm FROM cut)
+    ORDER BY 1, 2
+    """,
+    doc="STREAMING append-mode tumbling window with 1h watermark; oracle "
+    "reproduces the closed-window cutoff (window_end <= max_ts - 1h).",
+)
+def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = run_to_table(spark, agg, "append")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "cnt",
+    ).orderBy("win_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# 3. Streaming dedup — dropDuplicates keyed on (user_id, event_type);
+#    emitting only key columns makes "keep whichever arrived first"
+#    order-insensitive, so the oracle is SELECT DISTINCT.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_dedup_pairs",
+    """
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+    doc="STREAMING exact dedup (dropDuplicates state op) to distinct "
+    "(user, event_type) pairs.",
+)
+def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dedup = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return run_to_table(spark, dedup, "append").orderBy("user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# 4. Stream–stream inner join: purchase joined to the same user's clicks
+#    within the following 30 minutes. Watermarks + the event-time range
+#    condition bound the join state (the 100 TB requirement); for a finite
+#    replay the inner-join output equals the batch join, so the oracle is
+#    plain SQL.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_stream_join",
+    """
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+    ORDER BY user_id, purchase_id, click_id
+    """,
+    doc="STREAMING stream-stream inner join with watermarks + time-range "
+    "state eviction.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
+    return run_to_table(spark, joined, "append").orderBy(
+        "user_id", "purchase_id", "click_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Custom stateful operator via applyInPandasWithState: running per-key
+#    stats (count + id bounds — integer-exact, so order-insensitive). The
+#    finite replay drains in one batch, so the last update per key equals
+#    the batch GROUP BY; state is O(#event_types).
+# --------------------------------------------------------------------------
+
+_STATEFUL_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("cnt", LongType()),
+        StructField("min_event_id", LongType()),
+        StructField("max_event_id", LongType()),
+    ]
+)
+_STATEFUL_STATE = StructType(
+    [
+        StructField("cnt", LongType()),
+        StructField("mn", LongType()),
+        StructField("mx", LongType()),
+    ]
+)
+
+
+def _running_stats(key: tuple, pdfs, state: GroupState):
+    cnt, mn, mx = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        cnt += len(pdf)
+        lo, hi = int(pdf["event_id"].min()), int(pdf["event_id"].max())
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    state.update((cnt, mn, mx))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "cnt": [cnt],
+            "min_event_id": [mn],
+            "max_event_id": [mx],
+        }
+    )
+
+
+@register(
+    "q_stream_stateful_stats",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="STREAMING custom stateful operator (applyInPandasWithState) — "
+    "running per-type stats; state O(#keys).",
+)
+def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    updates = (
+        events_stream(spark, sf_dir)
+        .select("event_type", "event_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _running_stats,
+            _STATEFUL_OUT,
+            _STATEFUL_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_table(spark, updates, "update")
+    # multiple micro-batches would emit one update per key per batch; the
+    # final (max-cnt) update per key is the converged value.
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.max("cnt").alias("cnt"),
+            F.min("min_event_id").alias("min_event_id"),
+            F.max("max_event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. Native session windows (streaming session_window) — per-user sessions
+#    with a 30-min inactivity gap, aggregated per user AFTER the sink
+#    (streaming allows a single stateful agg). Same session semantics as
+#    the batch lag-based q_events_sessionize, so it shares that oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           MAX(n_events) AS max_session_events,
+           SUM(n_events) AS total_events
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="STREAMING native session_window(30 min) sessionization; oracle = "
+    "the batch lag-based sessionizer (identical gap semantics).",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    per_session = run_to_table(spark, sessions, "complete")
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. The reference's flagship WordCount (README.md:64-124) over the custom
+#    mq source, drained deterministically: startingTimestamp=0 +
+#    advanceMsPerBatch makes the offset range — and therefore every payload
+#    — a pure function of the options (SURVEY.md §2.1 #10 fix). The mq
+#    stream isn't a DuckDB table, so this is rows-only at the gate; the
+#    pytest suite asserts exact counts.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_mq_wordcount",
+    None,
+    doc="Reference WordCount over the custom mq streaming source "
+    "(deterministic bounded drain).",
+)
+def q_stream_mq_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import register_mq_source
+
+    register_mq_source(spark)
+    stream = (
+        spark.readStream.format("mq")
+        .option("numPartitions", 4)
+        .option("intervalMs", 10)
+        .option("startingTimestamp", 0)
+        .option("advanceMsPerBatch", 5000)
+        .option("maxRecordsPerBatch", 0)
+        .load()
+    )
+    counts = (
+        stream.selectExpr("CAST(value AS STRING) AS line")
+        .select(F.explode(F.split("line", " ")).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+    return run_to_table(spark, counts, "complete").orderBy("word")

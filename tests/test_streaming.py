@@ -1,0 +1,87 @@
+"""Streaming pipeline tests — SURVEY.md §5.2 item 2 (end-to-end streaming)
+plus the M5 streaming analytics surface (streaming/pipelines.py).
+
+Oracle equivalence for the registered q_stream_* queries is covered by
+tools/check_oracles.py; these tests pin down what the oracle gate can't:
+exact payload-level determinism of the mq WordCount, and the foreachBatch
+sink path.
+"""
+
+from __future__ import annotations
+
+import collections
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_custom_mq_datasource_spark.sources.mq import _indices_in_range, _payload
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.slow
+class TestMQWordCount:
+    def test_exact_counts_vs_generator(self, spark):
+        """The drained WordCount must equal counts recomputed directly from
+        the deterministic payload function — exactly-once, no loss, no dup
+        (README.md:705-712 contract)."""
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            q_stream_mq_wordcount,
+        )
+
+        got = {r["word"]: r["count"] for r in q_stream_mq_wordcount(spark, SF).collect()}
+
+        expected: collections.Counter = collections.Counter()
+        for p in range(4):  # numPartitions=4
+            for i in _indices_in_range(0, 5000, 10):  # advance 5000ms, 10ms interval
+                expected.update(_payload(42, p, i).split(" "))
+        assert got == dict(expected)
+
+
+@pytest.mark.slow
+class TestForeachBatchSink:
+    def test_foreach_batch_parquet(self, spark):
+        """foreachBatch sink (SURVEY.md §2.4 sinks row): drain the events
+        stream into parquet via a batch-side writer; round-trip count."""
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import events_stream
+
+        out_dir = tempfile.mkdtemp(prefix="fb_out_")
+
+        def write_batch(df, epoch_id: int) -> None:
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            events_stream(spark, SF)
+            .select("event_id", "event_type")
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        n_in = spark.read.parquet(f"{SF}/events.parquet").count()
+        assert spark.read.parquet(out_dir).count() == n_in
+
+
+@pytest.mark.slow
+class TestWatermarkContract:
+    def test_append_subset_of_complete(self, spark):
+        """Append-mode emits exactly the windows closed by the final
+        watermark — a strict subset of complete-mode output."""
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            q_stream_tumbling_1d,
+            q_stream_tumbling_watermark,
+        )
+
+        complete = {
+            (r["win_start"], r["event_type"]): r["cnt"]
+            for r in q_stream_tumbling_1d(spark, SF).collect()
+        }
+        appended = {
+            (r["win_start"], r["event_type"]): r["cnt"]
+            for r in q_stream_tumbling_watermark(spark, SF).collect()
+        }
+        assert appended  # something was emitted
+        assert set(appended) < set(complete)  # strictly fewer windows
+        assert all(complete[k] == v for k, v in appended.items())
