@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..plans.util import t
+from ..plans.util import t, tp
 
 # Small embedded stopword lists per language — marker words for the n-gram /
 # lexicon language-ID heuristic. Deterministic, no external model.
@@ -131,7 +131,7 @@ _SQL_TOKENS = "string_split(trim(text), ' ')"
     doc="whitespace token counting per document.",
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     n = token_count("text")
     return docs.select(
         "doc_id",
@@ -161,7 +161,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="quality scoring: length/punctuation/stopword heuristics.",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         punct_ratio("text").alias("punct_ratio"),
@@ -203,7 +203,7 @@ def _sql_marker_hits(markers: tuple[str, ...]) -> str:
     doc="lexicon-based language identification heuristic.",
 )
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -227,7 +227,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="rolling polynomial document fingerprint (md5-derived word hashes).",
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
@@ -242,7 +242,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="BPE-ish regex token counting (letter/digit runs + punct singles).",
 )
 def q_text_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_units")).orderBy(
         "doc_id"
     )
@@ -262,7 +262,7 @@ def q_text_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="corpus-level token/char accounting per labeled language.",
 )
 def q_text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
         .agg(

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans.registry import register
-from ..plans.util import t
+from ..plans.util import t, tp
 
 try:  # real decoder if available; the container ships without it
     from PIL import Image  # noqa: F401
@@ -145,7 +145,7 @@ def sample_frames(
     doc="binary payload + typed metadata projection (byte-length oracle).",
 )
 def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = attach_payload(t(spark, sf_dir, "documents"))
+    mm = attach_payload(tp(spark, sf_dir, "documents"))
     return mm.select(
         "doc_id",
         F.length("payload").alias("n_bytes"),
@@ -167,7 +167,7 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "checked against closed-form byte arithmetic.",
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = attach_payload(t(spark, sf_dir, "documents"))
+    mm = attach_payload(tp(spark, sf_dir, "documents"))
     frames = sample_frames(mm)
     sizes = mm.select(
         "doc_id",
@@ -189,5 +189,5 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="mapInPandas decode stub: deterministic pseudo-features per payload.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = attach_payload(t(spark, sf_dir, "documents"))
+    mm = attach_payload(tp(spark, sf_dir, "documents"))
     return decode_batch(mm).orderBy("doc_id")

@@ -37,7 +37,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from ..plans.registry import register
-from ..plans.util import t
+from ..plans.util import t, tp
 
 TOPK = 5
 N_QUERIES = 5  # fixture queries: vec_id < 5
@@ -128,8 +128,11 @@ _SQL_NORM = (
     doc="exact brute-force cosine top-k (numpy-vectorized corpus scan).",
 )
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    # corpus scan parallelized; the query side stays on the plain scan so
+    # the vec_id filter pushes to parquet (collecting 5 rows must not drag
+    # the whole table through the round-robin exchange)
+    emb = tp(spark, sf_dir, "embeddings")
+    queries = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
     return ann_bruteforce_topk(emb, queries, TOPK).orderBy("qid", "rk")
 
 
@@ -170,8 +173,10 @@ def lsh_bucket(df: DataFrame, dim: int) -> DataFrame:
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import cosine
 
-    emb = lsh_bucket(t(spark, sf_dir, "embeddings"), 64)
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+    emb = lsh_bucket(tp(spark, sf_dir, "embeddings"), 64)
+    queries = lsh_bucket(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES), 64
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qb"),
@@ -203,7 +208,8 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import cosine
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = tp(spark, sf_dir, "embeddings")
+    queries_src = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
     # "train": one pass, map-side partial aggregation
     centroids = emb.groupBy("label").agg(
         F.array(
@@ -213,7 +219,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("centroid")
     )
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+    queries = queries_src.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     wprobe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("label"))

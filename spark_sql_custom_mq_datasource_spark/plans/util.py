@@ -36,6 +36,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _cache[key]
 
 
+def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture table repartitioned to cluster parallelism for compute-heavy
+    per-row work (shingling, hashing, vector math).
+
+    Small fixture tables arrive as a single parquet split, which would
+    serialize CPU-bound stages onto one task; at 100 TB the same principle
+    applies whenever row *cost* (not byte size) dominates — split count must
+    match cores, so pay one narrow round-robin shuffle up front. Aggregates
+    downstream are order-independent (decimal sums / min / max), so the
+    nondeterministic row order a repartition introduces is safe here."""
+    return t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+
+
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({prec},{scale})")
