@@ -51,6 +51,7 @@ def _load_all() -> None:
     from ..operators import dedup  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..functions import text  # noqa: F401
+    from ..functions import udfs  # noqa: F401
     from ..operators import multimodal  # noqa: F401
     from ..streaming import pipelines  # noqa: F401
 

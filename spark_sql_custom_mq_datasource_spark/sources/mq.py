@@ -46,6 +46,14 @@ topic                str, default "mock-topic"
 seed                 int, default 42    payload vocabulary seed
 endingTimestamp      long (batch only)  end of range; default
                                         starting + 1000*intervalMs
+retentionMs          long, default -1   -1 = infinite; >=0 = records older
+                                        than (latest - retentionMs) have
+                                        been purged from the MQ
+failOnDataLoss       bool, default true behavior when a batch's start falls
+                                        before the retention horizon: true =
+                                        abort (README.md:618-631 abort-on-
+                                        OffsetOutOfRange), false = skip the
+                                        purged range and log (README.md:642-645)
 """
 
 from __future__ import annotations
@@ -149,6 +157,41 @@ class _Options:
         self.topic = o.get("topic", "mock-topic")
         self.seed = int(o.get("seed", 42))
         self.ending_ts = int(o.get("endingtimestamp", -1))
+        self.retention_ms = int(o.get("retentionms", -1))
+        self.fail_on_data_loss = str(o.get("failondataloss", "true")).lower() == "true"
+
+
+class DataLossError(RuntimeError):
+    """Raised when a batch needs offsets the MQ has already purged and
+    failOnDataLoss=true — the OffsetOutOfRangeException abort path the
+    README documents for the real Kafka source (README.md:618-631)."""
+
+
+def _apply_retention(opts: _Options, start_ts: int, end_ts: int) -> int:
+    """Clamp a batch's start to the retention horizon, or abort.
+
+    Horizon = end - retentionMs (the mock's "latest" is the batch end).
+    failOnDataLoss=false skips the purged range and logs, mirroring
+    README.md:642-645."""
+    if opts.retention_ms < 0:
+        return start_ts
+    horizon = end_ts - opts.retention_ms
+    if start_ts >= horizon:
+        return start_ts
+    if opts.fail_on_data_loss:
+        raise DataLossError(
+            f"offsets [{start_ts}, {horizon}) were purged by retention "
+            f"(retentionMs={opts.retention_ms}); set failOnDataLoss=false "
+            "to skip the lost range"
+        )
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "mq: skipping purged offset range [%d, %d) (failOnDataLoss=false)",
+        start_ts,
+        horizon,
+    )
+    return horizon
 
 
 def _plan_partitions(opts: _Options, start_ts: int, end_ts: int) -> list[MQPartition]:
@@ -201,6 +244,7 @@ class MQBatchReader(DataSourceReader):
             end = self.opts.ending_ts
         else:
             end = start + 1000 * self.opts.interval_ms
+        start = _apply_retention(self.opts, start, end)
         return _plan_partitions(self.opts, start, end)
 
     def read(self, partition: MQPartition) -> Iterator[tuple]:
@@ -261,7 +305,9 @@ class MQStreamReader(DataSourceStreamReader):
 
     # -- planning / execution ---------------------------------------------
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        return _plan_partitions(self.opts, int(start["ts"]), int(end["ts"]))
+        s, e = int(start["ts"]), int(end["ts"])
+        s = _apply_retention(self.opts, s, e)
+        return _plan_partitions(self.opts, s, e)
 
     def read(self, partition: MQPartition) -> Iterator[tuple]:
         return _read_partition(partition)

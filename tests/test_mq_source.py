@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from spark_sql_custom_mq_datasource_spark.sources.mq import (
+    DataLossError,
     MQStreamReader,
     _indices_in_range,
     _payload,
@@ -94,6 +95,40 @@ class TestBoundedRead:
         (part,) = r.partitions({"ts": 0}, {"ts": 50})
         rows = list(r.read(part))
         assert len(rows) == 5  # fixes next()==true unboundedness
+
+
+class TestDataLossPolicy:
+    """README.md:618-631 / :642-645 — abort vs skip when offsets were purged."""
+
+    def test_fail_on_data_loss_aborts(self):
+        r = MQStreamReader(None, {"retentionMs": "50"})
+        with pytest.raises(DataLossError):
+            r.partitions({"ts": 0}, {"ts": 200})  # horizon=150 > start=0
+
+    def test_skip_clamps_to_horizon(self):
+        r = MQStreamReader(
+            None, {"retentionMs": "50", "failOnDataLoss": "false", "numPartitions": "2"}
+        )
+        parts = r.partitions({"ts": 0}, {"ts": 200})
+        assert all(p.start_ts == 150 and p.end_ts == 200 for p in parts)
+
+    def test_within_retention_untouched(self):
+        r = MQStreamReader(None, {"retentionMs": "500"})
+        parts = r.partitions({"ts": 100}, {"ts": 200})
+        assert all(p.start_ts == 100 for p in parts)
+
+    def test_batch_read_skips_purged_range(self, spark):
+        df = (
+            spark.read.format("mq")
+            .option("numPartitions", 1)
+            .option("intervalMs", 10)
+            .option("startingTimestamp", 0)
+            .option("endingTimestamp", 200)
+            .option("retentionMs", 100)
+            .option("failOnDataLoss", "false")
+            .load()
+        )
+        assert df.count() == 10  # only [100, 200) survives
 
 
 class TestBatchRead:
