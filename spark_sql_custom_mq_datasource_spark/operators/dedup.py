@@ -347,22 +347,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """60-bit SimHash over md5-derived word hashes (engine-portable).
 
-    bit_j(doc) = sign( Σ_words (2·((h(w)>>j)&1) − 1) )."""
+    bit_j(doc) = sign( Σ_words (2·((h(w)>>j)&1) − 1) ), computed as ONE fold
+    over the word-hash array carrying a 60-counter vote vector. The previous
+    60-separate-folds formulation re-inlined (and so re-computed) the
+    word-hash transform once per bit after projection collapse; here the
+    transform appears exactly once in the expression tree. Inside the fold,
+    the lambda variable h is a plain long — fanning it into 60 bit terms is
+    arithmetic, not recomputation."""
     c = F.col(text) if isinstance(text, str) else text
     hs = F.transform(F.split(F.trim(c), " "), word_hash)
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
 
-    def bit_term(j: int) -> Column:
-        vote = F.aggregate(
-            hs,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-        return (
-            F.when(vote > 0, F.lit(1 << j).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
+    def bitvec(h: Column) -> Column:
+        return F.array(
+            *[
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
+                for j in range(bits)
+            ]
         )
 
-    return reduce(lambda x, y: x + y, [bit_term(j) for j in range(bits)]).alias("simhash")
+    votes = F.aggregate(
+        hs, zeros, lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b)
+    )
+    powers = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).alias("simhash")
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
@@ -371,7 +387,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     k agrees on at least one full band, so a band-bucket join loses nothing."""
     n_bands = max_hamming + 1
     band_bits = SIMHASH_BITS // n_bands
-    sig = docs.select("doc_id", simhash("text").alias("sh"))
+    # exchange barrier: the banding projection references the signature 5×
+    # (4 band keys + the output column); without the barrier, projection
+    # collapse would inline — and recompute — the simhash fold each time.
+    # Signature rows are (doc_id, long): the shuffle is negligible at any
+    # corpus size.
+    sig = docs.select("doc_id", simhash("text").alias("sh")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     bands = F.array(
         *[
             F.struct(
