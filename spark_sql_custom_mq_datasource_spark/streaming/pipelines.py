@@ -160,6 +160,53 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 2b. Sliding window (6h window, 3h slide), complete mode — every event
+#     lands in exactly two windows; shares the batch sliding-agg oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_sliding_6h",
+    """
+    WITH buckets AS (
+      SELECT ts, value,
+             time_bucket(INTERVAL '3 hour', ts) AS b
+      FROM events WHERE event_type = 'purchase'
+    ), slides AS (
+      SELECT b AS win_start, ts, value FROM buckets
+      UNION ALL
+      SELECT b - INTERVAL '3 hour' AS win_start, ts, value FROM buckets
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM slides
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="STREAMING sliding 6h/3h window agg (complete mode drain).",
+)
+def q_stream_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import dec
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+        )
+    )
+    out = run_to_table(spark, agg, "complete")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "cnt",
+        "sum_value",
+    ).orderBy("win_start")
+
+
+# --------------------------------------------------------------------------
 # 3. Streaming dedup — dropDuplicates keyed on (user_id, event_type);
 #    emitting only key columns makes "keep whichever arrived first"
 #    order-insensitive, so the oracle is SELECT DISTINCT.
@@ -179,6 +226,34 @@ def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
+    )
+    return run_to_table(spark, dedup, "append").orderBy("user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# 3b. Watermark-bounded streaming dedup — dropDuplicatesWithinWatermark
+#     keeps per-key state only until the watermark passes (the 100 TB
+#     posture: state is bounded by the delay window, not corpus size).
+#     Replaying a finite fixture whose duplicates are all within the delay
+#     makes the result equal to a plain DISTINCT, so it oracle-checks.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+    doc="STREAMING dropDuplicatesWithinWatermark (state bounded by the "
+    "watermark delay).",
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dedup = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "90 days")  # fixture spans ~30 days → exact
+        .select("ts", "user_id", "event_type")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
     )
     return run_to_table(spark, dedup, "append").orderBy("user_id", "event_type")
 
