@@ -1,0 +1,205 @@
+"""Custom join operators Spark lacks as primitives: as-of join and
+bucketed range join (SURVEY.md §2.4 / the custom-operator mandate).
+
+Both are compositions of existing DataFrame ops — no Catalyst surgery — and
+both replace plans that would otherwise be quadratic:
+
+  as-of join     union-marker + sort + last_value(ignoreNulls) over one
+                 (key, time) window: ONE shuffle+sort, O(n log n), vs the
+                 naive per-left-row greatest-subquery (a join explosion).
+                 This is the standard streaming/时序 "enrich with latest
+                 dimension state as of event time" operator.
+  range join     bucketize both sides to integer buckets of the range
+                 width, equi-join on bucket (candidates = same or adjacent
+                 bucket), filter exactly. Turns a theta join — which Spark
+                 executes as BroadcastNestedLoopJoin, O(n·m) — into a
+                 shuffle-hash equi join whose fan-out is bounded by bucket
+                 occupancy. The standard trick for interval/proximity joins
+                 at scale.
+
+Oracles: DuckDB has a native ASOF JOIN, and the range join oracle is the
+plain theta join — both exactly comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..plans.util import t
+
+# --------------------------------------------------------------------------
+# Generic as-of join
+# --------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_key: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the LATEST right row with
+    right_ts <= left_ts and the same key (left rows keep all their columns).
+
+    Implementation: tag both sides, union, sort each key partition by
+    (ts, side) — side 0 (right) before side 1 (left) so a right row at
+    exactly left_ts is visible — then carry payloads forward with
+    last_value(ignoreNulls) and keep only left rows. One shuffle on key,
+    one sort; no join node at all, so there is nothing to explode on
+    skewed keys (a hot key costs its sort, not a cross product)."""
+    right_key = right_key or key
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_a_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_a_{c}").alias(c) for c in payload_cols]
+    )
+
+
+@register(
+    "q_asof_join_last_order",
+    """
+    WITH daily AS (
+      SELECT o_custkey, o_orderdate,
+             COUNT(*) AS n_orders_that_day, MAX(o_orderkey) AS max_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(d.o_orderdate, '%Y-%m-%d') AS last_order_day,
+           d.n_orders_that_day, d.max_orderkey
+    FROM events e
+    ASOF LEFT JOIN daily d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    ORDER BY e.event_id
+    """,
+    doc="as-of join: each event enriched with the user's latest order-day "
+    "stats as of event time (union-marker + one window pass, no join node).",
+)
+def q_asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # pre-aggregate the right side to one row per (key, ts) so the as-of
+    # pick is deterministic (no ties), mirroring the oracle's `daily` CTE
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n_orders_that_day"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+    )
+    out = asof_join(
+        ev,
+        daily,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderdate", "n_orders_that_day", "max_orderkey"],
+        right_key="o_custkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_day"),
+        "n_orders_that_day",
+        "max_orderkey",
+    ).orderBy("event_id")
+
+
+# NOTE for the oracle above: asof_join's union has right-side rows carrying
+# key = o_custkey; events.user_id is BIGINT and o_custkey BIGINT — same type,
+# so the union is type-stable.
+
+
+# --------------------------------------------------------------------------
+# Bucketed range join
+# --------------------------------------------------------------------------
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    width: float,
+) -> DataFrame:
+    """All (left, right) pairs with |left_val - right_val| <= width, via
+    integer bucketing: a qualifying pair's buckets differ by at most 1, so
+    candidates are the 3 adjacent buckets (left exploded to {b-1, b, b+1},
+    equi-joined on the right's bucket), then filtered exactly. The theta
+    join becomes a shuffle-hash equi join; fan-out is bucket occupancy,
+    not |left|x|right|."""
+    lb = left.withColumn(
+        "_lb",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col(left_val) / F.lit(width)) + d).cast("bigint")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    rb = right.withColumn("_rb", F.floor(F.col(right_val) / F.lit(width)).cast("bigint"))
+    return (
+        lb.join(rb, lb._lb == rb._rb)
+        .where(F.abs(F.col(left_val) - F.col(right_val)) <= width)
+        .drop("_lb", "_rb")
+    )
+
+
+@register(
+    "q_range_join_acctbal",
+    """
+    SELECT s.s_suppkey, COUNT(*) AS n_customers,
+           MIN(c.c_custkey) AS min_custkey, MAX(c.c_custkey) AS max_custkey
+    FROM supplier s JOIN customer c
+      ON abs(c.c_acctbal - s.s_acctbal) <= CAST(5.0 AS DOUBLE)
+    GROUP BY s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    doc="bucketed range join: customers within +-5.0 account balance of "
+    "each supplier (theta join -> equi join on width buckets).",
+)
+def q_range_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    pairs = range_join_bucketed(cust, supp, "c_acctbal", "s_acctbal", 5.0)
+    return (
+        pairs.groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -53,6 +53,7 @@ def _load_all() -> None:
     from ..functions import text  # noqa: F401
     from ..functions import udfs  # noqa: F401
     from ..operators import multimodal  # noqa: F401
+    from ..operators import joins  # noqa: F401
     from ..streaming import pipelines  # noqa: F401
 
 

@@ -1,0 +1,67 @@
+"""Edge-semantics tests for the custom join operators (operators/joins.py).
+The oracle gate covers the bulk; these pin the boundary rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_sql_custom_mq_datasource_spark.operators.joins import (
+    asof_join,
+    range_join_bucketed,
+)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3")], "k long, ts long, ev string"
+        )
+        right = spark.createDataFrame(
+            [(1, 10, "r@10"), (1, 15, "r@15"), (3, 1, "other")],
+            "k long, rts long, payload string",
+        )
+        return left, right
+
+    def test_latest_at_or_before(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r["ev"]: r["payload"]
+            for r in asof_join(
+                left, right, key="k", left_ts="ts", right_ts="rts",
+                payload_cols=["payload"],
+            ).collect()
+        }
+        # e1 at ts=10: right row at exactly 10 is visible (<= semantics)
+        assert out == {"e1": "r@10", "e2": "r@15", "e3": None}
+
+    def test_left_rows_preserved(self, spark):
+        left, right = self._frames(spark)
+        assert (
+            asof_join(
+                left, right, key="k", left_ts="ts", right_ts="rts",
+                payload_cols=["payload"],
+            ).count()
+            == left.count()
+        )
+
+
+class TestRangeJoinBucketed:
+    def test_boundary_inclusive_and_cross_bucket(self, spark):
+        left = spark.createDataFrame([(1, 0.0), (2, 9.9), (3, 100.0)], "lid long, v double")
+        right = spark.createDataFrame(
+            [(10, 5.0), (11, 10.1), (12, -5.0), (13, 50.0)], "rid long, w double"
+        )
+        # width 5: pairs with |v - w| <= 5
+        got = {
+            (r["lid"], r["rid"])
+            for r in range_join_bucketed(left, right, "v", "w", 5.0).collect()
+        }
+        assert got == {(1, 10), (1, 12), (2, 10), (2, 11)}
+
+    def test_exact_width_boundary(self, spark):
+        left = spark.createDataFrame([(1, 0.0)], "lid long, v double")
+        right = spark.createDataFrame([(10, 5.0), (11, 5.0001)], "rid long, w double")
+        got = {
+            r["rid"] for r in range_join_bucketed(left, right, "v", "w", 5.0).collect()
+        }
+        assert got == {10}  # |0-5| <= 5 in; 5.0001 out
