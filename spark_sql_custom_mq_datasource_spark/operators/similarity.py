@@ -141,27 +141,47 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf(DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized pairwise cosine for rerank stages: one Arrow batch = two
+    (n, dim) matrices, three numpy reductions. Chosen over the JVM
+    higher-order-function fold because a fold per pair (a) is interpreted,
+    not codegen'd, and (b) the normalize+dot expression tree gets re-inlined
+    into every consumer by projection collapse — at 12 planes x 64 dims,
+    Catalyst ANALYSIS time alone dominated these small-output queries."""
+    ma = np.stack(a.to_numpy()).astype(np.float64)
+    mb = np.stack(b.to_numpy()).astype(np.float64)
+    num = (ma * mb).sum(axis=1)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(num / den)
+
+
 def _hyperplanes(dim: int, n_planes: int = LSH_PLANES, seed: int = LSH_SEED) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim))
 
 
 def lsh_bucket(df: DataFrame, dim: int) -> DataFrame:
-    """Sign-of-projection bucket id per row, computed JVM-side: the planes
-    are literal arrays folded into the plan (no Python at runtime)."""
+    """Sign-of-projection bucket id per row, Arrow-batched numpy.
+
+    The planes ship inside the UDF closure; each batch is ONE (n, dim) @
+    (dim, n_planes) matmul — the right shape for a 100 TB corpus scan. (A
+    previous all-JVM formulation built the 12x64 literal coefficient
+    matrix into the expression tree; Catalyst spent multiple seconds just
+    analyzing it — planning cost, not compute, dominated.)"""
     planes = _hyperplanes(dim)
-    bucket = F.lit(0).cast("bigint")
-    for p_idx in range(planes.shape[0]):
-        coeffs = F.array(*[F.lit(float(c)) for c in planes[p_idx]])
-        proj = F.aggregate(
-            F.zip_with(
-                "embedding", coeffs, lambda x, c: x.cast("double") * c
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @pandas_udf(LongType())
+    def bucket_udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ planes.T) > 0  # (n, n_planes)
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return df.withColumn("bucket", bucket_udf("embedding"))
 
 
 @register(
@@ -171,8 +191,6 @@ def lsh_bucket(df: DataFrame, dim: int) -> DataFrame:
     "exact cosine rerank. Sub-linear; recall traded for scan cost.",
 )
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import cosine
-
     emb = lsh_bucket(tp(spark, sf_dir, "embeddings"), 64)
     queries = lsh_bucket(
         t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES), 64
@@ -186,7 +204,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(queries)
         .join(cand, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("qid")))
-        .withColumn("sim", cosine(F.col("qe"), F.col("embedding")))
+        .withColumn("sim", cosine_udf(F.col("qe"), F.col("embedding")))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOPK)
         .select("qid", F.col("vec_id").alias("neighbor_id"), F.col("rk").cast("int").alias("rk"))
@@ -206,8 +224,6 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nearest clusters only. The inverted-list scan is a semi-join, not O(n²).",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import cosine
-
     emb = tp(spark, sf_dir, "embeddings")
     queries_src = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
     # "train": one pass, map-side partial aggregation
@@ -226,7 +242,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         F.broadcast(queries)
         .crossJoin(F.broadcast(centroids))
-        .withColumn("csim", cosine(F.col("qe"), F.col("centroid")))
+        .withColumn("csim", cosine_udf(F.col("qe"), F.col("centroid")))
         .withColumn("prk", F.row_number().over(wprobe))
         .where(F.col("prk") <= IVF_NPROBE)
         .select("qid", "qe", "label")
@@ -236,7 +252,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes)
         .join(emb, "label")
         .where(F.col("vec_id") != F.col("qid"))
-        .withColumn("sim", cosine(F.col("qe"), F.col("embedding")))
+        .withColumn("sim", cosine_udf(F.col("qe"), F.col("embedding")))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOPK)
         .select("qid", F.col("vec_id").alias("neighbor_id"), F.col("rk").cast("int").alias("rk"))

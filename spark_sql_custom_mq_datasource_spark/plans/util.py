@@ -43,9 +43,10 @@ def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Small fixture tables arrive as a single parquet split, which would
     serialize CPU-bound stages onto one task; at 100 TB the same principle
     applies whenever row *cost* (not byte size) dominates — split count must
-    match cores, so pay one narrow round-robin shuffle up front. Aggregates
-    downstream are order-independent (decimal sums / min / max), so the
-    nondeterministic row order a repartition introduces is safe here."""
+    track cores (byte-based split sizing is exactly the wrong signal for
+    text/vector compute), so pay one narrow round-robin shuffle up front.
+    Aggregates downstream are order-independent (decimal sums / min / max),
+    so the nondeterministic row order a repartition introduces is safe."""
     return t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
 
 
