@@ -294,3 +294,75 @@ def q_events_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles — single-pass sort-based percentile (both engines use
+# linear interpolation on the sorted values, so doubles match bit-for-bit).
+# Scale: percentile is not partial-aggregable; Spark sorts within each
+# group's partition — fine for bounded groups (per returnflag), and the
+# approx_percentile sketch is the unbounded-cardinality alternative.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_percentiles_price",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="exact interpolated percentiles per group.",
+)
+def q_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+            F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy matching — edit-distance pairs over the (distinct) source labels:
+# the candidate set is deduplicated BEFORE the quadratic step, which is the
+# fuzzy-join discipline at scale (dedupe/block first, edit-distance the
+# survivors; here distinct sources are dimension-sized).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_fuzzy_source_pairs",
+    """
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS sa, b.source AS sb,
+           CAST(levenshtein(a.source, b.source) AS INT) AS dist
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 1
+    ORDER BY sa, sb
+    """,
+    doc="fuzzy matching: levenshtein <= 1 pairs over distinct source labels.",
+)
+def q_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "documents").select("source").distinct()
+    a = s.select(F.col("source").alias("sa"))
+    b = s.select(F.col("source").alias("sb"))
+    dist = F.levenshtein("sa", "sb")
+    return (
+        a.join(b, F.col("sa") < F.col("sb"))
+        .where(dist <= 1)
+        .select("sa", "sb", dist.cast("int").alias("dist"))
+        .orderBy("sa", "sb")
+    )

@@ -493,3 +493,41 @@ def q_stream_mq_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     return run_to_table(spark, counts, "complete").orderBy("word")
+
+
+# --------------------------------------------------------------------------
+# 8. Stream-static join — the events stream enriched against a static
+#    dimension (customer), then aggregated. The static side is broadcast:
+#    no stream-side state at all, the canonical "enrich a firehose with a
+#    dimension table" pattern (stream-STREAM joins, which do need state,
+#    are #4).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_static_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="STREAMING stream-static join: events enriched with a broadcast "
+    "customer dim, aggregated per market segment.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import dec, t as t_
+
+    cust = t_(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+        )
+    )
+    return run_to_table(spark, joined, "complete").orderBy("segment")
