@@ -56,12 +56,14 @@ def register_mq_source(spark: SparkSession) -> None:
     we fix that: `spark.read/readStream.format("mq")` just works.
     """
     from .sources.mq import MQDataSource
+    from .sources.replay import ReplayDataSource
 
-    try:
-        spark.dataSource.register(MQDataSource)
-    except Exception:
-        # Already registered in this session — idempotent.
-        pass
+    for src in (MQDataSource, ReplayDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            # Already registered in this session — idempotent.
+            pass
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

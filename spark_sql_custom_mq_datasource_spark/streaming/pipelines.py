@@ -531,3 +531,43 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(spark, joined, "complete").orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# 9. Replay a REAL table through the mq-replay source: the events parquet
+#    served as a message stream (epoch-ms offsets from footer statistics,
+#    row-group pushdown) and aggregated downstream. Single-batch drain here;
+#    multi-batch replay with checkpoint recovery is covered in
+#    tests/test_replay_source.py.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_mq_replay",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="STREAMING replay of the events parquet through the mq-replay "
+    "source (offset semantics over a real table), aggregated per type.",
+)
+def q_stream_mq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import dec
+    from ..session import register_mq_source
+
+    register_mq_source(spark)
+    stream = (
+        spark.readStream.format("mq-replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("numPartitions", 8)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+    )
+    return run_to_table(spark, agg, "complete").orderBy("event_type")
