@@ -47,6 +47,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from . import tpch  # noqa: F401
     from . import tpch2  # noqa: F401
+    from . import tpch3  # noqa: F401
     from . import analytics  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import similarity  # noqa: F401
