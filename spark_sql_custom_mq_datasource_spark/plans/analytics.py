@@ -366,3 +366,51 @@ def q_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sa", "sb", dist.cast("int").alias("dist"))
         .orderBy("sa", "sb")
     )
+
+
+# --------------------------------------------------------------------------
+# mqlog sink round-trip: write orders through the append-only topic (full
+# commit protocol: staging -> manifest -> segments), read it back, and
+# aggregate — proving the write path the reference stubs out
+# (CustomTable.java:52-54) preserves values end-to-end. The oracle reads
+# the ORIGINAL table: PASS means the round-trip is lossless.
+# Scale: segments are written one per task, so write parallelism = upstream
+# partitioning; the read back maps one task per segment.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_mqlog_roundtrip",
+    """
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="mqlog sink round-trip: orders -> append-only topic -> read back "
+    "-> aggregate; oracle reads the original table (lossless write path).",
+)
+def q_mqlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..session import register_mq_source
+
+    register_mq_source(spark)
+    topic = os.path.join(tempfile.mkdtemp(), "orders-topic")
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format("mqlog")
+        .option("path", topic)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("mqlog").option("path", topic).load()
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

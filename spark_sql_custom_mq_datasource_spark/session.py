@@ -56,9 +56,10 @@ def register_mq_source(spark: SparkSession) -> None:
     we fix that: `spark.read/readStream.format("mq")` just works.
     """
     from .sources.mq import MQDataSource
+    from .sources.mqlog import MQLogDataSource
     from .sources.replay import ReplayDataSource
 
-    for src in (MQDataSource, ReplayDataSource):
+    for src in (MQDataSource, ReplayDataSource, MQLogDataSource):
         try:
             spark.dataSource.register(src)
         except Exception:
