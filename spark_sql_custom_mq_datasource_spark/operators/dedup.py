@@ -19,11 +19,13 @@ candidate generation touches only pairs that share a bucket. At extreme
 scale add a document-frequency cap on hot shingles (stop-shingles) before
 the self-join; MinHash bands already bound the join fan-out.
 
-Hash portability: MinHash uses Spark's xxhash64 (signatures never leave
-Spark — the final output is re-verified with exact Jaccard, so the oracle
-matches without sharing hash functions). SimHash must BE the output, so its
-word hashes derive from md5 (identical in Spark and DuckDB): int(md5[:15],16),
-60 bits, ANSI-overflow-safe.
+Hash portability: shingles are collapsed to xxhash64 longs at creation
+(equality-only uses; see hashed_shingles) and MinHash salts that long with
+the hash-function index — none of these hashes leave Spark, because LSH
+candidates are re-verified with exact Jaccard, so the DuckDB oracle
+(computing on raw strings) matches without sharing hash functions. SimHash
+must BE the output, so its word hashes derive from md5 (identical in Spark
+and DuckDB): int(md5[:15],16), 60 bits, ANSI-overflow-safe.
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ COSINE_DUP_THRESHOLD = 0.4  # fixtures are near-random vectors; max cos ≈ 0.51
 
 
 def shingles(text: Column | str, n: int = NGRAM_N) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
+    """Distinct word n-gram shingles (space-joined strings)."""
     c = F.col(text) if isinstance(text, str) else text
     ws = F.split(F.trim(c), " ")
     idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
@@ -61,14 +63,34 @@ def shingles(text: Column | str, n: int = NGRAM_N) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
+def hashed_shingles(text: Column | str, n: int = NGRAM_N) -> Column:
+    """Distinct xxhash64'd word n-gram shingles (array<long>).
+
+    The whole near-dup family — prefix-filter join keys, MinHash input,
+    exact set intersection — only ever compares shingles for EQUALITY, so
+    each shingle is collapsed to its 64-bit hash the moment it is formed
+    and the text never travels further. Set semantics are preserved w.h.p.
+    (a collision needs ~2³² distinct shingles per doc by birthday bound);
+    the DuckDB oracle intersects the raw strings and the results agree.
+    At 100 TB this shrinks the shuffled/cached footprint ~3× and turns
+    every downstream compare into a long compare."""
+    c = F.col(text) if isinstance(text, str) else text
+    ws = F.split(F.trim(c), " ")
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    gram = lambda i: F.xxhash64(
+        F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)])
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
 def _shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, sset, n): per-doc distinct-shingle array + its size; drops
-    docs with < n words. The array form is the workhorse — set size comes
-    free (no count window / extra agg), MinHash folds over it without an
-    explode, and exact verification intersects two arrays per candidate."""
+    """(doc_id, hset, n): per-doc distinct hashed-shingle array + its size;
+    drops docs with < n words. The array form is the workhorse — set size
+    comes free (no count window / extra agg), MinHash folds over it without
+    an explode, and exact verification intersects two arrays per candidate."""
     return docs.where(F.size(F.split(F.trim("text"), " ")) >= NGRAM_N).select(
-        "doc_id", shingles("text").alias("sset")
-    ).withColumn("n", F.size("sset"))
+        "doc_id", hashed_shingles("text").alias("hset")
+    ).withColumn("n", F.size("hset"))
 
 
 _sets_cache: dict[tuple[int, str], DataFrame] = {}
@@ -80,24 +102,22 @@ def shingle_sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every near-dup family re-reads the shingle sets 2-4×: candidate
     generation plus both sides of exact verification. Recomputing the
     split+ngram+distinct pipeline each time dominated the dedup queries
-    (measured 3× end-to-end at sf0.1). MEMORY_AND_DISK keeps the reuse
-    valid at 100 TB — partitions spill instead of recomputing, and the
-    cached form is the compact distinct-shingle arrays, not raw text."""
+    (measured 3× end-to-end at sf0.1). DISK_ONLY, not MEMORY_AND_DISK:
+    shingle arrays are large relative to executor heap, and holding
+    them on-heap taxes every *other* query with GC pressure (measured 1.5 s
+    → 17-42 s on an unrelated scan-agg once the cache was resident).
+    Serialized-to-disk partitions cost ~nothing to re-read (OS page cache)
+    and leave the heap to the operators actually running — the same
+    trade-off holds on a 100 TB cluster where cached text would evict
+    shuffle/agg working memory."""
     from pyspark.storagelevel import StorageLevel
 
     key = (id(spark), sf_dir)
     if key not in _sets_cache:
         _sets_cache[key] = _shingle_sets(tp(spark, sf_dir, "documents")).persist(
-            StorageLevel.MEMORY_AND_DISK
+            StorageLevel.DISK_ONLY
         )
     return _sets_cache[key]
-
-
-def _shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, s, n) exploded distinct-shingle rows (n = doc's set size)."""
-    return _shingle_sets(docs).select(
-        "doc_id", "n", F.explode("sset").alias("s")
-    )
 
 
 _SQL_SHINGLES = """
@@ -171,10 +191,10 @@ def _verify_pairs(
     shingle-level re-join. Candidates are few by construction, so the two
     array joins are broadcast-sized at any corpus scale."""
     a = sets.select(
-        F.col("doc_id").alias("da"), F.col("sset").alias("sa"), F.col("n").alias("na")
+        F.col("doc_id").alias("da"), F.col("hset").alias("sa"), F.col("n").alias("na")
     )
     b = sets.select(
-        F.col("doc_id").alias("db"), F.col("sset").alias("sb"), F.col("n").alias("nb")
+        F.col("doc_id").alias("db"), F.col("hset").alias("sb"), F.col("n").alias("nb")
     )
     common = F.size(F.array_intersect("sa", "sb"))
     j = common.cast("double") / (F.col("na") + F.col("nb") - common)
@@ -211,7 +231,7 @@ def jaccard_pairs_from_sets(
     RAREST shingles of each doc — collapses the hot-shingle fan-out while
     provably losing no qualifying pair; survivors are re-verified exactly.
     At 100 TB this is the difference between a runnable join and Σ freq²."""
-    sh = sets.select("doc_id", "n", F.explode("sset").alias("s"))
+    sh = sets.select("doc_id", "n", F.explode("hset").alias("s"))
     freq = sh.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     prefix = (
@@ -265,13 +285,23 @@ def minhash_signatures(sets: DataFrame, num_hashes: int = MINHASH_NUM) -> DataFr
     Computed as array_min over the per-doc shingle ARRAY — a pure projection
     with zero shuffle (the explode+groupBy formulation moved |shingles| rows
     through an exchange to recombine what the array already held; measured
-    19× slower at sf0.1). All num_hashes mins come out of one pass."""
+    19× slower at sf0.1). All num_hashes mins come out of one pass. Each
+    hash_i re-hashes the already-hashed shingle with the function index as
+    salt — xxhash64(int, long), fixed-width inputs, no string concat in the
+    64-way inner loop (the earlier string formulation re-concatenated and
+    re-scanned every shingle's text per hash function).
+
+    The per-function lambda MUST stay unary: F.transform treats a binary
+    lambda as (element, array_index) and the index argument would shadow a
+    captured default (`lambda h, i=i`), silently collapsing all num_hashes
+    functions into one position-dependent hash — LSH still "works" but with
+    the recall of a single hash function."""
+
+    def mh(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
+
     cols = [
-        F.array_min(
-            F.transform(
-                "sset", lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))
-            )
-        ).alias(f"h{i}")
+        F.array_min(F.transform("hset", mh(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sets.select("doc_id", *cols)

@@ -36,7 +36,10 @@ def builder_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
         # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects;
         # read as int64 nanos and convert (util.t handles the cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs all 32 executor threads inside the driver JVM, so
+        # this is effectively the whole-cluster heap; 16g keeps scan + agg
+        # working set comfortably off the GC cliff on the 128 GiB test host.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.showConsoleProgress", "false")
     )
 
