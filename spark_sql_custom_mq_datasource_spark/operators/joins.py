@@ -203,3 +203,86 @@ def q_range_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Salted join (skew mitigation)
+# --------------------------------------------------------------------------
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    num_salts: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: scatter the big side's hot keys across
+    ``num_salts`` sub-keys and replicate the small side once per salt.
+
+    A plain shuffle join sends every row of a hot key to ONE reducer — at
+    100 TB a single skewed key (a null-ish default, a bot user, a dominant
+    event type) turns the join into a one-task straggler. Salting bounds
+    per-task fan-in at |hot key| / num_salts at the cost of a small-side
+    replication factor of num_salts, which is the right trade whenever the
+    small side is dimension-sized but too big (or too mid-plan) to
+    broadcast. AQE's skew-join split handles *sort-merge* skew after the
+    fact; salting is the declarative form that also covers hash joins and
+    composes with any downstream agg.
+
+    The salt on the big side is rand(seed)-derived: correctness never
+    depends on WHICH salt a row gets (the small side carries every salt),
+    so any deterministic-enough scatter works and a seeded rand is the
+    cheapest uniform one. Supported ``how``: inner / left — each big row
+    holds exactly one salt and the small side holds all of them, so join
+    multiplicity is preserved exactly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    ns = num_salts or big.sparkSession.sparkContext.defaultParallelism
+    salted_big = big.withColumn("_salt", (F.rand(42) * ns).cast("int"))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(ns)]))
+    )
+    return salted_big.join(replicated, [*keys, "_salt"], how).drop("_salt")
+
+
+@register(
+    "q_salted_join_event_stats",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+               AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, strftime(e.ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value - d.type_avg AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS avg_dev
+    FROM events e JOIN d USING (event_type)
+    GROUP BY e.event_type, strftime(e.ts, '%Y-%m-%d')
+    ORDER BY event_type, day
+    """,
+    doc="salted join: events (5 hot event_type keys - maximal skew) "
+    "enriched with per-type averages; oracle is the plain join.",
+)
+def q_salted_join_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import dec, davg
+
+    ev = t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    dim = ev.groupBy("event_type").agg(davg("value", "type_avg", 18, 6))
+    joined = salted_join(ev, dim, "event_type", num_salts=8)
+    return (
+        joined.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(dec(F.col("value") - F.col("type_avg"), 18, 6)).cast("double")
+                / F.count("*")
+            ).alias("avg_dev"),
+        )
+        .orderBy("event_type", "day")
+    )

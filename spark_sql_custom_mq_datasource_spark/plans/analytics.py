@@ -414,3 +414,39 @@ def q_mqlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# WordCount — the reference's flagship (and only) end-to-end query, in
+# batch form (the streaming twin over the mq source is
+# streaming/pipelines.py::q_stream_mq_wordcount). The reference runs it as
+# flatMap(split)+groupBy+count over its source (/root/reference/
+# README.md:64-124); here explode(split()) keeps the 1->N tokenization
+# inside Catalyst — no per-row Python.
+# Scale: token explosion is map-side; the single shuffle is the partial-agg
+# count on the token key; top-k is TakeOrderedAndProject, never a full sort.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_wordcount_topk",
+    """
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY w
+    ORDER BY cnt DESC, word
+    LIMIT 100
+    """,
+    doc="WordCount (reference README.md:64-124 demo) as a batch top-k.",
+)
+def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(100)
+    )

@@ -65,3 +65,37 @@ class TestRangeJoinBucketed:
             r["rid"] for r in range_join_bucketed(left, right, "v", "w", 5.0).collect()
         }
         assert got == {10}  # |0-5| <= 5 in; 5.0001 out
+
+
+class TestSaltedJoin:
+    def _frames(self, spark):
+        big = spark.createDataFrame(
+            [(k, i) for k in ("hot", "cold") for i in range(50 if k == "hot" else 2)]
+            + [("orphan", 0)],
+            "k string, v long",
+        )
+        small = spark.createDataFrame(
+            [("hot", 1.0), ("cold", 2.0), ("unmatched", 9.0)], "k string, w double"
+        )
+        return big, small
+
+    def test_inner_equals_plain_join(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.joins import salted_join
+
+        big, small = self._frames(spark)
+        got = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in salted_join(big, small, "k", num_salts=4).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect()
+        )
+        assert got == want  # multiplicity preserved, no dup/loss from salting
+
+    def test_left_preserves_unmatched(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.joins import salted_join
+
+        big, small = self._frames(spark)
+        out = salted_join(big, small, "k", num_salts=4, how="left").collect()
+        assert len(out) == big.count()
+        assert {r["w"] for r in out if r["k"] == "orphan"} == {None}
