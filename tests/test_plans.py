@@ -1,0 +1,105 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+Correctness tests prove a query's RESULT; these prove its PLAN is the one
+that survives a 1000-executor scale-up: filters reach the parquet scan,
+scans read only referenced columns, dimension joins broadcast instead of
+shuffling the fact table, aggregations are partial (map-side combine), and
+candidate-generation joins in the dedup family are equi joins — never
+nested-loop/cartesian fallbacks. A regression that silently flips any of
+these still passes the oracle gate at sf0.01; it would only show up as a
+10-100x cliff in production, which is exactly why it is pinned here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_sql_custom_mq_datasource_spark.plans.registry import QUERIES, get_queries
+
+
+def plan(spark, sf_dir: str, name: str) -> str:
+    get_queries()
+    df = QUERIES[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+class TestPushdownAndPruning:
+    def test_q1_filter_reaches_parquet_scan(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q1_pricing_summary")
+        assert "LessThanOrEqual(l_shipdate" in p  # PushedFilters, not post-scan
+        # column pruning: the 16-column lineitem scan reads only the 7 used
+        assert "l_comment" not in p and "l_partkey" not in p
+
+    def test_q6_range_filters_pushed(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q6_forecast_revenue")
+        assert "GreaterThanOrEqual(l_shipdate" in p
+        assert "GreaterThanOrEqual(l_discount" in p
+        assert "LessThan(l_quantity" in p
+
+    def test_events_json_scan_prunes_columns(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_events_json_extract")
+        assert "user_id" not in p  # unreferenced event columns pruned
+        assert "event_id" not in p
+
+
+class TestJoinStrategy:
+    def test_q3_dimension_join_broadcasts(self, spark, sf_dir):
+        # customer (filtered dim) must broadcast; lineitem never shuffles
+        # for the dim side.
+        p = plan(spark, sf_dir, "q3_shipping_priority")
+        assert "BroadcastHashJoin" in p
+
+    def test_q5_all_dims_broadcast(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q5_local_supplier")
+        assert p.count("BroadcastHashJoin") >= 2  # region/nation/supplier side
+        assert "CartesianProduct" not in p
+
+    def test_dedup_candidate_join_is_equi(self, spark, sf_dir):
+        # the PPJoin prefix join must plan as a hash/sort-merge EQUI join on
+        # the shingle key; a nested-loop fallback means the equi conjunct
+        # got lost and the join is O(n*m) at scale.
+        p = plan(spark, sf_dir, "q_dedup_ngram_jaccard")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_lsh_band_join_is_equi(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_dedup_minhash_lsh")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestAggregation:
+    def test_q1_partial_aggregation(self, spark, sf_dir):
+        # map-side combine: partial_sum below the exchange, final above —
+        # the difference between shuffling 9 running sums per group and
+        # shuffling every input row.
+        p = plan(spark, sf_dir, "q1_pricing_summary")
+        assert "partial_sum" in p
+
+    def test_topk_never_global_sorts(self, spark, sf_dir):
+        # orderBy+limit must plan as TakeOrderedAndProject, not a full
+        # Sort+CollectLimit over the whole result.
+        p = plan(spark, sf_dir, "q_wordcount_topk")
+        assert "TakeOrderedAndProject" in p
+
+
+class TestNoDriverCollects:
+    # q_ann_bruteforce_topk is exempt by design: it collects the
+    # pushdown-filtered query vectors (5 rows) to ship the matrix into the
+    # mapInPandas closure — the documented queries<<corpus contract.
+    @pytest.mark.parametrize(
+        "name",
+        ["q_dedup_minhash_lsh", "q_wordcount_topk", "q_text_fingerprint"],
+    )
+    def test_single_job_no_driver_loop(self, spark, sf_dir, name):
+        # every registered query builds ONE DataFrame lazily; if plan
+        # construction itself triggers jobs (collect/count in the builder),
+        # the operator has a driver-side loop hiding in it.
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        get_queries()
+        QUERIES[name].fn(spark, sf_dir)  # build only — no action
+        after = tracker.getJobIdsForGroup(None)
+        assert len(after) == len(before)
