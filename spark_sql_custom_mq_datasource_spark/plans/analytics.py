@@ -438,6 +438,7 @@ def q_mqlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cnt DESC, word
     LIMIT 100
     """,
+    headline=True,
     doc="WordCount (reference README.md:64-124 demo) as a batch top-k.",
 )
 def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
