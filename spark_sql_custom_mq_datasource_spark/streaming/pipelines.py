@@ -571,3 +571,65 @@ def q_stream_mq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
     )
     return run_to_table(spark, agg, "complete").orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# 12. foreachBatch → partitioned parquet sink: the "custom sink" escape
+#     hatch (SURVEY.md §2.4 sinks row). Each micro-batch lands in its own
+#     batch=<id> directory with mode=overwrite — re-running a batch after a
+#     failure overwrites, not duplicates, which is the standard idempotent
+#     exactly-once recipe for sinks without transactional commit. Reading
+#     the root back discovers `batch` as a partition column; the oracle is
+#     the plain batch aggregate, proving no loss and no duplication across
+#     the whole stream.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_foreachbatch_parquet",
+    """
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="STREAMING foreachBatch sink -> per-batch overwrite parquet dirs "
+    "(idempotent exactly-once); oracle proves loss-free, dup-free landing.",
+)
+def q_stream_foreachbatch_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+
+    def land(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_type", "ts", "value")
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("foreachBatch stream did not drain in 300s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+    landed = spark.read.parquet(out_dir)
+    return (
+        landed.groupBy(
+            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type", "day")
+    )
