@@ -427,3 +427,75 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Full-outer + right joins — completing the equi-join surface
+# (SURVEY.md §2.4 joins row: inner/left/RIGHT/FULL). Both sides are
+# deliberately filtered so each has keys the other lacks, exercising both
+# null-extension directions. Scale: both plans are plain shuffle equi
+# joins; COALESCE of the two keys keeps the output key non-null.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_full_outer_join_balance",
+    """
+    WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0),
+    o AS (SELECT o_custkey, COUNT(*) AS n_urgent
+          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+           o.n_urgent
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    ORDER BY custkey
+    """,
+    doc="full outer join: overdrawn customers x urgent-order counts; "
+    "unmatched rows survive from BOTH sides.",
+)
+def q_full_outer_join_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "n_urgent",
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "q_right_join_order_coverage",
+    """
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_big_orders
+    FROM (SELECT * FROM orders WHERE o_totalprice > 200000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+    doc="right join: every customer kept, big-order count null-safe "
+    "(COUNT over the null-extended side = 0 for uncovered customers).",
+)
+def q_right_join_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    cust = t(spark, sf_dir, "customer")
+    return (
+        big.join(cust, big.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+        .orderBy("c_custkey")
+    )

@@ -633,3 +633,55 @@ def q_stream_foreachbatch_parquet(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# 13. Built-in rate-micro-batch source (SURVEY.md §2.4 sources row): the
+#     stock load-generator Spark ships for throughput testing. One
+#     Trigger.Once batch of rowsPerBatch sequential values is fully
+#     deterministic, so even this "load" source gets a value-level oracle
+#     (generate_series). numPartitions shows the same partition→task
+#     mapping contract as the mq source.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_rate_source",
+    """
+    SELECT v % 10 AS bucket, COUNT(*) AS cnt, SUM(v) AS sum_v
+    FROM generate_series(0, 999) t(v)
+    GROUP BY v % 10
+    ORDER BY bucket
+    """,
+    doc="STREAMING built-in rate-micro-batch source, one deterministic "
+    "Trigger.Once batch of 1000 sequential values.",
+)
+def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    agg = (
+        src.select((F.col("value") % 10).alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_v"))
+    )
+    name = "strm_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(once=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("rate-micro-batch query did not finish in 120s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name).orderBy("bucket")
