@@ -117,3 +117,107 @@ def q_udf_grouped_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_user_stats, _GROUP_STATS_SCHEMA)
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-AGG pandas UDF (the UDAF surface): unlike applyInPandas this one
+# slots into a normal .agg() next to built-ins. Spark feeds the whole
+# group's column as one pandas Series. Geometric mean is the classic
+# "no built-in" aggregate; exp/log in float64 is IEEE-identical to DuckDB
+# computing the same expression, and the group sizes here are bounded
+# (per event_type), so whole-group materialization is safe at any corpus
+# size — the thing that grows is group COUNT, which shards freely.
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def geomean_udf(v: pd.Series) -> float:
+    import numpy as np
+
+    return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+
+@pandas_udf(LongType())
+def count_udf(v: pd.Series) -> int:
+    # Spark disallows mixing group-agg pandas UDFs with JVM aggregates in
+    # one .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count rides along
+    # as a pandas aggregate too.
+    return len(v)
+
+
+@register(
+    "q_udf_grouped_agg_geomean",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           ROUND(exp(SUM(ln(value)) / COUNT(*)), 6) AS geomean_value
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="grouped-agg pandas_udf (UDAF): per-type geometric mean. Both "
+    "engines round to 6dp: the log-sum's float reduction order differs "
+    "(numpy pairwise vs sequential) in the last ~2 ulps.",
+)
+def q_udf_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            count_udf("value").alias("cnt"),
+            F.round(geomean_udf("value"), 6).alias("geomean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 4): one input row -> N output rows with a real table
+# schema — the API-complete form of the reference demo's flatMap
+# tokenization (/root/reference/README.md:84-86). The lateral join keeps
+# the explosion map-side; the oracle is DuckDB's unnest.
+# --------------------------------------------------------------------------
+
+
+def _make_tokenize_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            for pos, tok in enumerate(text.split()):
+                yield pos, tok
+
+    return Tokenize
+
+
+@register(
+    "q_udtf_tokenize",
+    """
+    SELECT doc_id, CAST(pos - 1 AS INT) AS pos, token
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+      WHERE doc_id < 50
+    )
+    ORDER BY doc_id, pos
+    """,
+    doc="Python UDTF: 1->N tokenization with (pos, token) table output via "
+    "LATERAL join.",
+)
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Tokenize = _make_tokenize_udtf()
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, tk.pos, tk.token
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) tk
+        ORDER BY d.doc_id, tk.pos
+        """
+    )
