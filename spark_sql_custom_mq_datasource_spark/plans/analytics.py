@@ -451,3 +451,44 @@ def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "word")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Map functions (SURVEY.md §2.4 scalar-fns row: .../map/...): construction,
+# concat, higher-order filter/transform, key enumeration, lookup — all
+# codegen/JVM-side. The oracle states the expected VALUES directly (DuckDB
+# maps have different construction syntax; the check is on results, and
+# every output is a deterministic function of the row).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_map_functions",
+    """
+    SELECT event_id,
+           3 AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_val,
+           'day,k,type' AS keys_csv,
+           upper(event_type) AS type_upper
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+    doc="map functions: create_map/map_concat/map_filter/transform_values/"
+    "map_keys/element_at, all JVM-side.",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    base = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    m = F.map_concat(base, F.create_map(F.lit("day"), F.date_format("ts", "yyyy-MM-dd")))
+    upper_vals = F.transform_values(m, lambda k, v: F.upper(v))
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(F.map_filter(m, lambda k, v: k == F.lit("k")), "k").alias("k_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(upper_vals, "type").alias("type_upper"),
+    ).orderBy("event_id")
