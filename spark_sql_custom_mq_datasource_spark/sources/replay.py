@@ -152,15 +152,69 @@ class ReplayPartition(InputPartition):
     columns: list = field(default_factory=list)
 
 
-def _read_replay(part: ReplayPartition):
-    import pyarrow.compute as pc
+# ---------------------------------------------------------------------------
+# Executor-side pooling — the Python analogue of the Kafka source's
+# executor-side consumer cache and FetchedData prefetch buffer
+# (README.md:566-571 pool keyed per partition; :589-591 poll-ahead buffer).
+# Python workers are reused across tasks (spark.python.worker.reuse), so
+# module state lives for the executor's lifetime:
+#   * _files: open ParquetFile handles — skips footer re-parse per task;
+#   * _decoded: LRU of decoded row-group tables — when a stream replays in
+#     fine time slices (advanceMsPerBatch), consecutive micro-batches land
+#     in the SAME row groups; the buffer trades bounded worker memory for
+#     not re-decoding them every trigger. Bounded by total buffered rows
+#     (at 100 TB the bound would be bytes; rows is the honest proxy here).
+# ---------------------------------------------------------------------------
+
+_files: dict = {}
+_decoded: "dict[tuple, object]" = {}
+_decoded_lru: list = []  # key order, oldest first
+_DECODED_MAX_ROWS = 4_000_000
+pool_stats = {"file_hits": 0, "file_misses": 0, "decode_hits": 0, "decode_misses": 0}
+
+
+def _pooled_file(path: str):
     import pyarrow.parquet as pq
 
-    f = pq.ParquetFile(part.path)
-    if part.row_groups:
-        table = f.read_row_groups(part.row_groups, columns=part.columns)
+    f = _files.get(path)
+    if f is None:
+        pool_stats["file_misses"] += 1
+        f = _files[path] = pq.ParquetFile(path)
     else:
-        table = f.read(columns=part.columns)
+        pool_stats["file_hits"] += 1
+    return f
+
+
+def _decoded_groups(path: str, row_groups: tuple, columns: tuple):
+    key = (path, row_groups, columns)
+    table = _decoded.get(key)
+    if table is not None:
+        pool_stats["decode_hits"] += 1
+        _decoded_lru.remove(key)
+        _decoded_lru.append(key)
+        return table
+    pool_stats["decode_misses"] += 1
+    f = _pooled_file(path)
+    if row_groups:
+        table = f.read_row_groups(list(row_groups), columns=list(columns))
+    else:
+        table = f.read(columns=list(columns))
+    _decoded[key] = table
+    _decoded_lru.append(key)
+    while (
+        sum(t.num_rows for t in _decoded.values()) > _DECODED_MAX_ROWS
+        and len(_decoded_lru) > 1
+    ):
+        _decoded.pop(_decoded_lru.pop(0), None)
+    return table
+
+
+def _read_replay(part: ReplayPartition):
+    import pyarrow.compute as pc
+
+    table = _decoded_groups(
+        part.path, tuple(part.row_groups), tuple(part.columns)
+    )
     ts = table.column(part.ts_col)
     unit_per_ms = {"ns": 1_000_000, "us": 1_000, "ms": 1}[ts.type.unit]
     ts_int = pc.reinterpret(ts, "int64") if hasattr(pc, "reinterpret") else ts.cast("int64")

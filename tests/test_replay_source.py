@@ -141,3 +141,33 @@ class TestStreamingReplay:
             # the pre-restart output must then already be complete
             got = run1
         assert got == exp  # no loss, no dup across restart
+
+
+class TestExecutorPooling:
+    """Consumer-pool + prefetch-buffer analogue (README.md:566-591): open
+    file handles and decoded row groups are reused across tasks within a
+    worker process."""
+
+    def test_decoded_groups_cache_hits(self):
+        from spark_sql_custom_mq_datasource_spark.sources import replay as R
+
+        meta = _ReplayMeta(PATH, "ts")
+        part = R.ReplayPartition(
+            path=PATH, ts_col="ts",
+            start_ms=meta.min_ms(), end_ms=meta.min_ms() + DAY,
+            row_groups=[g for g, *_ in meta.groups],
+            columns=list(meta.arrow_schema.names),
+        )
+        before = dict(R.pool_stats)
+        n1 = sum(1 for _ in R._read_replay(part))
+        n2 = sum(1 for _ in R._read_replay(part))
+        assert n1 == n2 > 0  # cache is transparent
+        assert R.pool_stats["decode_hits"] >= before["decode_hits"] + 1
+        # second read re-decoded nothing
+        assert R.pool_stats["decode_misses"] <= before["decode_misses"] + 1
+
+    def test_lru_bound_is_respected(self):
+        from spark_sql_custom_mq_datasource_spark.sources import replay as R
+
+        total = sum(t.num_rows for t in R._decoded.values())
+        assert total <= R._DECODED_MAX_ROWS
