@@ -1,0 +1,254 @@
+"""Training-data curation operators — the pipeline stages between "raw
+corpus" and "training set" (BASELINE.json north star: the operations a
+large-scale LLM data pipeline needs beyond the reference's own surface).
+
+Four stages, each oracle-checked and each built on a scale-safe primitive:
+
+  split      deterministic train/val/test assignment by content-free doc
+             hash — no global state, no sampling seed coordination across
+             executors, stable under reprocessing/backfill (the property
+             that matters at 100 TB: a doc's split NEVER changes when the
+             corpus around it does).
+  curate     quality-filter → language-filter → exact-dedup → stats: the
+             canonical filter funnel, all map-side until the dedup's one
+             hash shuffle.
+  mix        weighted upsampling of low-resource slices via
+             explode(array_repeat(...)) — replication is declared in the
+             plan (map-side fan-out, no shuffle), not done by a driver loop.
+  pack       greedy in-order packing of docs into fixed token-capacity
+             bins (context windows) via one running-sum window per source —
+             the standard "sequence packing" approximation; bin id =
+             floor((cumsum - tokens) / capacity).
+
+Hash portability: the split hash is md5-derived (word_hash convention,
+functions/text.py) so DuckDB computes the identical assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..plans.util import t, tp
+from ..functions.text import token_count
+
+SPLIT_BUCKETS = 100
+TRAIN_LT, VAL_LT = 90, 95  # train <90, val 90-94, test 95-99
+PACK_CAPACITY = 512  # tokens per packed sequence (fixture-sized)
+MIX_WEIGHTS = {"en": 1, "de": 2, "es": 2, "fr": 2, "zh": 3}  # upsample low-resource
+
+
+def split_bucket(doc_id: Column | str) -> Column:
+    """Deterministic, content-free bucket in [0, SPLIT_BUCKETS): md5 of the
+    stringified id, first 60 bits, mod buckets. Engine-portable and stable
+    under any corpus mutation around the doc."""
+    c = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(SPLIT_BUCKETS))
+
+
+_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+    f"% {SPLIT_BUCKETS}"
+)
+
+
+def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    b = split_bucket(id_col)
+    return df.withColumn(
+        "split",
+        F.when(b < TRAIN_LT, "train").when(b < VAL_LT, "val").otherwise("test"),
+    )
+
+
+@register(
+    "q_split_train_val_test",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN {_SQL_BUCKET} < {TRAIN_LT} THEN 'train'
+                  WHEN {_SQL_BUCKET} < {VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+    doc="deterministic hash-based train/val/test split (90/5/5), stable "
+    "under reprocessing; per-(split, lang) doc and token counts.",
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = assign_split(tp(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Curation funnel. The quality expression is the q_text_quality one
+# (functions/text.py); the threshold keeps roughly the better half.
+# --------------------------------------------------------------------------
+
+_SQL_QUALITY = """
+    round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        + 0.3 * (1.0 - least(5.0 * (CAST((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) AS DOUBLE) / length(text)), 1.0))
+        + 0.3 * least(4.0 * (CAST(len(list_filter(string_split(trim(text), ' '),
+              w -> lower(w) IN ('the','a','of','and','to','in','is','it','for','on')))
+              AS DOUBLE) / len(string_split(trim(text), ' '))), 1.0), 6)
+"""
+
+
+@register(
+    "q_curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, text, {_SQL_QUALITY} AS q
+      FROM documents
+      WHERE lang IN ('en', 'de')
+    ), kept AS (
+      SELECT source, md5(lower(text)) AS h, MIN(doc_id) AS keep_id,
+             MIN(q) AS q, MIN(len(string_split(trim(text), ' '))) AS n_tokens
+      FROM scored
+      WHERE q >= 0.5
+      GROUP BY source, md5(lower(text))
+    )
+    SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    doc="curation funnel: lang filter -> quality >= 0.5 -> exact dedup "
+    "(min-id per content hash) -> per-source stats. All map-side until the "
+    "dedup's single hash shuffle.",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+
+    docs = tp(spark, sf_dir, "documents").where(F.col("lang").isin("en", "de"))
+    scored = docs.select(
+        "doc_id", "source", "text", quality_score("text").alias("q")
+    ).where(F.col("q") >= 0.5)
+    kept = scored.groupBy("source", F.md5(F.lower("text")).alias("h")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("q").alias("q"),
+        F.min(token_count("text")).alias("n_tokens"),
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.col("q").cast("decimal(10,6)")).cast("double") / F.count("*")
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted mixing / upsampling.
+# --------------------------------------------------------------------------
+
+
+def upsample_by_weight(df: DataFrame, weight: Column) -> DataFrame:
+    """Repeat each row `weight` times — declared replication (array_repeat +
+    explode, map-side fan-out inside the scan stage), never a driver loop
+    or a union of W scans."""
+    return df.withColumn("_copy", F.explode(F.array_repeat(F.lit(1), weight))).drop(
+        "_copy"
+    )
+
+
+@register(
+    "q_mix_upsample",
+    f"""
+    WITH w AS (
+      SELECT lang,
+             CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+                       WHEN 'fr' THEN 2 WHEN 'zh' THEN 3 ELSE 1 END AS wt,
+             len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS rows_before, SUM(wt) AS rows_after,
+           SUM(wt * n_tokens) AS tokens_after
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+    doc="weighted language mixing: upsample low-resource langs by declared "
+    "row replication (explode(array_repeat)); oracle checks the mixed "
+    "cardinalities arithmetically.",
+)
+def q_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents").select("lang", "text")
+    wt = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in MIX_WEIGHTS.items()],
+        F.lit(1),
+    )
+    before = docs.groupBy("lang").agg(F.count("*").alias("rows_before"))
+    mixed = (
+        upsample_by_weight(docs.withColumn("wt", wt), F.col("wt"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("rows_after"),
+            F.sum(token_count("text")).alias("tokens_after"),
+        )
+    )
+    return before.join(mixed, "lang").orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing.
+# --------------------------------------------------------------------------
+
+
+def pack_bins(
+    df: DataFrame, part_col: str, order_col: str, tokens_col: str, capacity: int
+) -> DataFrame:
+    """Greedy in-order packing: bin = floor((running_sum - tokens)/capacity).
+    One window (sort within partition key) — no state, no loops; docs longer
+    than capacity get bins to themselves plus spillover, matching the
+    standard concat-then-chunk packing used for LLM pretraining batches."""
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    run = F.sum(tokens_col).over(w)
+    return df.withColumn(
+        "bin", F.floor((run - F.col(tokens_col)) / F.lit(capacity))
+    )
+
+
+@register(
+    "q_pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT source, doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / {PACK_CAPACITY}.0) AS BIGINT) AS bin,
+             n_tokens
+      FROM tok
+    )
+    SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM packed GROUP BY source, bin ORDER BY source, bin
+    """,
+    doc="sequence packing: greedy in-order fill of fixed token-capacity "
+    "context windows via one running-sum window per source.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_bins(docs, "source", "doc_id", "n_tokens", PACK_CAPACITY)
+    return (
+        packed.groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .orderBy("source", "bin")
+    )

@@ -57,6 +57,7 @@ def _load_all() -> None:
     from ..operators import joins  # noqa: F401
     from ..streaming import pipelines  # noqa: F401
     from ..sources import bucketing  # noqa: F401
+    from ..operators import curation  # noqa: F401
 
 
 def get_queries() -> dict[str, SparkQuery]:

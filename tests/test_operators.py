@@ -146,3 +146,57 @@ class TestMultimodal:
             n_frames = -(-sizes[r["doc_id"]] // FRAME_BYTES)
             expected = -(-n_frames // FRAME_SAMPLE_STEP)
             assert r["count"] == expected
+
+
+class TestCuration:
+    def test_split_is_stable_and_content_free(self, spark, docs):
+        """A doc's split never changes when the corpus around it does —
+        the reprocessing/backfill guarantee."""
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            assign_split,
+        )
+
+        full = {
+            r["doc_id"]: r["split"]
+            for r in assign_split(docs).select("doc_id", "split").collect()
+        }
+        subset = {
+            r["doc_id"]: r["split"]
+            for r in assign_split(docs.where(F.col("doc_id") % 7 == 0))
+            .select("doc_id", "split")
+            .collect()
+        }
+        assert subset == {k: v for k, v in full.items() if k % 7 == 0}
+        fracs = {s: sum(1 for v in full.values() if v == s) for s in ("train", "val", "test")}
+        assert fracs["train"] > fracs["val"] and fracs["train"] > fracs["test"]
+
+    def test_upsample_multiplicity(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            upsample_by_weight,
+        )
+
+        df = spark.createDataFrame([(1, 1), (2, 3), (3, 2)], "id long, w int")
+        out = upsample_by_weight(df, F.col("w")).groupBy("id").count().collect()
+        assert {r["id"]: r["count"] for r in out} == {1: 1, 2: 3, 3: 2}
+
+    def test_pack_bins_contiguous_from_zero(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            pack_bins,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i, 100) for i in range(10)] + [("b", 0, 950), ("b", 1, 100)],
+            "src string, i long, tok long",
+        )
+        out = pack_bins(df, "src", "i", "tok", 256).collect()
+        by_src: dict = {}
+        for r in out:
+            by_src.setdefault(r["src"], []).append((r["i"], r["bin"]))
+        for src, rows in by_src.items():
+            rows.sort()
+            bins = [b for _, b in rows]
+            assert bins[0] == 0  # first doc starts bin 0
+            assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))  # monotone
+        # oversized doc ("b", 950 tokens) occupies bins alone; next doc
+        # starts after its spillover: floor(950/256) = bin 3
+        assert dict(by_src["b"])[1] == 3
