@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..plans.util import t
@@ -685,3 +686,108 @@ def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.table(name).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# 14. transformWithStateInPandas (Spark 4's next-gen arbitrary-state API,
+#     successor to applyInPandasWithState): per-user running aggregate held
+#     in a typed ValueState. One availableNow batch over the finite stream
+#     => each user emits exactly once, so the result equals the batch
+#     aggregate and gets a full value oracle. State is per-key and
+#     watermark/TTL-evictable at scale; nothing global.
+#
+#     ENV GATE: Spark's TransformWithStateInPySpark driver worker speaks
+#     protobuf to the JVM; the `google.protobuf` Python package is not in
+#     this container (and installs are off-limits), so the query registers
+#     only where the dependency exists. applyInPandasWithState
+#     (q_stream_stateful_stats) covers the arbitrary-state surface here.
+# --------------------------------------------------------------------------
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_running_agg_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("mx", DoubleType())]
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            cnt, mx = 0, float("-inf")
+            if self._state.exists():
+                cnt, mx = self._state.get()
+            for pdf in rows:
+                cnt += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((cnt, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [cnt], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningAgg()
+
+
+def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_running_agg_processor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    out = run_to_table(spark, agg, "update")
+    # availableNow may split the file into several batches; keep each
+    # user's LAST update (the running state is monotone in batch order).
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("user_id", "n_events", "max_value")
+        .orderBy("user_id")
+    )
+
+
+if _has_protobuf():
+    register(
+        "q_stream_transform_with_state",
+        """
+        SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
+        doc="STREAMING transformWithStateInPandas (Spark 4 arbitrary-state "
+        "API): per-user ValueState running aggregate; oracle = batch agg.",
+    )(q_stream_transform_with_state)
