@@ -559,6 +559,69 @@ _SQL_NORMALIZED = (
 )
 
 
+COSINE_BLOCKS = 8  # all-pairs block grid: each row replicates BLOCKS times
+
+
+def cosine_pairs_blocked(
+    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD, n_blocks: int = COSINE_BLOCKS
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via a BLOCKED numpy matmul.
+
+    The naive form (self-join + one fold per pair) evaluates O(n²) 64-dim
+    interpreted folds — measured 62 s for 2000 vectors at sf0.1. Blocking is
+    the canonical exact-scan shape: hash vectors into n_blocks, replicate
+    each row once per block it must meet (n_blocks rows), group by block
+    PAIR, and let one applyInPandas call do a (|A|,d)x(d,|B|) float64
+    matmul per pair of blocks. Replication factor n_blocks trades shuffle
+    volume for dense vectorized compute; at cluster scale pick n_blocks so
+    a block pair fits executor memory. Output is the qualifying ID pairs
+    only — safe against float reduction-order differences because no float
+    is emitted and no fixture pair sits within 1e-12 of the threshold."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("va", LongType()), StructField("vb", LongType())]
+    )
+
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ka, kb = key
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        own = pdf["own"].to_numpy(dtype=np.int64)
+        if ka == kb:
+            sims = mat @ mat.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            mask = sims[ia, ib] >= threshold
+            va, vb = ids[ia[mask]], ids[ib[mask]]
+        else:
+            a_side, b_side = own == ka, own == kb
+            if not a_side.any() or not b_side.any():
+                return pd.DataFrame({"va": [], "vb": []}).astype("int64")
+            sims = mat[a_side] @ mat[b_side].T
+            ia, ib = np.nonzero(sims >= threshold)
+            va, vb = ids[a_side][ia], ids[b_side][ib]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"va": lo, "vb": hi})
+
+    own = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
+    replicated = (
+        emb.select("vec_id", "embedding", own.alias("own"))
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .select(
+            "vec_id",
+            "embedding",
+            "own",
+            F.least("own", "other").alias("ka"),
+            F.greatest("own", "other").alias("kb"),
+        )
+        .dropDuplicates(["vec_id", "ka", "kb"])
+    )
+    return replicated.groupBy("ka", "kb").applyInPandas(block_pairs, out_schema)
+
+
 @register(
     "q_dedup_embedding_cosine",
     f"""
@@ -571,19 +634,10 @@ _SQL_NORMALIZED = (
     WHERE {_SQL_SEQ_DOT.format(a="a.ue", b="b.ue")} >= {COSINE_DUP_THRESHOLD}
     ORDER BY va, vb
     """,
-    doc="exact pairwise embedding-cosine near-dup pairs (ids only — the "
-    "threshold compare is done engine-side; emitting the float would be "
-    "hash-fragile). Vectors are unit-normalized in a projection first.",
+    doc="exact pairwise embedding-cosine near-dup pairs (ids only) via "
+    "blocked numpy matmul over an 8x8 block grid; oracle is the plain "
+    "quadratic self-join.",
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = tp(spark, sf_dir, "embeddings").select(
-        "vec_id", normalized(F.col("embedding")).alias("ue")
-    )
-    a = emb.select(F.col("vec_id").alias("va"), F.col("ue").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vb"), F.col("ue").alias("eb"))
-    return (
-        a.join(b, F.col("va") < F.col("vb"))
-        .where(dot(F.col("ea"), F.col("eb")) >= COSINE_DUP_THRESHOLD)
-        .select("va", "vb")
-        .orderBy("va", "vb")
-    )
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_pairs_blocked(emb).orderBy("va", "vb")

@@ -41,7 +41,11 @@ from ..plans.util import t, tp
 
 TOPK = 5
 N_QUERIES = 5  # fixture queries: vec_id < 5
-LSH_PLANES = 12
+# 6 planes = 64 buckets: at fixture scale (500-2000 near-random vectors)
+# buckets hold ~8-30 candidates — a real sub-linear cut that still yields
+# neighbors. More planes = smaller buckets = higher selectivity; tune per
+# corpus density.
+LSH_PLANES = 6
 LSH_SEED = 42
 IVF_NPROBE = 2
 
@@ -159,52 +163,139 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
-def _hyperplanes(dim: int, n_planes: int = LSH_PLANES, seed: int = LSH_SEED) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim))
+QUANT = 1 << 20  # embedding quantization scale
+PLANE_RANGE = 1 << 20  # plane entries in [-2^20, 2^20)
+
+
+def _hyperplanes_int(dim: int, n_planes: int = LSH_PLANES) -> np.ndarray:
+    """Integer random-hyperplane matrix derived from md5 — the SAME values
+    any engine can recompute: plane[j][d] = int(md5(f"p{j}:{d}")[:15], 16)
+    mod 2^21 - 2^20. Integer planes + integer-quantized embeddings make
+    the sign-of-projection EXACT (int64 arithmetic, no float reduction
+    order) — the bucket assignment is bit-reproducible in DuckDB, which
+    upgrades this ANN path from a rows-only check to a full value oracle."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.int64)
+    for j in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"p{j}:{d}".encode()).hexdigest()[:15], 16)
+            out[j, d] = h % (2 * PLANE_RANGE) - PLANE_RANGE
+    return out
 
 
 def lsh_bucket(df: DataFrame, dim: int) -> DataFrame:
     """Sign-of-projection bucket id per row, Arrow-batched numpy.
 
     The planes ship inside the UDF closure; each batch is ONE (n, dim) @
-    (dim, n_planes) matmul — the right shape for a 100 TB corpus scan. (A
-    previous all-JVM formulation built the 12x64 literal coefficient
-    matrix into the expression tree; Catalyst spent multiple seconds just
-    analyzing it — planning cost, not compute, dominated.)"""
-    planes = _hyperplanes(dim)
-    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    (dim, n_planes) int64 matmul — the right shape for a 100 TB corpus
+    scan. (A previous all-JVM formulation built the 12x64 literal
+    coefficient matrix into the expression tree; Catalyst spent multiple
+    seconds just analyzing it — planning cost, not compute, dominated.)
+    Embeddings are quantized with floor(x*2^20 + 0.5) — floor, not
+    round(), because numpy rounds half-to-even while SQL engines round
+    half-away; floor(+0.5) is identical everywhere. |eq| <= 2^20 and
+    |plane| < 2^20 over 64 dims keeps projections < 2^47 — no overflow."""
+    planes = _hyperplanes_int(dim)
+    weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
 
     @pandas_udf(LongType())
     def bucket_udf(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
-        bits = (mat @ planes.T) > 0  # (n, n_planes)
+        q = np.floor(mat * QUANT + 0.5).astype(np.int64)
+        bits = (q @ planes.T) > 0  # (n, n_planes), exact int64
         return pd.Series((bits @ weights).astype(np.int64))
 
     return df.withColumn("bucket", bucket_udf("embedding"))
 
 
+def _sql_bucket_ctes(dim: int = 64, n_planes: int = LSH_PLANES) -> str:
+    """DuckDB CTEs recomputing lsh_bucket() bit-for-bit, set-based: the
+    plane matrix is materialized ONCE (n_planes*dim md5 calls total, not
+    per row), projections are an exact int64 SUM over an unnested
+    (vec_id, dim) join — order-independent, so grouped aggregation is safe."""
+    return f"""
+    planes AS (
+      SELECT j, d,
+             CAST(('0x' || substr(md5('p' || j || ':' || (d - 1)), 1, 15)) AS BIGINT)
+               % {2 * PLANE_RANGE} - {PLANE_RANGE} AS w
+      FROM generate_series(0, {n_planes - 1}) s(j), generate_series(1, {dim}) t(d)
+    ),
+    ev AS (
+      SELECT vec_id, d, CAST(floor(embedding[d] * {QUANT} + 0.5) AS BIGINT) AS eq
+      FROM embeddings, generate_series(1, {dim}) g(d)
+    ),
+    proj AS (
+      SELECT vec_id, j, SUM(eq * w) AS p
+      FROM ev JOIN planes USING (d) GROUP BY vec_id, j
+    ),
+    buckets AS (
+      SELECT vec_id, SUM(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id
+    )"""
+
+
+_SQL_UNIT = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+    + _SQL_NORM.format(v="embedding")
+    + ")"
+)
+
+
+def _lsh_oracle_sql() -> str:
+    dot = _SQL_SEQ_DOT.format(a="q.qe", b="c.ue")
+    return f"""
+    WITH {_sql_bucket_ctes()},
+    b AS (SELECT e.vec_id, {_SQL_UNIT} AS ue, bk.bucket
+          FROM embeddings e JOIN buckets bk USING (vec_id)),
+    q AS (SELECT vec_id AS qid, ue AS qe, bucket AS qb
+          FROM b WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT q.qid, c.vec_id AS neighbor_id, {dot} AS sim
+      FROM q JOIN b c ON c.bucket = q.qb AND c.vec_id != q.qid
+    )
+    SELECT qid, neighbor_id, rk FROM (
+      SELECT qid, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+      FROM cand
+    ) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """
+
+
 @register(
     "q_ann_lsh_bucketed",
-    None,  # recall < 1 by construction — rows-only check
-    doc="LSH (random hyperplane) bucketed ANN: same-bucket candidates, "
-    "exact cosine rerank. Sub-linear; recall traded for scan cost.",
+    _lsh_oracle_sql(),
+    doc="LSH (integer-quantized random hyperplane) bucketed ANN: "
+    "same-bucket candidates, sequential-fold cosine rerank. Sub-linear "
+    "(recall < 1 vs brute force by construction), yet FULLY value-checked: "
+    "md5-derived integer planes + floor-quantized embeddings make bucket "
+    "assignment exact int64 arithmetic both engines reproduce bit-for-bit.",
 )
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = lsh_bucket(tp(spark, sf_dir, "embeddings"), 64)
-    queries = lsh_bucket(
-        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES), 64
-    ).select(
+    from .dedup import dot, normalized
+
+    # Unit-normalize ONCE per row and cut the plan behind a repartition
+    # barrier — without it, projection collapse re-inlines the 64-dim
+    # normalize fold into every pairwise reference and Catalyst's
+    # analysis/codegen of the exploded tree dominates wall-clock (measured
+    # 77s cold / 9s warm for the fold-per-pair form vs ~2s here). Same
+    # discipline as q_dedup_embedding_cosine / simhash banding.
+    emb = lsh_bucket(tp(spark, sf_dir, "embeddings"), 64).select(
+        "vec_id", normalized(F.col("embedding")).alias("ue"), "bucket"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
+        F.col("ue").alias("qe"),
         F.col("bucket").alias("qb"),
     )
-    cand = emb.select("vec_id", "embedding", "bucket")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         F.broadcast(queries)
-        .join(cand, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("qid")))
-        .withColumn("sim", cosine_udf(F.col("qe"), F.col("embedding")))
+        .join(emb, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("qid")))
+        # one sequential dot fold per pair — bit-identical to the oracle's
+        # list_reduce order (cosine_udf's numpy pairwise reduction is not).
+        .withColumn("sim", dot(F.col("qe"), F.col("ue")))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOPK)
         .select("qid", F.col("vec_id").alias("neighbor_id"), F.col("rk").cast("int").alias("rk"))
