@@ -634,6 +634,7 @@ def cosine_pairs_blocked(
     WHERE {_SQL_SEQ_DOT.format(a="a.ue", b="b.ue")} >= {COSINE_DUP_THRESHOLD}
     ORDER BY va, vb
     """,
+    headline=True,
     doc="exact pairwise embedding-cosine near-dup pairs (ids only) via "
     "blocked numpy matmul over an 8x8 block grid; oracle is the plain "
     "quadratic self-join.",

@@ -266,6 +266,7 @@ def _lsh_oracle_sql() -> str:
 @register(
     "q_ann_lsh_bucketed",
     _lsh_oracle_sql(),
+    headline=True,
     doc="LSH (integer-quantized random hyperplane) bucketed ANN: "
     "same-bucket candidates, sequential-fold cosine rerank. Sub-linear "
     "(recall < 1 vs brute force by construction), yet FULLY value-checked: "
