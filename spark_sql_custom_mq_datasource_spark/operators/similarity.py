@@ -7,15 +7,20 @@ Three strategies, mirroring how ANN actually gets done on big corpora:
                 keep per-batch top-k, reduce to global top-k with a window.
                 Exact; scales linearly with corpus size — the 100 TB shape
                 (queries ≪ corpus) keeps the broadcast tiny.
-  LSH-bucketed  deterministic random-hyperplane signatures; candidates are
-                same-bucket rows only. Sub-linear candidate sets; recall < 1
-                by construction → rows-only check (no SQL oracle).
-  IVF           coarse quantizer = per-label centroids ("trained" by a
-                groupBy avg); probe the nprobe nearest centroids and scan
-                only their clusters. Also rows-only.
+  LSH-bucketed  integer-quantized random-hyperplane signatures; candidates
+                are same-bucket rows only. Sub-linear candidate sets;
+                recall < 1 vs brute force by construction, but the bucket
+                assignment itself is exact int64 arithmetic both engines
+                reproduce — fully value-checked.
+  IVF           coarse quantizer = per-label centroids over scalar-
+                quantized vectors ("trained" by one integer-sum groupBy);
+                probe the nprobe nearest centroids and scan only their
+                clusters. Quantization makes the centroids and folds
+                portable — fully value-checked.
 
-The exact threshold-join variant lives in operators/dedup.py
-(q_dedup_embedding_cosine) with a full DuckDB oracle.
+All three are value-checked against DuckDB; the exact threshold-join
+variant lives in operators/dedup.py (q_dedup_embedding_cosine, blocked
+numpy matmul), also with a full oracle.
 """
 
 from __future__ import annotations
@@ -309,42 +314,111 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _ivf_oracle_sql(dim: int = 64) -> str:
+    unit = "list_transform({v}, x -> x / " + _SQL_NORM.format(v="{v}") + ")"
+    dotc = _SQL_SEQ_DOT.format(a="q.qu", b="c.cu")
+    dote = _SQL_SEQ_DOT.format(a="p.qu", b="e.eu")
+    return f"""
+    WITH ev AS (
+      SELECT label, vec_id, d,
+             CAST(floor(embedding[d] * {QUANT} + 0.5) AS BIGINT) AS eq
+      FROM embeddings, generate_series(1, {dim}) g(d)
+    ),
+    cent AS (
+      SELECT label, d, CAST(SUM(eq) AS DOUBLE) / COUNT(*) AS c
+      FROM ev GROUP BY label, d
+    ),
+    centv AS (
+      SELECT label, {unit.format(v="list(c ORDER BY d)")} AS cu
+      FROM cent GROUP BY label
+    ),
+    eqv AS (
+      SELECT vec_id, label,
+             {unit.format(v="list(CAST(eq AS DOUBLE) ORDER BY d)")} AS eu
+      FROM ev GROUP BY vec_id, label
+    ),
+    q AS (SELECT vec_id AS qid, eu AS qu FROM eqv WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT qid, qu, label FROM (
+        SELECT q.qid, q.qu, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {dotc} DESC, c.label) AS prk
+        FROM q, centv c
+      ) WHERE prk <= {IVF_NPROBE}
+    )
+    SELECT qid, neighbor_id, rk FROM (
+      SELECT p.qid, e.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.qid
+                                     ORDER BY {dote} DESC, e.vec_id) AS INT) AS rk
+      FROM probes p JOIN eqv e USING (label)
+      WHERE e.vec_id != p.qid
+    ) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """
+
+
 @register(
     "q_ann_ivf",
-    None,  # centroid float sums are reduction-order-dependent — rows-only
-    doc="IVF: per-label centroids as the coarse quantizer; probe nprobe=2 "
-    "nearest clusters only. The inverted-list scan is a semi-join, not O(n²).",
+    _ivf_oracle_sql(),
+    doc="IVF over scalar-quantized vectors: per-label centroids as the "
+    "coarse quantizer, probe the nprobe=2 nearest clusters only - the "
+    "inverted-list scan is a semi-join, not O(n^2). floor-quantization "
+    "(the scalar-quantization trick) makes centroid sums exact int64 and "
+    "every cosine a portable sequential fold, so even this approximate "
+    "path is fully value-checked against DuckDB.",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = tp(spark, sf_dir, "embeddings")
-    queries_src = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
-    # "train": one pass, map-side partial aggregation
-    centroids = emb.groupBy("label").agg(
-        F.array(
-            *[
-                F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"c{i}")
-                for i in range(64)
-            ]
-        ).alias("centroid")
+    from .dedup import dot, normalized
+
+    # quantize once, normalize once, and cut projection collapse with
+    # barriers (same discipline as q_ann_lsh_bucketed - the fold-per-pair
+    # form re-inlines the 64-dim transforms into every reference).
+    eq = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("double")
     )
-    queries = queries_src.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    embq = (
+        tp(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", eq.alias("eq"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "label", normalized(F.col("eq")).alias("eu"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # "train": one pass, map-side partial INTEGER sums (exact, order-free)
+    embq_raw = (
+        tp(spark, sf_dir, "embeddings")
+        .select("label", eq.alias("eq"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cent = embq_raw.groupBy("label").agg(
+        *[
+            (
+                F.sum(F.element_at("eq", d + 1).cast("long")).cast("double")
+                / F.count("*")
+            ).alias(f"c{d}")
+            for d in range(64)
+        ]
+    )
+    centroids = cent.select(
+        "label", normalized(F.array(*[f"c{d}" for d in range(64)])).alias("cu")
+    ).repartition(1)
+    queries = embq.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("eu").alias("qu")
     )
     wprobe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("label"))
     probes = (
         F.broadcast(queries)
         .crossJoin(F.broadcast(centroids))
-        .withColumn("csim", cosine_udf(F.col("qe"), F.col("centroid")))
+        .withColumn("csim", dot(F.col("qu"), F.col("cu")))
         .withColumn("prk", F.row_number().over(wprobe))
         .where(F.col("prk") <= IVF_NPROBE)
-        .select("qid", "qe", "label")
+        .select("qid", "qu", "label")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         F.broadcast(probes)
-        .join(emb, "label")
+        .join(embq, "label")
         .where(F.col("vec_id") != F.col("qid"))
-        .withColumn("sim", cosine_udf(F.col("qe"), F.col("embedding")))
+        .withColumn("sim", dot(F.col("qu"), F.col("eu")))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOPK)
         .select("qid", F.col("vec_id").alias("neighbor_id"), F.col("rk").cast("int").alias("rk"))
