@@ -791,3 +791,75 @@ if _has_protobuf():
         doc="STREAMING transformWithStateInPandas (Spark 4 arbitrary-state "
         "API): per-user ValueState running aggregate; oracle = batch agg.",
     )(q_stream_transform_with_state)
+
+
+# --------------------------------------------------------------------------
+# 15. Stream-stream LEFT OUTER join: unmatched purchases emit (id, NULL)
+#     — but only after the watermark passes their join window, when Spark
+#     evicts the state row and knows no match can arrive. The oracle
+#     encodes exactly that contract: matched rows unconditionally, outer
+#     rows iff the window end is below the FINAL watermark
+#     (min over both inputs of max event time, minus the delay).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_stream_left_outer",
+    """
+    WITH wm AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+               (SELECT max(ts) FROM events WHERE event_type = 'click')
+             ) - INTERVAL 1 HOUR AS w
+    ),
+    j AS (
+      SELECT p.user_id AS user_id,
+             p.event_id AS purchase_id,
+             c.event_id AS click_id,
+             p.ts AS p_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, purchase_id, click_id
+    FROM j, wm
+    WHERE click_id IS NOT NULL
+       OR p_ts + INTERVAL 30 MINUTE < wm.w
+    ORDER BY user_id, purchase_id, click_id
+    """,
+    doc="STREAMING stream-stream LEFT OUTER join: outer null rows emit on "
+    "watermark-driven state eviction; oracle encodes the final-watermark "
+    "contract.",
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(F.col("p_user").alias("user_id"), "purchase_id", "click_id")
+    return run_to_table(spark, joined, "append").orderBy(
+        "user_id", "purchase_id", "click_id"
+    )
