@@ -642,3 +642,92 @@ def cosine_pairs_blocked(
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return cosine_pairs_blocked(emb).orderBy("va", "vb")
+
+
+# --------------------------------------------------------------------------
+# Near-dup clusters: pairs -> connected components -> canonical keeper.
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "da", dst: str = "db", max_iter: int = 20
+) -> DataFrame:
+    """(id, rep) per node: rep = min doc_id reachable in the pair graph —
+    the canonical representative every near-dup cluster keeps.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds (near-dup clusters are shallow — a chain A~B~C is
+    diameter 2). Each round is ONE shuffle (join + groupBy min); lineage is
+    cut with localCheckpoint so round N's plan doesn't re-run rounds 1..N-1.
+    The driver loop holds only a convergence COUNT, never data. At extreme
+    scale swap in the large-star/small-star variant (alternating rounds
+    that also shortcut paths); diameter-bounded label-prop is the right
+    cost for dedup graphs."""
+    a, b = F.col(src).alias("a"), F.col(dst).alias("b")
+    e = edges.select(a, b)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.b == labels.id).select(
+            F.col("a").alias("id"), "rep"
+        )
+        new = (
+            labels.union(nbr).groupBy("id").agg(F.min("rep").alias("rep"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.join(labels.withColumnRenamed("rep", "old"), "id")
+            .where(F.col("rep") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+_SQL_CLUSTERS = f"""
+  WITH RECURSIVE {_SQL_SHINGLES.lstrip().removeprefix("WITH ")},
+  pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+  dups AS (SELECT da, db FROM pairs JOIN sz x ON da = x.doc_id
+                                    JOIN sz y ON db = y.doc_id
+           WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}),
+  edges AS (SELECT da AS a, db AS b FROM dups
+            UNION SELECT db, da FROM dups),
+  reach(id, r) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+  ),
+  comp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id)
+  SELECT rep, COUNT(*) AS cluster_size,
+         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+  FROM comp GROUP BY rep ORDER BY rep
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    _SQL_CLUSTERS,
+    doc="near-dup pairs -> connected components (iterative min-label "
+    "propagation, one shuffle per round) -> per-cluster keeper stats; "
+    "oracle is a recursive-CTE transitive closure.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs_from_sets(shingle_sets_cached(spark, sf_dir)).select(
+        "da", "db"
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("rep")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("id").alias("min_doc"),
+            F.max("id").alias("max_doc"),
+        )
+        .orderBy("rep")
+    )

@@ -200,3 +200,31 @@ class TestCuration:
         # oversized doc ("b", 950 tokens) occupies bins alone; next doc
         # starts after its spillover: floor(950/256) = bin 3
         assert dict(by_src["b"])[1] == 3
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            connected_components,
+        )
+
+        # two chains and one isolate-pair: {1-2-3-4}, {10-11}, {20-21}
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "da long, db long"
+        )
+        got = {
+            r["id"]: r["rep"] for r in connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_chain_needs_multiple_rounds(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            connected_components,
+        )
+
+        # a 9-node path: min label must propagate the whole diameter
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "da long, db long"
+        )
+        got = {r["id"]: r["rep"] for r in connected_components(edges).collect()}
+        assert set(got.values()) == {0} and len(got) == 9
