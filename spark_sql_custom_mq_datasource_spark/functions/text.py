@@ -272,3 +272,50 @@ def q_text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Normalization — the canonical pre-dedup cleanup: casefold, strip
+# punctuation, collapse whitespace. Exposed as a column function so the
+# dedup family can compose with it; the query proves the normalized corpus
+# shrinks the distinct-content count (the reason pipelines normalize
+# BEFORE hashing).
+# --------------------------------------------------------------------------
+
+
+def normalize_text(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+@register(
+    "q_text_normalize",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT ntext) AS distinct_normalized,
+           SUM(length(ntext)) AS total_norm_chars,
+           MIN(length(ntext)) AS min_len,
+           MAX(length(ntext)) AS max_len
+    FROM norm
+    """,
+    doc="text normalization (casefold + punct strip + whitespace collapse) "
+    "with corpus-level distinct-content stats.",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    n = normalize_text("text").alias("ntext")
+    return docs.select(n).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("ntext").alias("distinct_normalized"),
+        F.sum(F.length("ntext")).alias("total_norm_chars"),
+        F.min(F.length("ntext")).alias("min_len"),
+        F.max(F.length("ntext")).alias("max_len"),
+    )
