@@ -122,8 +122,9 @@ _SQL_TOKENS = "string_split(trim(text), ' ')"
     "q_text_token_stats",
     f"""
     SELECT doc_id,
-           len({_SQL_TOKENS}) AS n_tokens,
-           length(text) AS n_chars_measured,
+           -- CAST: DuckDB len/length return BIGINT; Spark size/length return INT
+           CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_measured,
            CAST(length(text) AS DOUBLE) / len({_SQL_TOKENS}) AS avg_token_len
     FROM documents
     ORDER BY doc_id
@@ -235,7 +236,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_bpeish_tokens",
     r"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_units
+           CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS INTEGER) AS n_units
     FROM documents
     ORDER BY doc_id
     """,
@@ -253,8 +254,8 @@ def q_text_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang,
            COUNT(*) AS docs,
-           SUM(len({_SQL_TOKENS})) AS total_tokens,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -301,9 +302,9 @@ def normalize_text(text: Column | str) -> Column:
     )
     SELECT COUNT(*) AS n_docs,
            COUNT(DISTINCT ntext) AS distinct_normalized,
-           SUM(length(ntext)) AS total_norm_chars,
-           MIN(length(ntext)) AS min_len,
-           MAX(length(ntext)) AS max_len
+           CAST(SUM(length(ntext)) AS BIGINT) AS total_norm_chars,
+           CAST(MIN(length(ntext)) AS INTEGER) AS min_len,
+           CAST(MAX(length(ntext)) AS INTEGER) AS max_len
     FROM norm
     """,
     doc="text normalization (casefold + punct strip + whitespace collapse) "

@@ -74,7 +74,7 @@ def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
              len(string_split(trim(text), ' ')) AS n_tokens
       FROM documents
     )
-    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM s GROUP BY split, lang ORDER BY split, lang
     """,
     doc="deterministic hash-based train/val/test split (90/5/5), stable "
@@ -120,7 +120,7 @@ _SQL_QUALITY = """
       WHERE q >= 0.5
       GROUP BY source, md5(lower(text))
     )
-    SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality
     FROM kept GROUP BY source ORDER BY source
     """,
@@ -177,8 +177,8 @@ def upsample_by_weight(df: DataFrame, weight: Column) -> DataFrame:
              len(string_split(trim(text), ' ')) AS n_tokens
       FROM documents
     )
-    SELECT lang, COUNT(*) AS rows_before, SUM(wt) AS rows_after,
-           SUM(wt * n_tokens) AS tokens_after
+    SELECT lang, COUNT(*) AS rows_before, CAST(SUM(wt) AS BIGINT) AS rows_after,
+           CAST(SUM(wt * n_tokens) AS BIGINT) AS tokens_after
     FROM w GROUP BY lang ORDER BY lang
     """,
     doc="weighted language mixing: upsample low-resource langs by declared "
@@ -236,7 +236,7 @@ def pack_bins(
              n_tokens
       FROM tok
     )
-    SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY source, bin ORDER BY source, bin
     """,
     doc="sequence packing: greedy in-order fill of fixed token-capacity "

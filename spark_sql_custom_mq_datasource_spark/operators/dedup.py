@@ -135,8 +135,8 @@ _SQL_JACCARD_PAIRS = f"""
   pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
-  SELECT da, db, common,
-         (x.n + y.n - common) AS union_sz,
+  SELECT da, db, CAST(common AS INTEGER) AS common,
+         CAST(x.n + y.n - common AS INTEGER) AS union_sz,
          CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
   FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
   WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}

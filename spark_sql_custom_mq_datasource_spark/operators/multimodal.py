@@ -136,7 +136,7 @@ def sample_frames(
     "q_multimodal_binary_meta",
     """
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            CAST(doc_id % 640 + 64 AS INT) AS width,
            CAST(doc_id % 480 + 48 AS INT) AS height
     FROM documents

@@ -26,7 +26,8 @@ from .util import dec, t
     """
     SELECT event_type,
            COUNT(*) AS cnt,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           -- CAST: DuckDB promotes integer SUM to HUGEINT; Spark returns BIGINT
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
@@ -154,7 +155,8 @@ def q_events_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_sessions,
            MAX(n_events) AS max_session_events,
-           SUM(n_events) AS total_events
+           -- CAST: DuckDB promotes integer SUM to HUGEINT; Spark returns BIGINT
+           CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM per_session
     GROUP BY user_id
     ORDER BY user_id
@@ -241,7 +243,7 @@ def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_functions",
     """
     SELECT vec_id,
-           len(embedding) AS dim,
+           CAST(len(embedding) AS INTEGER) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_elem,
            CAST(list_sum(list_transform(embedding[1:8],
                          x -> CAST(abs(x) AS DOUBLE))) AS DOUBLE) AS l1_head8,

@@ -300,7 +300,8 @@ def q_outer_join_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     "q_rollup_returns",
     f"""
     SELECT l_returnflag, l_linestatus,
-           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
            {sql_dsum("l_quantity", "sum_qty")},
            COUNT(*) AS cnt
     FROM lineitem
@@ -333,7 +334,8 @@ def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority,
-           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
@@ -504,8 +506,8 @@ def q_union_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, p_partkey, revenue, rk FROM (
       SELECT p_brand, p_partkey,
              CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
-             ROW_NUMBER() OVER (PARTITION BY p_brand
-                                ORDER BY CAST(SUM({REVENUE_SQL}) AS DOUBLE) DESC, p_partkey) AS rk
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY CAST(SUM({REVENUE_SQL}) AS DOUBLE) DESC, p_partkey) AS INTEGER) AS rk
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand, p_partkey
     ) WHERE rk <= 3
@@ -596,9 +598,9 @@ def q_window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_rank_dense_ntile",
     """
     SELECT c_custkey, c_acctbal_r,
-           RANK()       OVER (ORDER BY c_acctbal_r DESC, c_custkey) AS rnk,
-           DENSE_RANK() OVER (ORDER BY c_acctbal_r DESC, c_custkey) AS drnk,
-           NTILE(4)     OVER (ORDER BY c_acctbal_r DESC, c_custkey) AS quartile
+           CAST(RANK()       OVER (ORDER BY c_acctbal_r DESC, c_custkey) AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER (ORDER BY c_acctbal_r DESC, c_custkey) AS INTEGER) AS drnk,
+           CAST(NTILE(4)     OVER (ORDER BY c_acctbal_r DESC, c_custkey) AS INTEGER) AS quartile
     FROM (SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal_r
           FROM customer WHERE c_custkey <= 200)
     ORDER BY rnk, c_custkey
@@ -635,7 +637,7 @@ def q_window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            upper(p_brand) AS brand_u,
            substr(p_name, 1, 8) AS name8,
-           length(p_name) AS name_len,
+           CAST(length(p_name) AS INTEGER) AS name_len,
            concat(p_brand, ':', p_type) AS brand_type,
            CASE WHEN p_size >= 30 THEN 'large'
                 WHEN p_size >= 10 THEN 'medium'

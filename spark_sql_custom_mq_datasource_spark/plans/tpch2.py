@@ -109,7 +109,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT supp_nation, cust_nation, yr, CAST(SUM(vol) AS DOUBLE) AS revenue
     FROM (
       SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-             EXTRACT(year FROM l_shipdate) AS yr,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
              {REVENUE_SQL} AS vol
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -169,7 +169,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_profit_by_nation",
     f"""
-    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS yr,
+    SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
            CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS profit
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey

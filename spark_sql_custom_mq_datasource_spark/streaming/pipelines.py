@@ -432,7 +432,7 @@ def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_sessions,
            MAX(n_events) AS max_session_events,
-           SUM(n_events) AS total_events
+           CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM per_session
     GROUP BY user_id
     ORDER BY user_id
@@ -649,7 +649,7 @@ def q_stream_foreachbatch_parquet(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "q_stream_rate_source",
     """
-    SELECT v % 10 AS bucket, COUNT(*) AS cnt, SUM(v) AS sum_v
+    SELECT v % 10 AS bucket, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sum_v
     FROM generate_series(0, 999) t(v)
     GROUP BY v % 10
     ORDER BY bucket

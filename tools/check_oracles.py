@@ -10,11 +10,86 @@ order-insensitive value representation. Usage:
 from __future__ import annotations
 
 import math
+import re
 import sys
 import time
 import traceback
 
 import duckdb
+import pyarrow as pa
+
+
+def _canon_arrow_type(t: pa.DataType) -> str:
+    """Canonical type token for an Arrow type (DuckDB result side)."""
+    if pa.types.is_int64(t):
+        return "i64"
+    if pa.types.is_int32(t):
+        return "i32"
+    if pa.types.is_int16(t):
+        return "i16"
+    if pa.types.is_int8(t):
+        return "i8"
+    if pa.types.is_float64(t):
+        return "f64"
+    if pa.types.is_float32(t):
+        return "f32"
+    if pa.types.is_decimal(t):
+        return f"dec({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    return str(t)
+
+
+_SPARK_CANON = {
+    "bigint": "i64",
+    "int": "i32",
+    "smallint": "i16",
+    "tinyint": "i8",
+    "double": "f64",
+    "float": "f32",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "binary": "bin",
+}
+
+
+def _canon_spark_type(s: str) -> str:
+    """Canonical type token for a Spark simpleString type."""
+    s = s.strip()
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+    if m:
+        return f"dec({m.group(1)},{m.group(2)})"
+    m = re.fullmatch(r"array<(.*)>", s)
+    if m:
+        return f"list<{_canon_spark_type(m.group(1))}>"
+    return _SPARK_CANON.get(s, s)
+
+
+def _type_mismatches(spark_schema, duck_arrow_schema) -> list[str]:
+    """The driver hashes TYPED values, so DuckDB HUGEINT/DECIMAL vs Spark
+    BIGINT/DOUBLE hash-mismatch even when the numbers are equal. Compare
+    canonical types per column name."""
+    duck = {f.name: _canon_arrow_type(f.type) for f in duck_arrow_schema}
+    bad = []
+    for f in spark_schema.fields:
+        st = _canon_spark_type(f.dataType.simpleString())
+        dt = duck.get(f.name)
+        if dt is not None and st != dt:
+            bad.append(f"{f.name}: spark={st} duck={dt}")
+    return bad
 
 
 def _norm_cell(v):
@@ -72,9 +147,9 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            drows = res.fetchall()
-            dcols = [d[0] for d in res.description]
+            dtab = con.execute(oracles[name]).arrow()
+            drows = [tuple(r.values()) for r in dtab.to_pylist()]
+            dcols = dtab.schema.names
         except Exception:
             print(f"FAIL {name}: DUCKDB ERROR")
             traceback.print_exc()
@@ -82,6 +157,11 @@ def main() -> int:
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+            n_fail += 1
+            continue
+        tbad = _type_mismatches(df.schema, dtab.schema)
+        if tbad:
+            print(f"FAIL {name}: TYPE MISMATCH {tbad}")
             n_fail += 1
             continue
         if len(srows) != len(drows):
