@@ -35,6 +35,12 @@ with the reference's ``-1`` sentinel meaning "begin at query start".
 Options
 -------
 numPartitions        int, default 4     partitions per micro-batch / batch
+minPartitions        int, default -1    if > numPartitions, each partition's
+                                        offset range is re-split into
+                                        contiguous sub-ranges so the batch
+                                        plans >= minPartitions tasks
+                                        (Kafka's minPartitions contract,
+                                        README.md:431-433, 713-721)
 intervalMs           int, default 10    ms between records within a partition
 startingTimestamp    long, default -1   -1 = "now" (live-MQ); >=0 explicit
 maxRecordsPerBatch   long, default 10000  admission control across partitions
@@ -54,10 +60,26 @@ failOnDataLoss       bool, default true behavior when a batch's start falls
                                         abort (README.md:618-631 abort-on-
                                         OffsetOutOfRange), false = skip the
                                         purged range and log (README.md:642-645)
+stateDir             str, default unset directory where the reader persists
+                                        its offset frontier (atomic JSON).
+                                        The Python latestOffset() takes no
+                                        start offset, so after a checkpoint
+                                        restart the reader has no frontier
+                                        context; with stateDir set the
+                                        frontier survives the restart, so
+                                        (a) the first recovered batch honors
+                                        maxRecordsPerBatch and (b) a
+                                        deterministic advanceMsPerBatch
+                                        clock can never regress below the
+                                        committed frontier (Kafka applies
+                                        rateLimit from the recovered offset,
+                                        README.md:412-422)
 """
 
 from __future__ import annotations
 
+import json
+import os
 import random
 import time
 from dataclasses import dataclass
@@ -149,6 +171,7 @@ class _Options:
     def __init__(self, options: dict):
         o = {k.lower(): v for k, v in options.items()}
         self.num_partitions = int(o.get("numpartitions", 4))
+        self.min_partitions = int(o.get("minpartitions", -1))
         self.interval_ms = max(1, int(o.get("intervalms", 10)))
         self.starting_ts = int(o.get("startingtimestamp", -1))
         self.max_records = int(o.get("maxrecordsperbatch", 10_000))
@@ -159,6 +182,7 @@ class _Options:
         self.ending_ts = int(o.get("endingtimestamp", -1))
         self.retention_ms = int(o.get("retentionms", -1))
         self.fail_on_data_loss = str(o.get("failondataloss", "true")).lower() == "true"
+        self.state_dir = o.get("statedir")
 
 
 class DataLossError(RuntimeError):
@@ -194,22 +218,60 @@ def _apply_retention(opts: _Options, start_ts: int, end_ts: int) -> int:
     return horizon
 
 
+def _split_range(
+    start_ts: int, end_ts: int, interval_ms: int, k: int
+) -> list[tuple[int, int]]:
+    """Split ``[start_ts, end_ts)`` into <= k contiguous, disjoint sub-ranges
+    whose record-index sets exactly cover the original range.
+
+    Cut points land on record boundaries (``index * interval_ms``), so every
+    record of the parent range belongs to exactly one sub-range and the
+    per-sub-range record counts differ by at most 1. A range with <= 1
+    records is never split."""
+    idx = _indices_in_range(start_ts, end_ts, interval_ms)
+    n = len(idx)
+    if n <= 1 or k <= 1:
+        return [(start_ts, end_ts)]
+    k = min(k, n)
+    first, last = idx.start, idx.stop
+    bounds = [first + (n * j) // k for j in range(k + 1)]
+    out: list[tuple[int, int]] = []
+    for a, b in zip(bounds, bounds[1:]):
+        sub_start = start_ts if a == first else a * interval_ms
+        sub_end = end_ts if b == last else b * interval_ms
+        out.append((sub_start, sub_end))
+    return out
+
+
 def _plan_partitions(opts: _Options, start_ts: int, end_ts: int) -> list[MQPartition]:
     """One InputPartition per MQ partition — the 1-partition↔1-task mapping
     (README.md:431-433). The reference planned one per *executor*
     (CustomMicroBatchStream.java:44-54); the Python API can't query executor
-    ids, so the count is the `numPartitions` option (SURVEY.md §2.1 #7)."""
+    ids, so the count is the `numPartitions` option (SURVEY.md §2.1 #7).
+
+    When ``minPartitions > numPartitions``, each partition's offset range is
+    re-split into ``ceil(min/num)`` contiguous sub-ranges — Kafka's
+    documented minPartitions divide-and-parallelize contract
+    (README.md:431-433, 713-721): a hot partition becomes several finer
+    tasks instead of one oversized one. All mock partitions carry the same
+    range, so an equal split is also the proportional split."""
+    tasks_per_part = 1
+    if opts.min_partitions > opts.num_partitions:
+        tasks_per_part = -(-opts.min_partitions // opts.num_partitions)
     return [
         MQPartition(
             index=p,
-            start_ts=start_ts,
-            end_ts=end_ts,
+            start_ts=sub_start,
+            end_ts=sub_end,
             interval_ms=opts.interval_ms,
             seed=opts.seed,
             include_metadata=opts.include_metadata,
             topic=opts.topic,
         )
         for p in range(opts.num_partitions)
+        for sub_start, sub_end in _split_range(
+            start_ts, end_ts, opts.interval_ms, tasks_per_part
+        )
     ]
 
 
@@ -257,7 +319,45 @@ class MQStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict):
         self.opts = _Options(options)
-        self._last_ts: int | None = None
+        self._last_ts: int | None = self._load_frontier()
+
+    # -- frontier persistence (stateDir) ----------------------------------
+    def _frontier_path(self) -> str | None:
+        if not self.opts.state_dir:
+            return None
+        return os.path.join(self.opts.state_dir, "mq-frontier.json")
+
+    def _load_frontier(self) -> int | None:
+        """Recover the offset frontier after a restart. The Python
+        latestOffset() takes no start offset (unlike Kafka's
+        SupportsAdmissionControl.latestOffset(start, limit)), so without
+        this the first post-restart batch has no rate-limit context and a
+        deterministic advanceMsPerBatch clock would re-seed from
+        startingTimestamp — *below* the committed frontier."""
+        path = self._frontier_path()
+        if path is None or not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                return int(json.load(f)["ts"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _save_frontier(self, ts: int) -> None:
+        path = self._frontier_path()
+        if path is None:
+            return
+        os.makedirs(self.opts.state_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ts": ts}, f)
+        os.replace(tmp, path)  # atomic on POSIX — no torn frontier
+
+    def _adopt(self, ts: int) -> None:
+        """Advance (never regress) the in-memory frontier and persist it."""
+        if self._last_ts is None or ts > self._last_ts:
+            self._last_ts = ts
+            self._save_frontier(ts)
 
     # -- offset management ------------------------------------------------
     def initialOffset(self) -> dict:
@@ -268,14 +368,23 @@ class MQStreamReader(DataSourceStreamReader):
             ts = self.opts.starting_ts
         else:
             ts = int(time.time() * 1000)
-        self._last_ts = ts
+        self._adopt(ts)
         return {"ts": ts}
 
     def latestOffset(self) -> dict:
         """Advance to wall-clock now (CustomMicroBatchStream.java:32-41),
         clamped by maxRecordsPerBatch — the admission control the reference
         declared but ignored; Kafka's rateLimit() analogue
-        (README.md:399-422)."""
+        (README.md:399-422).
+
+        Restart behavior: with stateDir set, ``_load_frontier`` already
+        recovered the frontier, so the first recovered batch is rate-limited
+        exactly like any other (README.md:412-422) and the deterministic
+        clock resumes from where it stopped. Without stateDir, the wall-clock
+        path's first post-restart batch is uncapped (no start context), and
+        the advance path re-seeds from startingTimestamp — ``partitions()``
+        then re-adopts the engine's authoritative offsets so the regression
+        is bounded to one empty batch, never duplicates of >1 range."""
         if self.opts.advance_ms > 0:
             if self._last_ts is None:
                 self._last_ts = self.opts.starting_ts if self.opts.starting_ts >= 0 else 0
@@ -283,13 +392,14 @@ class MQStreamReader(DataSourceStreamReader):
         else:
             ts = int(time.time() * 1000)
             if self._last_ts is None:
-                # Restart without initialOffset(): no start-of-batch context
+                # Restart without stateDir: no start-of-batch context
                 # (the Python API's latestOffset takes no start offset) —
                 # first post-restart batch is uncapped, then clamping resumes.
-                self._last_ts = ts
+                self._adopt(ts)
                 return {"ts": ts}
         ts = self._clamp(self._last_ts, ts)
-        self._last_ts = ts
+        ts = max(ts, self._last_ts)  # offsets are monotone, never regress
+        self._adopt(ts)
         return {"ts": ts}
 
     def _clamp(self, start_ts: int, end_ts: int) -> int:
@@ -306,6 +416,14 @@ class MQStreamReader(DataSourceStreamReader):
     # -- planning / execution ---------------------------------------------
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         s, e = int(start["ts"]), int(end["ts"])
+        # The engine's (start, end) is authoritative (it comes from the
+        # write-ahead offset log): adopt it as the frontier so a restart —
+        # with or without stateDir — can never advance the deterministic
+        # clock from below the committed offset and re-emit ranges
+        # (replay.py:382-384 applies the same defense).
+        self._adopt(max(s, e))
+        if e <= s:
+            return []  # inverted/empty range — plan nothing
         s = _apply_retention(self.opts, s, e)
         return _plan_partitions(self.opts, s, e)
 
@@ -314,9 +432,11 @@ class MQStreamReader(DataSourceStreamReader):
 
     # -- lifecycle ----------------------------------------------------------
     def commit(self, end: dict) -> None:
-        """Post-durable-write ack hook — no-op like the reference and the
-        real Kafka source (CustomMicroBatchStream.java:75-77,
-        README.md:462-463)."""
+        """Post-durable-write ack hook (CustomMicroBatchStream.java:75-77,
+        README.md:462-463). The committed end is the strongest frontier
+        signal there is — persist it so a restart resumes rate-limited from
+        here rather than uncapped/re-seeded."""
+        self._adopt(int(end["ts"]))
 
     def stop(self) -> None:
         """Teardown (CustomMicroBatchStream.java:80-81) — nothing to release;

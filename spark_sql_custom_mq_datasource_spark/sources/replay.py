@@ -27,14 +27,22 @@ Offset/pushdown design:
     truncating nanos exactly like the batch path (plans/util.t).
 
 Options: path (required), tsColumn (default ts), numPartitions (default 4),
-startingTimestamp / endingTimestamp (epoch-ms; batch read), and the stream
-options advanceMsPerBatch (-1 = drain to latest stats in one batch) plus
-maxRecordsPerBatch (admission control, estimated via row-group stats).
+minPartitions (default -1: when > numPartitions, planning targets that many
+tasks instead — Kafka's minPartitions re-split contract, README.md:431-433,
+713-721 — which matters exactly in the small-file degenerate path where one
+row group would otherwise become one task), startingTimestamp /
+endingTimestamp (epoch-ms; batch read), the stream options advanceMsPerBatch
+(-1 = drain to latest stats in one batch) plus maxRecordsPerBatch (admission
+control, estimated via row-group stats), and stateDir (persist the offset
+frontier across restarts so the first recovered batch stays rate-limited —
+same rationale as sources/mq.py).
 """
 
 from __future__ import annotations
 
 import datetime
+import json
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
@@ -253,20 +261,30 @@ class _ReplayOptions:
             raise ValueError("mq-replay: 'path' option is required")
         self.ts_col = o.get("tscolumn", "ts")
         self.num_partitions = int(o.get("numpartitions", 4))
+        self.min_partitions = int(o.get("minpartitions", -1))
         self.starting_ts = int(o.get("startingtimestamp", -1))
         self.ending_ts = int(o.get("endingtimestamp", -1))
         self.advance_ms = int(o.get("advancemsperbatch", -1))
         self.max_records = int(o.get("maxrecordsperbatch", 0))
+        self.state_dir = o.get("statedir")
+
+    @property
+    def target_partitions(self) -> int:
+        """Task-count target: numPartitions, raised to minPartitions when
+        the user asks for finer parallelism than the source's natural
+        partitioning (Kafka minPartitions semantics)."""
+        return max(self.num_partitions, self.min_partitions)
 
 
 def _plan(meta: _ReplayMeta, opts: _ReplayOptions, start_ms: int, end_ms: int):
     cols = list(meta.arrow_schema.names)
     live = meta.groups_in_range(start_ms, end_ms)
-    if len(live) >= opts.num_partitions:
+    n_tasks = opts.target_partitions
+    if len(live) >= n_tasks:
         # disjoint row-group assignment (round-robin by size order)
-        buckets: list[list[int]] = [[] for _ in range(opts.num_partitions)]
+        buckets: list[list[int]] = [[] for _ in range(n_tasks)]
         for i, (g, _rows) in enumerate(sorted(live, key=lambda x: -x[1])):
-            buckets[i % opts.num_partitions].append(g)
+            buckets[i % n_tasks].append(g)
         return [
             ReplayPartition(
                 path=meta.path, ts_col=meta.ts_col, start_ms=start_ms,
@@ -279,10 +297,10 @@ def _plan(meta: _ReplayMeta, opts: _ReplayOptions, start_ms: int, end_ms: int):
     return [
         ReplayPartition(
             path=meta.path, ts_col=meta.ts_col, start_ms=start_ms, end_ms=end_ms,
-            row_groups=groups, slice_of=p, n_slices=opts.num_partitions,
+            row_groups=groups, slice_of=p, n_slices=n_tasks,
             columns=cols,
         )
-        for p in range(opts.num_partitions)
+        for p in range(n_tasks)
     ]
 
 
