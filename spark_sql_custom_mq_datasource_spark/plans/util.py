@@ -25,15 +25,35 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key not in _cache:
         assert name in TABLES, name
         if name == "events":
-            # runtime-set so it works under ANY session (incl. the driver's)
+            # Robustness: if the fixture ever stores TIMESTAMP(NANOS), Spark 4
+            # rejects the scan unless nanos arrive as int64. Runtime-set so it
+            # works under ANY session (incl. the driver's); no-op for the
+            # current timestamp[us] fixture.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
-            # TIMESTAMP(NANOS) arrives as int64 nanos (legacy.parquet.
-            # nanosAsLong); truncate to micros exactly like DuckDB does.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            df = _normalize_events_ts(df)
         _cache[key] = df
     return _cache[key]
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a micros timestamp regardless of fixture encoding.
+
+    The fixture has shipped `ts` both as TIMESTAMP(NANOS) (read as int64 nanos
+    under legacy.parquet.nanosAsLong — truncate to micros exactly like DuckDB)
+    and as timestamp[us] (Spark reads TIMESTAMP_NTZ — cast to TIMESTAMP so
+    downstream `unix_micros`/window code sees one dtype; the wall clock
+    round-trips through the session tz, so formatted outputs match DuckDB's
+    naive timestamps either way). Applying the DIV-1000 cast unconditionally
+    was the round-2/3 regression that killed every events query
+    (VERDICT.md r03 item 1)."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

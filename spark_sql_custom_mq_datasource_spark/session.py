@@ -33,8 +33,9 @@ def builder_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
         # Parquet scans: vectorized reader + pushdown are on by default;
         # keep split size default (128 MiB) — correct for the 100 TB target.
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects;
-        # read as int64 nanos and convert (util.t handles the cast).
+        # events.ts encoding robustness: if the fixture ships TIMESTAMP(NANOS)
+        # Spark 4 rejects the scan unless nanos arrive as int64; no-op for the
+        # current timestamp[us] fixture (util._normalize_events_ts adapts).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local[32] runs all 32 executor threads inside the driver JVM, so
         # this is effectively the whole-cluster heap; 16g keeps scan + agg

@@ -47,19 +47,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file-stream source (the batch image of the
     stream the mq source models, FIXTURES.md §B).
 
-    The parquet has TIMESTAMP(NANOS); under legacy.parquet.nanosAsLong the
-    file schema types `ts` as int64 nanos, converted here to micros exactly
-    like plans.util.t does for the batch twin.
+    `ts` is normalized to a micros timestamp the same way plans.util.t does
+    for the batch twin — cast only when the file schema delivers int64 nanos
+    (see plans.util._normalize_events_ts; the unconditional cast here was the
+    second half of the round-2/3 regression, VERDICT.md r03 item 2).
     """
-    raw = t(spark, sf_dir, "events")  # sets nanosAsLong; cached scan
+    from ..plans.util import _normalize_events_ts
+
+    t(spark, sf_dir, "events")  # sets nanosAsLong (no-op for us-fixture)
     file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    del raw
-    return (
+    stream = (
         spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
+    return _normalize_events_ts(stream)
 
 
 def run_to_table(
