@@ -7,6 +7,12 @@ shingle-set cache (persistent infrastructure the dedup family reuses, like
 a database's buffer pool), then each query is timed on a full
 execute+collect (results are small by construction). The metric is total
 seconds over the headline set.
+
+Crash policy: the bench must DEGRADE, never vanish (rounds 2 and 3 lost
+their entire benchmark because one broken query threw in warm-up —
+VERDICT.md r03 item 4). Every per-query execution, warm-up included, is
+wrapped; a failing query contributes an entry in "errors" and is excluded
+from the total, but the JSON line always prints and exit code is 0.
 """
 
 from __future__ import annotations
@@ -36,18 +42,34 @@ def main() -> None:
     headline = get_headline()
     get_queries()
 
+    errors: dict[str, str] = {}
+
+    def run(name: str) -> bool:
+        try:
+            QUERIES[name].fn(spark, sf_dir).collect()
+            return True
+        except Exception as exc:  # degrade per-query, never die
+            errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:500])
+            return False
+
     # Warm-up: one light query per table family, plus a trivial pandas-UDF
     # stage so the per-core Python workers are spawned before timing starts
     # (their one-time startup otherwise lands on the first ANN query).
-    QUERIES["q1_pricing_summary"].fn(spark, sf_dir).collect()
-    QUERIES["q_events_tumbling_1d"].fn(spark, sf_dir).collect()
-    QUERIES["q_text_token_stats"].fn(spark, sf_dir).collect()
-    QUERIES["q_udf_scalar_tokens"].fn(spark, sf_dir).collect()
-    from spark_sql_custom_mq_datasource_spark.operators.dedup import (
-        shingle_sets_cached,
-    )
+    for warm in (
+        "q1_pricing_summary",
+        "q_events_tumbling_1d",
+        "q_text_token_stats",
+        "q_udf_scalar_tokens",
+    ):
+        run(warm)
+    try:
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            shingle_sets_cached,
+        )
 
-    shingle_sets_cached(spark, sf_dir).count()
+        shingle_sets_cached(spark, sf_dir).count()
+    except Exception as exc:
+        errors.setdefault("warmup_shingle_cache", f"{type(exc).__name__}: {exc}"[:500])
 
     # Best-of-2 per query: the first pass after warm-up still absorbs
     # one-off interference (DISK_ONLY cache flush, GC of warm-up garbage);
@@ -56,22 +78,22 @@ def main() -> None:
     for _ in range(2):
         for name in headline:
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).collect()
+            if not run(name):
+                continue
             el = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, el), el)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -185,8 +185,21 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_decode",
-    None,  # checksum is bytes-arithmetic in Python — rows-only check
-    doc="mapInPandas decode stub: deterministic pseudo-features per payload.",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(str_split(to_hex(encode(text)), ''),
+                (c, i) -> (strpos('0123456789ABCDEF', c) - 1)
+                          * CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)) % 997
+                AS BIGINT) AS checksum,
+           'fake/rgb8' AS format,
+           'stub' AS decoder
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="mapInPandas decode stub: deterministic pseudo-features per payload. "
+    "Value oracle (VERDICT.md r03 item 6): DuckDB reproduces the byte-sum "
+    "checksum via hex-digit arithmetic over the utf-8 payload.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = attach_payload(tp(spark, sf_dir, "documents"))

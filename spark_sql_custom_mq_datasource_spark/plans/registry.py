@@ -43,15 +43,72 @@ def register(
     return deco
 
 
-def _load_all() -> None:
-    """Import every module that registers queries (idempotent).
+# The correctness harness verifies a 50-query PREFIX of the registry per
+# round. This list pins that prefix explicitly (module import order alone
+# left 4 queries never checked in any round — VERDICT.md r03 item 5):
+# the full streaming family, everything touching `events`, the LLM-pipeline
+# core, and the 4 queries no round has ever driver-checked
+# (q_wordcount_topk — the reference's own demo twin, README.md:64-124 —
+# q_mqlog_roundtrip, q_map_functions, q_fuzzy_source_pairs). Queries not
+# listed keep registration order after the prefix; r01/r03 already recorded
+# green rows for them, so round-over-round union coverage stays complete.
+_PRIORITY: tuple[str, ...] = (
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_text_lang_id",
+    "q_text_fingerprint",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_embedding_cosine",
+    "q_dedup_clusters",
+    "q_ann_bruteforce_topk",
+    "q_ann_lsh_bucketed",
+    "q_ann_ivf",
+    "q_split_train_val_test",
+    "q_curation_pipeline",
+    "q_pack_sequences",
+    "q_udf_scalar_tokens",
+    "q_udf_grouped_user_stats",
+    "q_udf_grouped_agg_geomean",
+    "q_udtf_tokenize",
+    "q_multimodal_binary_meta",
+    "q_multimodal_decode",
+    "q_asof_join_last_order",
+    "q_range_join_acctbal",
+    "q_salted_join_event_stats",
+    "q_stream_tumbling_1d",
+    "q_stream_tumbling_watermark",
+    "q_stream_sliding_6h",
+    "q_stream_dedup_pairs",
+    "q_stream_dedup_within_watermark",
+    "q_stream_stream_join",
+    "q_stream_stateful_stats",
+    "q_stream_session_windows",
+    "q_stream_mq_wordcount",
+    "q_stream_static_join",
+    "q_stream_mq_replay",
+    "q_stream_foreachbatch_parquet",
+    "q_stream_rate_source",
+    "q_stream_stream_left_outer",
+    "q_stream_transform_with_state",
+    "q_bucketed_join_revenue",
+    "q_events_json_extract",
+    "q_events_tumbling_1d",
+    "q_events_sliding_6h",
+    "q_events_sessionize",
+    "q_events_pivot_daily",
+    "q_wordcount_topk",
+    "q_mqlog_roundtrip",
+    "q_map_functions",
+    "q_fuzzy_source_pairs",
+)
 
-    Registration ORDER matters: the correctness harness may verify only a
-    prefix of the registry, so the north-star LLM-pipeline operators (dedup,
-    similarity search, text analysis, curation, streaming, UDF surface,
-    custom sources) register FIRST, and the TPC-H analogue family — which
-    exercises overlapping relational surface — registers last.
-    """
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent), then pin
+    the harness-checked prefix to _PRIORITY order."""
     from ..operators import dedup  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..functions import text  # noqa: F401
@@ -65,6 +122,13 @@ def _load_all() -> None:
     from . import tpch  # noqa: F401
     from . import tpch2  # noqa: F401
     from . import tpch3  # noqa: F401
+
+    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    for name, q in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = q
+    QUERIES.clear()
+    QUERIES.update(ordered)
 
 
 def get_queries() -> dict[str, SparkQuery]:

@@ -698,11 +698,12 @@ def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     aggregate and gets a full value oracle. State is per-key and
 #     watermark/TTL-evictable at scale; nothing global.
 #
-#     ENV GATE: Spark's TransformWithStateInPySpark driver worker speaks
-#     protobuf to the JVM; the `google.protobuf` Python package is not in
-#     this container (and installs are off-limits), so the query registers
-#     only where the dependency exists. applyInPandasWithState
-#     (q_stream_stateful_stats) covers the arbitrary-state surface here.
+#     ENV FALLBACK: Spark's TransformWithStateInPySpark driver worker
+#     speaks protobuf to the JVM; the `google.protobuf` Python package is
+#     not in this container (and installs are off-limits). The query is
+#     registered UNCONDITIONALLY — where protobuf exists it runs the real
+#     transformWithStateInPandas operator; otherwise the same per-key
+#     running aggregate runs through applyInPandasWithState.
 # --------------------------------------------------------------------------
 
 
@@ -758,17 +759,41 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
             StructField("max_value", DoubleType()),
         ]
     )
-    agg = (
-        events_stream(spark, sf_dir)
-        .select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
+    grouped = events_stream(spark, sf_dir).select("user_id", "value").groupBy("user_id")
+    if _has_protobuf():
+        agg = grouped.transformWithStateInPandas(
             statefulProcessor=_make_running_agg_processor(),
             outputStructType=out_schema,
             outputMode="Update",
             timeMode="None",
         )
-    )
+    else:
+        # Fallback surface: Spark's TransformWithStateInPySpark worker
+        # speaks protobuf to the JVM and google.protobuf is absent from
+        # this container (installs are off-limits). applyInPandasWithState
+        # expresses the IDENTICAL per-key running aggregate through the
+        # older arbitrary-state API, so the query stays registered and
+        # driver-checkable everywhere; on a protobuf-equipped cluster the
+        # branch above exercises the real transformWithState operator.
+        def running_agg(key, pdfs, state: GroupState):  # noqa: ANN001
+            cnt, mx = state.get if state.exists else (0, float("-inf"))
+            for pdf in pdfs:
+                cnt += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            state.update((cnt, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [cnt], "max_value": [mx]}
+            )
+
+        agg = grouped.applyInPandasWithState(
+            func=running_agg,
+            outputStructType=out_schema,
+            stateStructType=StructType(
+                [StructField("cnt", LongType()), StructField("mx", DoubleType())]
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     out = run_to_table(spark, agg, "update")
     # availableNow may split the file into several batches; keep each
     # user's LAST update (the running state is monotone in batch order).
@@ -781,18 +806,20 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-if _has_protobuf():
-    register(
-        "q_stream_transform_with_state",
-        """
-        SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
-        FROM events
-        GROUP BY user_id
-        ORDER BY user_id
-        """,
-        doc="STREAMING transformWithStateInPandas (Spark 4 arbitrary-state "
-        "API): per-user ValueState running aggregate; oracle = batch agg.",
-    )(q_stream_transform_with_state)
+register(
+    "q_stream_transform_with_state",
+    """
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="STREAMING transformWithStateInPandas (Spark 4 arbitrary-state "
+    "API): per-user ValueState running aggregate; oracle = batch agg. "
+    "Registered unconditionally (VERDICT.md r03 item 7): where "
+    "google.protobuf is unavailable the identical semantics run through "
+    "applyInPandasWithState instead of silently vanishing from queries().",
+)(q_stream_transform_with_state)
 
 
 # --------------------------------------------------------------------------
