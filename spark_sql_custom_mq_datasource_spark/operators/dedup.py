@@ -15,9 +15,10 @@ oracle-checked query on the `documents` / `embeddings` fixtures:
 Scale posture (100 TB): nothing here collects to the driver; every step is
 a shuffle on a key whose cardinality grows with the data (hash, shingle,
 band bucket). The inverted-index joins are the standard way to avoid O(n²):
-candidate generation touches only pairs that share a bucket. At extreme
-scale add a document-frequency cap on hot shingles (stop-shingles) before
-the self-join; MinHash bands already bound the join fan-out.
+candidate generation touches only pairs that share a bucket. Hot shingles
+(boilerplate) are bounded by the stop-shingle document-frequency cap
+(`max_shingle_df` on jaccard_pairs*, default STOP_SHINGLE_MAX_DF in the
+registered query); MinHash bands already bound the join fan-out.
 
 Hash portability: shingles are collapsed to xxhash64 longs at creation
 (equality-only uses; see hashed_shingles) and MinHash salts that long with
@@ -42,6 +43,15 @@ from ..functions.text import word_hash
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.8
+# Stop-shingle cap for the registered query: a shingle in >128 docs is
+# boilerplate (license headers, templated markup) and only inflates join
+# fan-out. Deliberately conservative: at J >= 0.8 a qualifying pair shares
+# >= 80% of its shingles, so losing it requires EVERY shared shingle to sit
+# in 128+ other docs — such docs are wholesale boilerplate and belong to
+# exact dedup. At fixture scale (max df = 7 at sf0.01) the cap prunes
+# nothing, keeping the oracle exact; tests pin result-equality under a cap
+# that DOES prune (tests/test_dedup_cap.py).
+STOP_SHINGLE_MAX_DF = 128
 MINHASH_NUM = 64
 MINHASH_BAND_ROWS = 4  # 16 bands of 4 — P(catch) ≈ 1 at j ≥ 0.9
 SIMHASH_BITS = 60
@@ -212,13 +222,19 @@ def _verify_pairs(
     )
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Exact near-dup pairs over a docs DataFrame (uncached entry point)."""
-    return jaccard_pairs_from_sets(_shingle_sets(docs), threshold)
+    return jaccard_pairs_from_sets(_shingle_sets(docs), threshold, max_shingle_df)
 
 
 def jaccard_pairs_from_sets(
-    sets: DataFrame, threshold: float = JACCARD_THRESHOLD
+    sets: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs via PREFIX-FILTERED inverted-index join (the
     PPJoin family's prefix principle).
@@ -230,9 +246,23 @@ def jaccard_pairs_from_sets(
     (n - ceil(t·n) + 1) shingles. Joining only those prefix rows — the
     RAREST shingles of each doc — collapses the hot-shingle fan-out while
     provably losing no qualifying pair; survivors are re-verified exactly.
-    At 100 TB this is the difference between a runnable join and Σ freq²."""
+    At 100 TB this is the difference between a runnable join and Σ freq².
+
+    `max_shingle_df` (stop-shingles, off by default) additionally drops
+    shingles whose document frequency exceeds the cap from the INVERTED
+    INDEX before the self-join — boilerplate n-grams (license headers,
+    templated markup) otherwise dominate even the prefix join's residual
+    fan-out at web scale. Verification is untouched (exact Jaccard over the
+    FULL shingle arrays), so any surviving pair is exact; the cap is a
+    recall heuristic only for pairs whose entire prefix is capped-hot —
+    i.e. docs made of boilerplate, which are the pairs you *want* handled
+    by exact dedup instead. Prefix positions are recomputed over the
+    surviving (rarest-first) shingles, so the positional bound stays valid
+    relative to the reduced index."""
     sh = sets.select("doc_id", "n", F.explode("hset").alias("s"))
     freq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    if max_shingle_df is not None:
+        freq = freq.where(F.col("df") <= max_shingle_df)
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     prefix = (
         sh.join(freq, "s")
@@ -269,9 +299,9 @@ def jaccard_pairs_from_sets(
     doc="exact n-gram Jaccard near-dup pairs (shingle inverted index).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs_from_sets(shingle_sets_cached(spark, sf_dir)).orderBy(
-        "da", "db"
-    )
+    return jaccard_pairs_from_sets(
+        shingle_sets_cached(spark, sf_dir), max_shingle_df=STOP_SHINGLE_MAX_DF
+    ).orderBy("da", "db")
 
 
 # --------------------------------------------------------------------------

@@ -53,6 +53,34 @@ N_QUERIES = 5  # fixture queries: vec_id < 5
 LSH_PLANES = 6
 LSH_SEED = 42
 IVF_NPROBE = 2
+# Hard ceiling on the query-side driver collect. The query set is small by
+# contract (it rides inside a task closure / broadcast); this guard turns
+# that contract into an enforced invariant so a mis-wired caller can never
+# quietly pull a 100 TB corpus through the driver.
+MAX_COLLECTED_QUERIES = 4096
+
+
+def _collect_query_matrix(queries: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect (vec_id, embedding) of the query set with a size guard.
+
+    limit(cap+1) bounds the transfer itself — the driver never fetches more
+    than cap+1 rows even when the input is the whole corpus, and one extra
+    row is enough to detect the overflow and fail loudly."""
+    rows = (
+        queries.select("vec_id", "embedding")
+        .limit(MAX_COLLECTED_QUERIES + 1)
+        .collect()
+    )
+    if len(rows) > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"ANN query set exceeds MAX_COLLECTED_QUERIES={MAX_COLLECTED_QUERIES}; "
+            "a query set this large should be a distributed join "
+            "(e.g. block-nested mapInPandas over both sides), not a driver collect"
+        )
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    return qids, qmat
 
 _TOPK_SCHEMA = StructType(
     [
@@ -73,10 +101,7 @@ def ann_bruteforce_topk(
     object. Each Arrow batch does one float64 matmul; only k rows per
     (batch, query) survive, so the final window sees ~k·num_batches rows per
     query, never the corpus."""
-    qrows = queries.select("vec_id", "embedding").collect()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids, qmat = _collect_query_matrix(queries)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,86 @@
+"""Stop-shingle document-frequency cap (VERDICT.md r03 item 8) and the ANN
+query-collect guard (item 9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+    STOP_SHINGLE_MAX_DF,
+    jaccard_pairs_from_sets,
+    shingle_sets_cached,
+)
+from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+    MAX_COLLECTED_QUERIES,
+    _collect_query_matrix,
+    ann_bruteforce_topk,
+)
+from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+
+class TestStopShingleCap:
+    def test_cap_filter_lands_in_plan(self, spark, sf_dir):
+        """The df cap must be a real filter in the optimized plan (pushed
+        below the index self-join), not a post-hoc row drop."""
+        sets = shingle_sets_cached(spark, sf_dir)
+        plan = jaccard_pairs_from_sets(sets, max_shingle_df=3)._jdf.queryExecution().optimizedPlan().toString()
+        assert "df#" in plan and "<= 3" in plan, plan
+
+    def test_pruning_cap_preserves_pairs(self, spark):
+        """A cap that actually prunes index shingles (df<=3 removes the
+        ~10% hottest at sf0.01) must not lose any qualifying pair when the
+        cap sits above the dup-cluster size: verification is exact over the
+        full shingle arrays and such pairs still share sub-cap shingles.
+        Pinned to sf0.01 — at sf0.001 dup clusters are larger than 3, so a
+        df<=3 cap correctly demotes those wholesale-boilerplate pairs (the
+        documented recall trade-off), which is the wrong corpus for an
+        equality check."""
+        sets = shingle_sets_cached(spark, "/root/testdata/sf0.01")
+        base = sorted(
+            (r.da, r.db, r.common)
+            for r in jaccard_pairs_from_sets(sets).collect()
+        )
+        capped = sorted(
+            (r.da, r.db, r.common)
+            for r in jaccard_pairs_from_sets(sets, max_shingle_df=3).collect()
+        )
+        assert capped == base
+
+    def test_registered_query_cap_is_noop_at_fixture_scale(self, spark, sf_dir):
+        """The registered query's conservative cap must sit above the
+        fixture's max shingle df, keeping the DuckDB oracle exact."""
+        sets = shingle_sets_cached(spark, sf_dir)
+        max_df = (
+            sets.select(F.explode("hset").alias("s"))
+            .groupBy("s")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert max_df < STOP_SHINGLE_MAX_DF
+
+
+class TestAnnCollectGuard:
+    def test_oversized_query_set_raises(self, spark, sf_dir, monkeypatch):
+        import spark_sql_custom_mq_datasource_spark.operators.similarity as sim
+
+        monkeypatch.setattr(sim, "MAX_COLLECTED_QUERIES", 3)
+        emb = t(spark, sf_dir, "embeddings")
+        assert emb.count() > 3
+        with pytest.raises(ValueError, match="MAX_COLLECTED_QUERIES"):
+            sim.ann_bruteforce_topk(emb, emb).collect()
+
+    def test_transfer_is_bounded_not_just_checked(self, spark, sf_dir):
+        """The guard must bound the driver transfer itself: the plan under
+        the collect carries a limit of cap+1."""
+        emb = t(spark, sf_dir, "embeddings")
+        limited = emb.select("vec_id", "embedding").limit(MAX_COLLECTED_QUERIES + 1)
+        assert f"{MAX_COLLECTED_QUERIES + 1}" in limited._jdf.queryExecution().optimizedPlan().toString()
+
+    def test_guard_passes_contract_sized_queries(self, spark, sf_dir):
+        emb = t(spark, sf_dir, "embeddings")
+        qids, qmat = _collect_query_matrix(emb.where(F.col("vec_id") < 5))
+        assert len(qids) == 5 and qmat.shape[0] == 5
+        topk = ann_bruteforce_topk(emb, emb.where(F.col("vec_id") < 5))
+        assert topk.groupBy("qid").count().agg(F.max("count")).collect()[0][0] <= 5
