@@ -252,3 +252,91 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
         .orderBy("source", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+#
+# The step every serious training pipeline runs between curation and
+# training: find training docs whose n-gram content overlaps an evaluation
+# benchmark and drop them, so eval scores measure generalization rather
+# than memorization. Semantics: containment(train, eval) =
+# |shingles(train) ∩ shingles(eval)| / |shingles(train)| — asymmetric on
+# purpose (a short eval item fully contained in a long train doc must
+# flag, which symmetric Jaccard misses).
+#
+# Scale shape (100 TB corpus, MB-scale benchmarks): the eval side is tiny
+# by nature, so its exploded shingle index is BROADCAST — the corpus-side
+# scan never shuffles for the probe; the only exchange is the partial-agg
+# on (train doc, eval doc) matches, whose row count is bounded by actual
+# overlap, not corpus size. The fixture stands in a benchmark as every
+# 97th doc.
+
+DECONTAM_EVAL_MOD = 97
+# 0.05 because the fixture docs are short (10-30 shingles) and the synthetic
+# corpus has little genuine cross-doc overlap — a production pipeline over
+# 8-grams would sit at 0.3-0.8. At this threshold the fixture yields real
+# rows at every SF, so the oracle checks values, not an empty set.
+DECONTAM_THRESHOLD = 0.05
+
+
+def decontaminate_pairs(
+    sets: DataFrame,
+    eval_sets: DataFrame,
+    threshold: float = DECONTAM_THRESHOLD,
+) -> DataFrame:
+    """(train doc_id, eval_id, common, containment) for containment >= t.
+
+    `sets`/`eval_sets` are (doc_id, hset, n) shingle-set frames
+    (operators.dedup._shingle_sets shape)."""
+    train_sh = sets.select("doc_id", "n", F.explode("hset").alias("s"))
+    eval_sh = eval_sets.select(
+        F.col("doc_id").alias("eval_id"), F.explode("hset").alias("s")
+    )
+    matches = (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .where(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("doc_id", "eval_id", "n")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        matches.select(
+            "doc_id",
+            "eval_id",
+            F.col("common").cast("int").alias("common"),
+            (F.col("common") / F.col("n")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+@register(
+    "q_decontaminate_ngram",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    m AS (SELECT t.doc_id, e.doc_id AS eval_id, COUNT(*) AS common
+          FROM sh t JOIN sh e ON t.s = e.s
+          WHERE e.doc_id % {DECONTAM_EVAL_MOD} = 0 AND t.doc_id <> e.doc_id
+          GROUP BY 1, 2)
+    SELECT m.doc_id, m.eval_id, CAST(m.common AS INTEGER) AS common,
+           CAST(m.common AS DOUBLE) / sz.n AS containment
+    FROM m JOIN sz ON m.doc_id = sz.doc_id
+    WHERE CAST(m.common AS DOUBLE) / sz.n >= {DECONTAM_THRESHOLD}
+    ORDER BY m.doc_id, m.eval_id
+    """,
+    doc="benchmark decontamination: n-gram containment of each training doc "
+    "against a broadcast eval-set shingle index (eval = every 97th doc).",
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_sets_cached
+
+    sets = shingle_sets_cached(spark, sf_dir)
+    eval_sets = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    return decontaminate_pairs(sets, eval_sets).orderBy("doc_id", "eval_id")

@@ -449,3 +449,71 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("neighbor_id"), F.col("rk").cast("int").alias("rk"))
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization
+# --------------------------------------------------------------------------
+#
+# Per-vector symmetric int8 quantization — the storage/bandwidth lever for
+# embedding tables at 100 TB (4x smaller than float32, and int8 dot
+# products are what IVF/PQ-style ANN engines score with). scale =
+# max(|x|)/127 per vector; code_i = floor(x_i/scale + 0.5) in [-127, 127].
+# Pure Catalyst HOFs — no Python, no shuffle; the quantization is a
+# projection that runs at scan speed.
+#
+# Engine portability: floor(x + 0.5) instead of round() (Spark HALF_UP vs
+# DuckDB half-even would diverge on exact halves), and the float32 inputs
+# are cast to double on BOTH sides before any arithmetic, so every
+# division is the same IEEE op in Spark and DuckDB. The exported scale is
+# quantized to micro-units (floor(scale*2^20 + 0.5), exact int64) per the
+# repo's float-portability convention.
+
+
+def quantize_int8(vec: Column | str) -> Column:
+    """array<float> -> struct(scale double, codes array<int>)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    dv = F.transform(v, lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(dv, F.abs)) / F.lit(127.0)
+    codes = F.transform(dv, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    return F.struct(scale.alias("scale"), codes.alias("codes"))
+
+
+@register(
+    "q_embedding_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) /
+                    (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                    + 0.5) AS INTEGER)) AS codes
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1048576 + 0.5) AS BIGINT) AS scale_q20,
+           CAST(list_max(codes) AS INTEGER) AS max_code,
+           CAST(list_min(codes) AS INTEGER) AS min_code,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum
+    FROM q ORDER BY vec_id
+    """,
+    doc="per-vector symmetric int8 quantization of the embedding column: "
+    "scale = max|x|/127, codes = floor(x/scale + 0.5); exported as exact "
+    "integers (micro-unit scale, code extrema/sum) for the oracle hash.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_int8("embedding").alias("q"))
+    return q.select(
+        "vec_id",
+        F.floor(F.col("q.scale") * F.lit(1048576.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("scale_q20"),
+        F.array_max("q.codes").cast("int").alias("max_code"),
+        F.array_min("q.codes").cast("int").alias("min_code"),
+        F.aggregate(
+            "q.codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+    ).orderBy("vec_id")

@@ -49,14 +49,16 @@ def register(
 # the full streaming family, everything touching `events`, the LLM-pipeline
 # core, and the 4 queries no round has ever driver-checked
 # (q_wordcount_topk — the reference's own demo twin, README.md:64-124 —
-# q_mqlog_roundtrip, q_map_functions, q_fuzzy_source_pairs). Queries not
+# q_mqlog_roundtrip, q_map_functions, q_fuzzy_source_pairs), plus the
+# round-4 additions (decontamination, embedding quantization). Queries not
 # listed keep registration order after the prefix; r01/r03 already recorded
-# green rows for them, so round-over-round union coverage stays complete.
+# green rows for them (q_text_quality, q_text_fingerprint were swapped out
+# as stable greens), so round-over-round union coverage stays complete.
 _PRIORITY: tuple[str, ...] = (
     "q_text_token_stats",
-    "q_text_quality",
     "q_text_lang_id",
-    "q_text_fingerprint",
+    "q_decontaminate_ngram",
+    "q_embedding_quantize",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",

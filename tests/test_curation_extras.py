@@ -1,0 +1,81 @@
+"""Round-4 additions: benchmark decontamination and int8 embedding
+quantization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_sql_custom_mq_datasource_spark.operators.curation import (
+    DECONTAM_EVAL_MOD,
+    decontaminate_pairs,
+)
+from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+    shingle_sets_cached,
+)
+from spark_sql_custom_mq_datasource_spark.operators.similarity import quantize_int8
+from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+
+class TestDecontaminate:
+    def test_exact_dup_of_eval_doc_is_fully_contained(self, spark, sf_dir):
+        """The sf0.001 corpus has exact/near dups of doc 0 (an eval doc);
+        they must surface with containment ~1."""
+        sets = shingle_sets_cached(spark, sf_dir)
+        ev = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        top = (
+            decontaminate_pairs(sets, ev, threshold=0.0)
+            .orderBy(F.desc("containment"))
+            .limit(1)
+            .collect()
+        )
+        assert top and top[0]["containment"] >= 0.9
+
+    def test_self_pairs_excluded(self, spark, sf_dir):
+        sets = shingle_sets_cached(spark, sf_dir)
+        ev = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        pairs = decontaminate_pairs(sets, ev, threshold=0.0)
+        assert pairs.where(F.col("doc_id") == F.col("eval_id")).count() == 0
+
+    def test_eval_side_is_broadcast(self, spark, sf_dir):
+        """The benchmark index must ride a broadcast join — the corpus-side
+        probe must not shuffle at 100 TB."""
+        sets = shingle_sets_cached(spark, sf_dir)
+        ev = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        plan = (
+            decontaminate_pairs(sets, ev)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestQuantizeInt8:
+    def test_codes_bounded_and_extreme_hit(self, spark, sf_dir):
+        emb = t(spark, sf_dir, "embeddings")
+        q = emb.select("vec_id", quantize_int8("embedding").alias("q"))
+        stats = q.select(
+            F.array_max("q.codes").alias("mx"), F.array_min("q.codes").alias("mn")
+        ).agg(
+            F.max("mx").alias("gmax"),
+            F.min("mn").alias("gmin"),
+            # every vector's max-|x| element must map to ±127
+            F.min(F.greatest(F.col("mx"), -F.col("mn"))).alias("extreme"),
+        ).collect()[0]
+        assert stats["gmax"] <= 127 and stats["gmin"] >= -127
+        assert stats["extreme"] == 127
+
+    def test_reconstruction_error_within_half_step(self, spark, sf_dir):
+        emb = t(spark, sf_dir, "embeddings")
+        q = emb.select("embedding", quantize_int8("embedding").alias("q"))
+        worst = q.select(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "q.codes",
+                    lambda x, c: F.abs(x.cast("double") - c * F.col("q.scale"))
+                    / F.col("q.scale"),
+                )
+            ).alias("rel_err")
+        ).agg(F.max("rel_err")).collect()[0][0]
+        assert worst <= 0.5 + 1e-9
