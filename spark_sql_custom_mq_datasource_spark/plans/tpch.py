@@ -519,10 +519,15 @@ def q_union_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
+    # Aggregate-before-join: collapse lineitem to one row per partkey on a
+    # single long key (map-side combine), then broadcast-join part onto the
+    # |parts|-sized result. p_partkey determines p_brand, so grouping by
+    # partkey alone is equivalent to the (brand, partkey) grouping.
     per_part = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_partkey")
+        li.groupBy("l_partkey")
         .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("p_brand", "p_partkey", "revenue")
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (

@@ -450,12 +450,21 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    # Aggregate-before-join: sum qty per orderkey FIRST (one map-side-
+    # combined shuffle on a single long key — lineitem never joins at full
+    # width), filter HAVING, then broadcast the few qualifying orders into
+    # the dimension joins. o_orderkey functionally determines the original
+    # 5-column grouping, so results are identical to agg-after-join.
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
         .where(F.col("sum_qty") > 250)
+    )
+    # qty's post-HAVING size is data-dependent — no forced broadcast hint;
+    # AQE converts to broadcast at runtime when it measures small.
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
