@@ -1,0 +1,31 @@
+"""The driver verifies only a 50-query prefix of queries() — these
+invariants keep that prefix meaningful (VERDICT.md r03 item 5)."""
+
+from __future__ import annotations
+
+from spark_sql_custom_mq_datasource_spark.plans.registry import (
+    _PRIORITY,
+    QUERIES,
+    get_oracles,
+    get_queries,
+)
+
+
+def test_priority_names_all_registered():
+    get_queries()
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+
+
+def test_prefix_is_exactly_priority():
+    names = list(get_queries())
+    assert names[: len(_PRIORITY)] == list(_PRIORITY)
+    assert len(_PRIORITY) == 50
+
+
+def test_prefix_queries_all_have_oracles_except_live_streams():
+    """Everything in the checked prefix should be value-checkable; the only
+    exception is the live-clock mq wordcount (rows-only by design)."""
+    oracles = get_oracles()
+    no_oracle = [n for n in _PRIORITY if n not in oracles]
+    assert no_oracle == ["q_stream_mq_wordcount"], no_oracle
