@@ -664,7 +664,11 @@ def cosine_pairs_blocked(
             F.least("own", "other").alias("ka"),
             F.greatest("own", "other").alias("kb"),
         )
-        .dropDuplicates(["vec_id", "ka", "kb"])
+        # No dedup needed: for a fixed `own`, the n_blocks sorted pairs
+        # (least, greatest) are pairwise distinct, so each row contributes
+        # exactly one copy per block pair it must meet. (A defensive
+        # dropDuplicates here cost a full extra shuffle of the replicated
+        # corpus — 8x the input — for zero effect.)
     )
     return replicated.groupBy("ka", "kb").applyInPandas(block_pairs, out_schema)
 
