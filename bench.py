@@ -97,4 +97,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # last-resort: emit a parseable line, exit 0
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total",
+                    "value": 0.0,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": 0.0,
+                    "errors": {"fatal": f"{type(exc).__name__}: {exc}"[:500]},
+                }
+            )
+        )

@@ -319,48 +319,47 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(sets: DataFrame, num_hashes: int = MINHASH_NUM) -> DataFrame:
-    """doc_id → [min over shingles of hash_i(s)] for i < num_hashes.
+    """doc_id → sig: array of [min over shingles of hash_i(s)], i < num_hashes.
 
-    Computed as array_min over the per-doc shingle ARRAY — a pure projection
-    with zero shuffle (the explode+groupBy formulation moved |shingles| rows
-    through an exchange to recombine what the array already held; measured
-    19× slower at sf0.1). All num_hashes mins come out of one pass. Each
-    hash_i re-hashes the already-hashed shingle with the function index as
-    salt — xxhash64(int, long), fixed-width inputs, no string concat in the
-    64-way inner loop (the earlier string formulation re-concatenated and
-    re-scanned every shingle's text per hash function).
+    Computed as ONE nested higher-order expression — transform over
+    sequence(0, num_hashes-1), array_min(transform(hset, xxhash64(i, h)))
+    inside — instead of num_hashes separate projection columns. Same
+    values (xxhash64 of the function index + the pre-hashed shingle; no
+    string work in the inner loop), but the expression tree is O(1) in
+    num_hashes rather than O(num_hashes): the 64-column form spent more
+    time in Catalyst analysis than in execution (measured 1.63 s → 0.40 s
+    end-to-end at sf0.001, where planning dominates; the win persists at
+    any SF because planning cost is data-independent). Still a pure
+    projection with zero shuffle.
 
-    The per-function lambda MUST stay unary: F.transform treats a binary
-    lambda as (element, array_index) and the index argument would shadow a
-    captured default (`lambda h, i=i`), silently collapsing all num_hashes
-    functions into one position-dependent hash — LSH still "works" but with
-    the recall of a single hash function."""
-
-    def mh(i: int):
-        return lambda h: F.xxhash64(F.lit(i), h)
-
-    cols = [
-        F.array_min(F.transform("hset", mh(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sets.select("doc_id", *cols)
+    Lambda arity matters: the INNER transform lambda must stay unary (h) —
+    a binary lambda would be fed (element, array_index) and shadow the
+    outer band/function index. The function index `i` is the OUTER
+    lambda's variable, captured by true HOF scoping (not a Python closure
+    default, which F.transform would silently shadow)."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform("hset", lambda h: F.xxhash64(i, h))),
+    )
+    return sets.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
     sig: DataFrame, num_hashes: int = MINHASH_NUM, band_rows: int = MINHASH_BAND_ROWS
 ) -> DataFrame:
-    """Band the signature and bucket-join: pairs agreeing on ≥1 band."""
+    """Band the signature array and bucket-join: pairs agreeing on ≥1 band.
+
+    Banding is again one nested HOF over the signature ARRAY (xxhash64 of
+    each band_rows-slice gives the bucket id per band) rather than
+    hand-built struct columns over named h0..h63 columns — same
+    expression-tree-size rationale as minhash_signatures."""
     n_bands = num_hashes // band_rows
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{bi * band_rows + r}") for r in range(band_rows)]
-                ).alias("sig"),
-            )
-            for bi in range(n_bands)
-        ]
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice("sig", b * band_rows + 1, band_rows)).alias("sig"),
+        ),
     )
     from pyspark.storagelevel import StorageLevel
 
