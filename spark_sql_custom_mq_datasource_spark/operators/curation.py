@@ -340,3 +340,139 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = shingle_sets_cached(spark, sf_dir)
     eval_sets = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
     return decontaminate_pairs(sets, eval_sets).orderBy("doc_id", "eval_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+#
+# Down-sampling over-represented strata is the mirror image of q_mix_upsample:
+# keep a per-stratum FRACTION of docs, chosen by content-free hash — no RNG,
+# no seed coordination across executors, and (the property that matters for
+# reprocessing at 100 TB) a doc's keep/drop decision never changes when the
+# corpus around it does. Rates are per-lang percentages; the keep predicate
+# is pure map-side (hash < rate), so the sample costs one scan, no shuffle
+# before the reporting agg.
+
+SAMPLE_RATES = {"en": 30, "de": 80, "es": 80, "fr": 80, "zh": 100}  # keep-%
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, int], strata_col: str = "lang"
+) -> DataFrame:
+    """Keep rows where the doc's hash bucket falls under its stratum's rate.
+    Unknown strata default to keep-all (rate 100)."""
+    rate = None
+    for k, v in rates.items():
+        cond = F.when(F.col(strata_col) == k, F.lit(v))
+        rate = cond if rate is None else rate.when(F.col(strata_col) == k, F.lit(v))
+    rate = rate.otherwise(F.lit(100))
+    return df.where(split_bucket("doc_id") < rate)
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE 100 END"
+
+
+@register(
+    "q_stratified_sample",
+    f"""
+    WITH kept AS (
+      SELECT lang, len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+      WHERE {_SQL_BUCKET} < {_sql_rate_case()}
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    doc="deterministic stratified down-sampling: per-lang keep-rates applied "
+    "via content-free hash buckets (no RNG, reprocessing-stable); map-side "
+    "predicate, one reporting agg.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, SAMPLE_RATES)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) exact dedup
+# --------------------------------------------------------------------------
+#
+# Production dedup is rarely one-shot: a new crawl/batch arrives and must be
+# deduped AGAINST the existing corpus without re-deduping the corpus itself.
+# Shape: LEFT ANTI join of the new batch's content hashes against the
+# corpus's — at 100 TB the corpus side is a bucketed/Z-ordered hash index
+# you pre-partition once and reuse per batch; the per-batch cost is a scan
+# of the (much smaller) batch plus a hash-partitioned probe. The fixture
+# stands in "new batch" as the top doc_id quartile.
+
+INCR_BATCH_FRACTION = 4  # top 1/4 of doc_ids = the "new" batch
+
+
+def incremental_dedup(
+    new_batch: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Rows of new_batch whose (case-normalized) content hash is absent from
+    corpus — plus intra-batch dedup keeping the min doc_id per hash."""
+    h = F.md5(F.lower(text_col))
+    nb = new_batch.withColumn("_h", h)
+    seen = corpus.select(F.md5(F.lower(text_col)).alias("_h")).distinct()
+    survivors = nb.join(seen, "_h", "left_anti")
+    w_min = F.min("doc_id").over(Window.partitionBy("_h"))
+    return (
+        survivors.withColumn("_keep", F.col("doc_id") == w_min)
+        .where("_keep")
+        .drop("_keep")
+    )
+
+
+@register(
+    "q_dedup_incremental",
+    """
+    WITH lim AS (SELECT CAST(max(doc_id) * 3 / 4 AS BIGINT) AS cut FROM documents),
+    corpus AS (SELECT DISTINCT md5(lower(text)) AS h
+               FROM documents, lim WHERE doc_id <= lim.cut),
+    batch AS (SELECT doc_id, md5(lower(text)) AS h, source
+              FROM documents, lim WHERE doc_id > lim.cut),
+    surv AS (
+      SELECT b.doc_id, b.h, b.source FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    ),
+    kept AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM surv
+    )
+    SELECT source, COUNT(*) AS n_new_unique
+    FROM kept WHERE rn = 1
+    GROUP BY source ORDER BY source
+    """,
+    doc="incremental dedup: LEFT ANTI probe of the new batch's content "
+    "hashes against the existing corpus, then intra-batch min-id dedup; "
+    "the corpus side is the reusable hash index at scale.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    cut = (
+        docs.agg((F.max("doc_id") * 3 / 4).cast("bigint").alias("cut"))
+        .collect()[0]["cut"]
+    )
+    corpus = docs.where(F.col("doc_id") <= cut)
+    batch = docs.where(F.col("doc_id") > cut)
+    return (
+        incremental_dedup(batch, corpus)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_new_unique"))
+        .orderBy("source")
+    )

@@ -50,16 +50,19 @@ def register(
 # core, and the 4 queries no round has ever driver-checked
 # (q_wordcount_topk — the reference's own demo twin, README.md:64-124 —
 # q_mqlog_roundtrip, q_map_functions, q_fuzzy_source_pairs), plus the
-# round-4 additions (decontamination, embedding quantization). Queries not
-# listed keep registration order after the prefix; r01/r03 already recorded
-# green rows for them (q_text_quality, q_text_fingerprint were swapped out
-# as stable greens), so round-over-round union coverage stays complete.
+# round-4 additions (decontamination, embedding quantization, stratified
+# sampling, incremental dedup). Queries not listed keep registration order
+# after the prefix; r01/r03 already recorded green rows for them
+# (q_text_quality, q_text_fingerprint, q_udf_scalar_tokens,
+# q_multimodal_binary_meta rotated out as stable greens), so
+# round-over-round union coverage stays complete.
 _PRIORITY: tuple[str, ...] = (
     "q_text_token_stats",
     "q_text_lang_id",
     "q_decontaminate_ngram",
     "q_embedding_quantize",
     "q_dedup_exact",
+    "q_dedup_incremental",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
@@ -70,12 +73,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_ivf",
     "q_split_train_val_test",
     "q_curation_pipeline",
+    "q_stratified_sample",
     "q_pack_sequences",
-    "q_udf_scalar_tokens",
     "q_udf_grouped_user_stats",
     "q_udf_grouped_agg_geomean",
     "q_udtf_tokenize",
-    "q_multimodal_binary_meta",
     "q_multimodal_decode",
     "q_asof_join_last_order",
     "q_range_join_acctbal",

@@ -79,3 +79,45 @@ class TestQuantizeInt8:
             ).alias("rel_err")
         ).agg(F.max("rel_err")).collect()[0][0]
         assert worst <= 0.5 + 1e-9
+
+
+class TestStratifiedSample:
+    def test_sample_is_subset_and_deterministic(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            SAMPLE_RATES,
+            stratified_sample,
+        )
+
+        docs = t(spark, sf_dir, "documents")
+        s1 = {r["doc_id"] for r in stratified_sample(docs, SAMPLE_RATES).select("doc_id").collect()}
+        s2 = {r["doc_id"] for r in stratified_sample(docs, SAMPLE_RATES).select("doc_id").collect()}
+        assert s1 == s2  # content-free hash => identical across runs
+        assert s1 < {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    def test_rate_100_keeps_all(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            stratified_sample,
+        )
+
+        docs = t(spark, sf_dir, "documents")
+        kept = stratified_sample(docs, {"en": 100}).count()
+        assert kept == docs.count()  # unknown strata default to keep-all too
+
+
+class TestIncrementalDedup:
+    def test_survivors_disjoint_from_corpus_hashes(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            incremental_dedup,
+        )
+
+        docs = t(spark, sf_dir, "documents")
+        cut = docs.agg((F.max("doc_id") * 3 / 4).cast("bigint")).collect()[0][0]
+        corpus = docs.where(F.col("doc_id") <= cut)
+        batch = docs.where(F.col("doc_id") > cut)
+        surv = incremental_dedup(batch, corpus)
+        # no survivor's hash exists in the corpus, and survivors are unique
+        clash = surv.join(
+            corpus.select(F.md5(F.lower("text")).alias("_h")).distinct(), "_h"
+        ).count()
+        assert clash == 0
+        assert surv.groupBy("_h").count().agg(F.max("count")).collect()[0][0] == 1
