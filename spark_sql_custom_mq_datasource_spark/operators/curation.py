@@ -476,3 +476,96 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_new_unique"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixing (largest-remainder allocation)
+# --------------------------------------------------------------------------
+#
+# The planning step behind every training-mix spec: given per-source token
+# inventories and a global token budget, allocate the budget across sources
+# proportionally to weights, capped by each source's inventory, with the
+# integer residue distributed by largest remainder (Hamilton's method) so
+# allocations sum EXACTLY to min(budget, total available). All integer
+# arithmetic — deterministic, oracle-exact, and the distributed part (the
+# inventory aggregation) is the only part that touches the corpus: the
+# allocation itself runs over one row per source.
+
+MIX_BUDGET_TOKENS = 6000
+
+
+def token_budget_mix(inventory: DataFrame, budget: int) -> DataFrame:
+    """inventory: (source, avail) -> (source, avail, alloc).
+
+    Weighted share = budget * avail / total (integer floor), residue by
+    largest fractional remainder, ties broken by source name; every alloc
+    capped at avail. One pass of window arithmetic over |sources| rows."""
+    total = F.sum("avail").over(Window.partitionBy())
+    share_num = F.col("avail") * F.lit(budget)
+    base = F.floor(share_num / total)
+    rem = share_num - base * total  # fractional remainder, scaled by total
+    shared = inventory.select(
+        "source",
+        "avail",
+        F.least(base, F.col("avail")).cast("bigint").alias("base"),
+        rem.alias("rem"),
+        total.alias("total"),
+    )
+    # residue = budget - sum(base), handed out one token per source in
+    # descending remainder order (classic largest-remainder completion)
+    wsum = F.sum("base").over(Window.partitionBy())
+    wrank = F.row_number().over(Window.partitionBy().orderBy(F.desc("rem"), "source"))
+    return (
+        shared.withColumn("residue", F.least(F.lit(budget), F.col("total")) - wsum)
+        .withColumn("rk", wrank)
+        .select(
+            "source",
+            "avail",
+            F.least(
+                F.col("avail"),
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("residue"), F.lit(1)).otherwise(F.lit(0)),
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+
+
+@register(
+    "q_token_budget_mix",
+    f"""
+    WITH inv AS (
+      SELECT source, CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(avail) AS total FROM inv),
+    based AS (
+      SELECT source, avail,
+             LEAST(CAST(FLOOR(avail * {MIX_BUDGET_TOKENS} / total) AS BIGINT), avail) AS base,
+             avail * {MIX_BUDGET_TOKENS} - CAST(FLOOR(avail * {MIX_BUDGET_TOKENS} / total) AS BIGINT) * total AS rem,
+             total
+      FROM inv, tot
+    ),
+    ranked AS (
+      SELECT source, avail, base, total,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             SUM(base) OVER () AS base_sum
+      FROM based
+    )
+    SELECT source, avail,
+           LEAST(avail, base + CASE WHEN rk <= LEAST({MIX_BUDGET_TOKENS}, total) - base_sum
+                                    THEN 1 ELSE 0 END) AS alloc
+    FROM ranked ORDER BY source
+    """,
+    doc="token-budget mix planning: largest-remainder (Hamilton) allocation "
+    "of a global token budget across sources, capped by inventory; integer-"
+    "exact, distributed only where it touches the corpus (the inventory agg).",
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inv = (
+        tp(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(token_count("text")).cast("bigint").alias("avail"))
+    )
+    return token_budget_mix(inv, MIX_BUDGET_TOKENS).orderBy("source")

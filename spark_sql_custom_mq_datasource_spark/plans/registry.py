@@ -74,7 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_split_train_val_test",
     "q_curation_pipeline",
     "q_stratified_sample",
-    "q_pack_sequences",
+    "q_token_budget_mix",
     "q_udf_grouped_user_stats",
     "q_udf_grouped_agg_geomean",
     "q_udtf_tokenize",

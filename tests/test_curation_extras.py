@@ -121,3 +121,36 @@ class TestIncrementalDedup:
         ).count()
         assert clash == 0
         assert surv.groupBy("_h").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+class TestTokenBudgetMix:
+    def test_allocations_sum_to_budget_and_respect_caps(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            MIX_BUDGET_TOKENS,
+            token_budget_mix,
+        )
+        from spark_sql_custom_mq_datasource_spark.functions.text import token_count
+
+        inv = (
+            t(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.sum(token_count("text")).cast("bigint").alias("avail"))
+        )
+        rows = token_budget_mix(inv, MIX_BUDGET_TOKENS).collect()
+        total_avail = sum(r["avail"] for r in rows)
+        assert all(r["alloc"] <= r["avail"] for r in rows)
+        assert sum(r["alloc"] for r in rows) == min(MIX_BUDGET_TOKENS, total_avail)
+
+    def test_budget_above_inventory_allocates_everything(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            token_budget_mix,
+        )
+        from spark_sql_custom_mq_datasource_spark.functions.text import token_count
+
+        inv = (
+            t(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.sum(token_count("text")).cast("bigint").alias("avail"))
+        )
+        rows = token_budget_mix(inv, 10**12).collect()
+        assert all(r["alloc"] == r["avail"] for r in rows)
