@@ -461,6 +461,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     """Near-dup pairs by SimHash hamming ≤ k, found EXACTLY via pigeonhole
     banding: split 60 bits into k+1=4 bands of 15 — any pair within hamming
     k agrees on at least one full band, so a band-bucket join loses nothing."""
+    from pyspark.storagelevel import StorageLevel
+
     n_bands = max_hamming + 1
     band_bits = SIMHASH_BITS // n_bands
     # exchange barrier: the banding projection references the signature 5×
@@ -482,8 +484,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
             for k in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", "sh", F.explode(bands).alias("b")).select(
-        "doc_id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    banded = (
+        sig.select("doc_id", "sh", F.explode(bands).alias("b"))
+        .select(
+            "doc_id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+        )
+        # Both self-join sides read this subtree; exchange reuse does not
+        # fire across the alias, so without a persist the simhash fold over
+        # the full text runs once per side (same discipline as the PPJoin
+        # prefix and MinHash banded persists). 4 rows of 4 longs per doc;
+        # DISK_ONLY like the other dedup caches — keep the heap for
+        # operators actually running.
+        .persist(StorageLevel.DISK_ONLY)
     )
     l, r = banded.alias("l"), banded.alias("r")
     ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
