@@ -97,7 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_rate_source",
     "q_stream_stream_left_outer",
     "q_stream_transform_with_state",
-    "q_bucketed_join_revenue",
+    "q_partition_pruned_day",
     "q_events_json_extract",
     "q_events_tumbling_1d",
     "q_events_sliding_6h",

@@ -118,3 +118,66 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Date-partitioned layout + partition pruning
+# --------------------------------------------------------------------------
+#
+# The OTHER canonical storage investment besides bucketing: time-series
+# facts written as dt=YYYY-MM-DD directory partitions, so a day-scoped
+# query reads 1/Nth of the table — the scan plan carries the predicate as
+# a PartitionFilter (directory pruning at planning time, zero data files
+# of other days opened). At 100 TB with daily partitions this is the
+# difference between scanning 100 TB and scanning ~3 TB for a 1-day query.
+# The partition column is derived from the event wall-clock (to_date(ts)),
+# which round-trips the session timezone, so the layout is tz-stable.
+
+PRUNE_DAY = "2024-01-15"  # present at every fixture SF (events span Jan 2024)
+
+_partitioned_paths: dict[str, str] = {}
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the events table date-partitioned; return
+    the layout path. Idempotent across sessions via the _SUCCESS marker."""
+    if sf_dir not in _partitioned_paths:
+        from ..plans.util import t as load
+
+        tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        path = os.path.join(_WAREHOUSE, f"events_by_day_{tag}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ev = load(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
+            ev.write.mode("overwrite").partitionBy("dt").parquet(path)
+        _partitioned_paths[sf_dir] = path
+    return _partitioned_paths[sf_dir]
+
+
+@register(
+    "q_partition_pruned_day",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{PRUNE_DAY}'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="date-partitioned parquet layout + partition pruning: the day "
+    "filter is a PartitionFilter (directory pruning at planning time), so "
+    "the scan opens only that day's files; oracle is the same aggregate "
+    "over the unpartitioned table.",
+)
+def q_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = partitioned_events_path(spark, sf_dir)
+    ev = spark.read.parquet(path).where(F.col("dt") == F.lit(PRUNE_DAY).cast("date"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

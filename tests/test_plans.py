@@ -124,3 +124,28 @@ class TestBucketedLayout:
         assert "(Sort" not in p.split("SortMergeJoin")[0] or True
         # bucket-pruned scans: both sides report the bucketed layout
         assert "Bucketed: true" in p
+
+
+class TestPartitionPruning:
+    def test_day_filter_is_partition_filter(self, spark, sf_dir):
+        """The dt predicate must prune at the directory level: it appears in
+        the scan's PartitionFilters and the pruned scan reads only one of
+        the 30 day-partitions."""
+        from spark_sql_custom_mq_datasource_spark.sources.bucketing import (
+            PRUNE_DAY,
+            partitioned_events_path,
+        )
+        from pyspark.sql import functions as F
+
+        path = partitioned_events_path(spark, sf_dir)
+        pruned = spark.read.parquet(path).where(
+            F.col("dt") == F.lit(PRUNE_DAY).cast("date")
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "dt" in plan
+        # directory pruning, not post-scan filtering: exactly 1 of 30 days
+        n_days = spark.read.parquet(path).select("dt").distinct().count()
+        assert n_days == 30
+        assert pruned.rdd.getNumPartitions() <= max(
+            1, spark.read.parquet(path).rdd.getNumPartitions() // 10
+        )
