@@ -366,7 +366,8 @@ def stratified_sample(
     for k, v in rates.items():
         cond = F.when(F.col(strata_col) == k, F.lit(v))
         rate = cond if rate is None else rate.when(F.col(strata_col) == k, F.lit(v))
-    rate = rate.otherwise(F.lit(100))
+    # empty rates dict => every stratum is "unknown" => keep-all
+    rate = F.lit(100) if rate is None else rate.otherwise(F.lit(100))
     return df.where(split_bucket("doc_id") < rate)
 
 
@@ -440,7 +441,7 @@ def incremental_dedup(
 @register(
     "q_dedup_incremental",
     """
-    WITH lim AS (SELECT CAST(max(doc_id) * 3 / 4 AS BIGINT) AS cut FROM documents),
+    WITH lim AS (SELECT CAST(FLOOR(max(doc_id) * 3.0 / 4) AS BIGINT) AS cut FROM documents),
     corpus AS (SELECT DISTINCT md5(lower(text)) AS h
                FROM documents, lim WHERE doc_id <= lim.cut),
     batch AS (SELECT doc_id, md5(lower(text)) AS h, source
@@ -464,8 +465,10 @@ def incremental_dedup(
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tp(spark, sf_dir, "documents")
+    # FLOOR on both sides: Spark's double->bigint cast truncates while
+    # DuckDB's CAST rounds to nearest — explicit floor pins one semantic
     cut = (
-        docs.agg((F.max("doc_id") * 3 / 4).cast("bigint").alias("cut"))
+        docs.agg(F.floor(F.max("doc_id") * 3 / 4).cast("bigint").alias("cut"))
         .collect()[0]["cut"]
     )
     corpus = docs.where(F.col("doc_id") <= cut)

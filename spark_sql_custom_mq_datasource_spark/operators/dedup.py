@@ -276,7 +276,10 @@ def jaccard_pairs_from_sets(
         # (canonicalized-exchange reuse does not fire across the alias).
         # The prefix index is tiny — ~(1-t)·|shingles| rows of 4 longs —
         # so this is a cheap materialization even at 100 TB (measured at
-        # sf0.1: steady-state 1.40 s → 0.76 s end-to-end).
+        # sf0.1: steady-state 1.40 s → 0.76 s end-to-end). Repeated
+        # invocations do NOT accumulate copies: CacheManager dedups by
+        # canonical plan (verified — entry count is stable across calls),
+        # so cached entries are bounded by distinct (input, params) pairs.
         .persist(StorageLevel.DISK_ONLY)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -780,9 +783,11 @@ _SQL_CLUSTERS = f"""
     "oracle is a recursive-CTE transitive closure.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = jaccard_pairs_from_sets(shingle_sets_cached(spark, sf_dir)).select(
-        "da", "db"
-    )
+    # same stop-shingle cap as q_dedup_ngram_jaccard — the two registered
+    # queries must agree on what "the near-dup pairs" are
+    pairs = jaccard_pairs_from_sets(
+        shingle_sets_cached(spark, sf_dir), max_shingle_df=STOP_SHINGLE_MAX_DF
+    ).select("da", "db")
     comp = connected_components(pairs)
     return (
         comp.groupBy("rep")

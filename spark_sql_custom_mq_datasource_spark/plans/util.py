@@ -16,7 +16,9 @@ from pyspark.sql import functions as F  # noqa: F401 (used throughout)
 
 from .. import TABLES
 
-_cache: dict[tuple[int, str, str], DataFrame] = {}
+# keys: (id(spark), sf_dir, name) from t(); (id(spark), sf_dir, name, "tp")
+# from tp() — the trailing tag keeps the two families collision-free
+_cache: dict[tuple, DataFrame] = {}
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

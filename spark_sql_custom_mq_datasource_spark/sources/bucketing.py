@@ -139,13 +139,21 @@ _partitioned_paths: dict[str, str] = {}
 
 
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per sf_dir) the events table date-partitioned; return
-    the layout path. Idempotent across sessions via the _SUCCESS marker."""
+    """Write (once per source-fixture version) the events table
+    date-partitioned; return the layout path.
+
+    The path embeds a fingerprint of the source parquet (mtime+size), so a
+    regenerated fixture — which HAS happened between rounds, see
+    .claude/skills/verify/SKILL.md — gets a fresh layout instead of the
+    _SUCCESS marker silently serving stale data against a fresh oracle."""
     if sf_dir not in _partitioned_paths:
         from ..plans.util import t as load
 
+        src = os.path.join(sf_dir, "events.parquet")
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
         tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-        path = os.path.join(_WAREHOUSE, f"events_by_day_{tag}")
+        path = os.path.join(_WAREHOUSE, f"events_by_day_{tag}_{fp}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             ev = load(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
             ev.write.mode("overwrite").partitionBy("dt").parquet(path)
@@ -158,7 +166,7 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     f"""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     WHERE CAST(ts AS DATE) = DATE '{PRUNE_DAY}'
     GROUP BY event_type ORDER BY event_type
@@ -175,7 +183,7 @@ def q_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("double")
             .alias("total_value"),
         )
