@@ -154,3 +154,47 @@ class TestTokenBudgetMix:
         )
         rows = token_budget_mix(inv, 10**12).collect()
         assert all(r["alloc"] == r["avail"] for r in rows)
+
+
+class TestTokenBudgetMixProperties:
+    """Seeded random scenarios vs a pure-Python Hamilton reference — the
+    Spark window arithmetic must reproduce largest-remainder allocation
+    exactly, including caps and tie-breaks."""
+
+    @staticmethod
+    def _reference(inv: dict[str, int], budget: int) -> dict[str, int]:
+        total = sum(inv.values())
+        if total == 0:
+            return {s: 0 for s in inv}
+        base = {
+            s: min(a, (a * budget) // total) for s, a in inv.items()
+        }
+        rem = {s: a * budget - ((a * budget) // total) * total for s, a in inv.items()}
+        residue = min(budget, total) - sum(base.values())
+        order = sorted(inv, key=lambda s: (-rem[s], s))
+        alloc = dict(base)
+        for s in order[: max(0, residue)]:
+            alloc[s] = min(inv[s], alloc[s] + 1)
+        return alloc
+
+    def test_random_scenarios_match_reference(self, spark):
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            token_budget_mix,
+        )
+
+        rng = random.Random(1234)
+        for case in range(6):
+            n = rng.randint(1, 8)
+            inv = {f"s{i}": rng.randint(0, 5000) for i in range(n)}
+            budget = rng.choice([0, 1, 100, sum(inv.values()) or 1, 10**9])
+            df = spark.createDataFrame(
+                [(s, a) for s, a in inv.items()], "source string, avail long"
+            )
+            got = {
+                r["source"]: r["alloc"] for r in token_budget_mix(df, budget).collect()
+            }
+            exp = self._reference(inv, budget)
+            assert got == exp, f"case {case}: inv={inv} budget={budget}"
+            assert sum(got.values()) == min(budget, sum(inv.values()))
