@@ -526,3 +526,91 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q.codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("code_sum"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation
+# --------------------------------------------------------------------------
+#
+# The metric every ANN deployment tracks: recall@k of the approximate path
+# against exact brute force. Operationally this runs on a sampled query set
+# whenever the index is rebuilt (new corpus snapshot, new hyperplanes) —
+# a regression gate for the retrieval layer, exactly like the correctness
+# oracles are for the queries. Both inputs here are themselves
+# value-checked operators, so the recall numbers are engine-portable and
+# get a full oracle too (the oracle recomputes both methods in SQL).
+
+
+def ann_recall_at_k(exact: DataFrame, approx: DataFrame, k: int = TOPK) -> DataFrame:
+    """(qid, n_hits, recall) from two (qid, neighbor_id, rk<=k) top-k sets."""
+    hits = (
+        exact.select("qid", "neighbor_id")
+        .join(approx.select("qid", "neighbor_id"), ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def _recall_oracle_sql() -> str:
+    dot_b = _SQL_SEQ_DOT.format(a="q.embedding", b="c.embedding")
+    norm_q = _SQL_NORM.format(v="q.embedding")
+    norm_c = _SQL_NORM.format(v="c.embedding")
+    dot_l = _SQL_SEQ_DOT.format(a="lq.qe", b="lc.ue")
+    return f"""
+    WITH {_sql_bucket_ctes()},
+    exact_sims AS (
+      SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+             {dot_b} / ({norm_q} * {norm_c}) AS sim
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      JOIN embeddings c ON c.vec_id != q.vec_id
+    ),
+    exact_topk AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT qid, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rk
+        FROM exact_sims
+      ) WHERE rk <= {TOPK}
+    ),
+    lb AS (SELECT e.vec_id, {_SQL_UNIT} AS ue, bk.bucket
+           FROM embeddings e JOIN buckets bk USING (vec_id)),
+    lsh_cand AS (
+      SELECT lq.vec_id AS qid, lc.vec_id AS neighbor_id, {dot_l} AS sim
+      FROM (SELECT vec_id, ue, bucket FROM lb WHERE vec_id < {N_QUERIES}) lq(vec_id, qe, qb)
+      JOIN lb lc ON lc.bucket = lq.qb AND lc.vec_id != lq.vec_id
+    ),
+    lsh_topk AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT qid, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rk
+        FROM lsh_cand
+      ) WHERE rk <= {TOPK}
+    )
+    SELECT e.qid,
+           CAST(COUNT(l.neighbor_id) AS INTEGER) AS n_hits,
+           COUNT(l.neighbor_id) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM exact_topk e
+    LEFT JOIN lsh_topk l ON e.qid = l.qid AND e.neighbor_id = l.neighbor_id
+    GROUP BY e.qid ORDER BY e.qid
+    """
+
+
+@register(
+    "q_ann_recall_lsh",
+    _recall_oracle_sql(),
+    doc="ANN regression gate: recall@k of the LSH-bucketed path against "
+    "exact brute force, per query — both inputs are the value-checked "
+    "operators above, so the recall itself is oracle-exact.",
+)
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_ann_bruteforce_topk(spark, sf_dir)
+    approx = q_ann_lsh_bucketed(spark, sf_dir)
+    return ann_recall_at_k(exact, approx).orderBy("qid")

@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_bruteforce_topk",
     "q_ann_lsh_bucketed",
     "q_ann_ivf",
+    "q_ann_recall_lsh",
     "q_split_train_val_test",
     "q_curation_pipeline",
     "q_stratified_sample",
@@ -80,7 +81,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_udtf_tokenize",
     "q_multimodal_decode",
     "q_asof_join_last_order",
-    "q_range_join_acctbal",
     "q_salted_join_event_stats",
     "q_stream_tumbling_1d",
     "q_stream_tumbling_watermark",
