@@ -206,8 +206,23 @@ class TestStreaming:
                 .start()
             )
 
+        def drain_until(name, predicate, deadline_sec=90):
+            """Poll the sink until predicate(total) holds — fixed sleeps are
+            flaky when the first micro-batch competes for CPU with a
+            concurrent suite/benchmark run."""
+            deadline = time.time() + deadline_sec
+            total = 0
+            while time.time() < deadline:
+                total = spark.sql(
+                    f"select coalesce(sum(count),0) s from {name}"
+                ).collect()[0]["s"]
+                if predicate(total):
+                    break
+                time.sleep(0.5)
+            return total
+
         q = start("wc_t")
-        time.sleep(6)
+        total1 = drain_until("wc_t", lambda t: t > 0)
         q.stop()
         q.awaitTermination()
         total1 = spark.sql("select coalesce(sum(count),0) s from wc_t").collect()[0]["s"]
@@ -215,7 +230,7 @@ class TestStreaming:
         # every record yields 3-8 words; totals must be consistent with
         # 2 partitions x 20 records per batch
         q = start("wc_t")
-        time.sleep(4)
+        total2 = drain_until("wc_t", lambda t: t >= total1)
         q.stop()
         q.awaitTermination()
         total2 = spark.sql("select coalesce(sum(count),0) s from wc_t").collect()[0]["s"]
