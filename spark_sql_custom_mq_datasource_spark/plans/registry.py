@@ -57,9 +57,9 @@ def register(
 # q_multimodal_binary_meta rotated out as stable greens), so
 # round-over-round union coverage stays complete.
 _PRIORITY: tuple[str, ...] = (
-    "q_text_token_stats",
     "q_text_lang_id",
     "q_decontaminate_ngram",
+    "q_stream_decontaminate",
     "q_embedding_quantize",
     "q_dedup_exact",
     "q_dedup_incremental",

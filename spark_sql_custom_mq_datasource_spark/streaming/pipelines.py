@@ -892,3 +892,86 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(spark, joined, "append").orderBy(
         "user_id", "purchase_id", "click_id"
     )
+
+
+# --------------------------------------------------------------------------
+# 16. Streaming decontamination: the curation family composed with
+#     Structured Streaming — a firehose of crawled docs is checked against
+#     the (broadcast, static) benchmark shingle index IN-FLIGHT, so
+#     contaminated docs are flagged before they ever land in the corpus.
+#     The stream side explodes to hashed shingles (pure Catalyst), probes
+#     the broadcast index map-side, and the per-(doc, eval) match counts
+#     are a streaming aggregation whose state is keyed exactly like the
+#     batch twin's shuffle. Oracle = the batch decontamination SQL.
+# --------------------------------------------------------------------------
+
+
+def _register_stream_decontaminate() -> None:
+    from ..operators.curation import DECONTAM_EVAL_MOD, DECONTAM_THRESHOLD
+
+    @register(
+        "q_stream_decontaminate",
+        f"""
+        WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                        generate_series(1, len(ws) - 2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+               FROM w WHERE len(ws) >= 3),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        m AS (SELECT t.doc_id, e.doc_id AS eval_id, COUNT(*) AS common
+              FROM sh t JOIN sh e ON t.s = e.s
+              WHERE e.doc_id % {DECONTAM_EVAL_MOD} = 0 AND t.doc_id <> e.doc_id
+              GROUP BY 1, 2)
+        SELECT m.doc_id, m.eval_id, CAST(m.common AS INTEGER) AS common,
+               CAST(m.common AS DOUBLE) / sz.n AS containment
+        FROM m JOIN sz ON m.doc_id = sz.doc_id
+        WHERE CAST(m.common AS DOUBLE) / sz.n >= {DECONTAM_THRESHOLD}
+        ORDER BY m.doc_id, m.eval_id
+        """,
+        doc="STREAMING decontamination: stream-static broadcast join of the "
+        "doc firehose's hashed shingles against the benchmark index, "
+        "streaming match-count aggregation; oracle = batch twin.",
+    )
+    def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.text import word_hash  # noqa: F401 (module init)
+        from ..operators.dedup import hashed_shingles, shingle_sets_cached
+
+        sets = shingle_sets_cached(spark, sf_dir)
+        eval_sh = (
+            sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+            .select(F.col("doc_id").alias("eval_id"), F.explode("hset").alias("s"))
+        )
+        docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = (
+            spark.readStream.schema(docs_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        sh = (
+            stream.where(F.size(F.split(F.trim("text"), " ")) >= 3)
+            .select("doc_id", hashed_shingles("text").alias("hset"))
+            .select(
+                "doc_id", F.size("hset").alias("n"), F.explode("hset").alias("s")
+            )
+        )
+        matches = (
+            sh.join(F.broadcast(eval_sh), "s")
+            .where(F.col("doc_id") != F.col("eval_id"))
+            .groupBy("doc_id", "eval_id", "n")
+            .agg(F.count("*").alias("common"))
+        )
+        out = run_to_table(spark, matches, "complete")
+        return (
+            out.select(
+                "doc_id",
+                "eval_id",
+                F.col("common").cast("int").alias("common"),
+                (F.col("common") / F.col("n")).alias("containment"),
+            )
+            .where(F.col("containment") >= DECONTAM_THRESHOLD)
+            .orderBy("doc_id", "eval_id")
+        )
+
+
+_register_stream_decontaminate()
