@@ -731,7 +731,13 @@ def connected_components(
     cost for dedup graphs."""
     a, b = F.col(src).alias("a"), F.col(dst).alias("b")
     e = edges.select(a, b)
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the symmetrized edge list ONCE: every propagation round
+    # scans it, and without the checkpoint each round would re-execute the
+    # entire upstream near-dup pipeline that produced the edges. 2·|pairs|
+    # rows of two longs — trivially small at any corpus scale.
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
     )
