@@ -107,11 +107,13 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as exc:  # last-resort: emit a parseable line, exit 0
+        # value=null (not 0.0): a lower-is-better trend consumer must never
+        # read a total crash as a perfect score (ADVICE r04 item 1).
         print(
             json.dumps(
                 {
                     "metric": "headline_total",
-                    "value": 0.0,
+                    "value": None,
                     "unit": "sec",
                     "queries": {},
                     "sf": 0.0,

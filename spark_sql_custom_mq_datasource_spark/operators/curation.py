@@ -505,7 +505,9 @@ def token_budget_mix(inventory: DataFrame, budget: int) -> DataFrame:
     capped at avail. One pass of window arithmetic over |sources| rows."""
     total = F.sum("avail").over(Window.partitionBy())
     share_num = F.col("avail") * F.lit(budget)
-    base = F.floor(share_num / total)
+    # total == 0 (empty inventory) would NULL-cascade through the division;
+    # short-circuit to base 0 so every alloc is a defined 0 (ADVICE r04).
+    base = F.when(total == F.lit(0), F.lit(0)).otherwise(F.floor(share_num / total))
     rem = share_num - base * total  # fractional remainder, scaled by total
     shared = inventory.select(
         "source",

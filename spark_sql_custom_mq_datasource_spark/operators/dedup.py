@@ -130,6 +130,24 @@ def shingle_sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sets_cache[key]
 
 
+def clear_dedup_caches(spark: SparkSession) -> None:
+    """Release every DISK_ONLY materialization this module (and the
+    similarity module) parked in the session: the shingle-set cache plus
+    the anonymous self-join-shared persists (PPJoin prefix index, MinHash
+    bands, SimHash bands, ANN LSH buckets).
+
+    CacheManager dedups identical plans, so entries are bounded per
+    distinct (input, params) pair — but a long-lived session iterating
+    many sf_dirs/params still accumulates disk cache until shutdown
+    (ADVICE r04 item 2). Call this between fixtures/corpora to reclaim
+    the space; the next query simply re-materializes."""
+    for key in [k for k in _sets_cache if k[0] == id(spark)]:
+        _sets_cache.pop(key).unpersist()
+    # Drops ALL cached plans in the session, including the anonymous
+    # persists that have no module-level handle to unpersist individually.
+    spark.catalog.clearCache()
+
+
 _SQL_SHINGLES = """
   WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
   sh AS (SELECT doc_id,

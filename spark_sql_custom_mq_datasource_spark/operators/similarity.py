@@ -480,11 +480,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quantize_int8(vec: Column | str) -> Column:
-    """array<float> -> struct(scale double, codes array<int>)."""
+    """array<float> -> struct(scale double, codes array<int>).
+
+    An all-zero vector has scale 0; x/scale would be NULL-producing
+    division-by-zero, so zero-scale short-circuits to all-zero codes
+    (defined output for degenerate input — ADVICE r04 item 3)."""
     v = F.col(vec) if isinstance(vec, str) else vec
     dv = F.transform(v, lambda x: x.cast("double"))
     scale = F.array_max(F.transform(dv, F.abs)) / F.lit(127.0)
-    codes = F.transform(dv, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    codes = F.when(
+        scale == F.lit(0.0), F.transform(dv, lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(dv, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
     return F.struct(scale.alias("scale"), codes.alias("codes"))
 
 

@@ -45,68 +45,81 @@ def register(
 
 # The correctness harness verifies a 50-query PREFIX of the registry per
 # round. This list pins that prefix explicitly (module import order alone
-# left 4 queries never checked in any round — VERDICT.md r03 item 5):
-# the full streaming family, everything touching `events`, the LLM-pipeline
-# core, and the 4 queries no round has ever driver-checked
-# (q_wordcount_topk — the reference's own demo twin, README.md:64-124 —
-# q_mqlog_roundtrip, q_map_functions, q_fuzzy_source_pairs), plus the
-# round-4 additions (decontamination, embedding quantization, stratified
-# sampling, incremental dedup). Queries not listed keep registration order
-# after the prefix; r01/r03 already recorded green rows for them
-# (q_text_quality, q_text_fingerprint, q_udf_scalar_tokens,
-# q_multimodal_binary_meta rotated out as stable greens), so
-# round-over-round union coverage stays complete.
+# left 4 queries never checked in any round — VERDICT.md r03 item 5).
+#
+# Rotation policy (bounds staleness, ADVICE r04 item 4): each round the
+# prefix holds (a) every query whose code or oracle CHANGED this round,
+# (b) the families with the OLDEST last-green driver record, (c) a few
+# stable greens rotated back in on a schedule. Round 5 therefore swaps the
+# round-4 prefix (all freshly green in CORRECTNESS_r04.json) out for the
+# 45 queries whose last driver record was round 1 — the whole TPC-H
+# family, window/set-op/scalar/array/date/percentile — especially
+# q12_priority_by_class, whose only driver record was an r01 hash-FAIL
+# (fixed in round 2, never driver-re-checked since), plus
+# q_approx_distinct_parts (now hash-checkable), q_stream_mq_wordcount
+# (new VALUES oracle) and q_stream_decontaminate (restructured onto
+# foreachBatch), plus 3 stable r03 greens on rotation. Union coverage
+# across rounds stays complete: everything rotated out is green in
+# CORRECTNESS_r04.json.
 _PRIORITY: tuple[str, ...] = (
-    "q_text_lang_id",
-    "q_decontaminate_ngram",
-    "q_stream_decontaminate",
-    "q_embedding_quantize",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_embedding_cosine",
-    "q_dedup_clusters",
-    "q_ann_bruteforce_topk",
-    "q_ann_lsh_bucketed",
-    "q_ann_ivf",
-    "q_ann_recall_lsh",
-    "q_split_train_val_test",
-    "q_curation_pipeline",
-    "q_stratified_sample",
-    "q_token_budget_mix",
-    "q_udf_grouped_user_stats",
-    "q_udf_grouped_agg_geomean",
-    "q_udtf_tokenize",
-    "q_multimodal_decode",
-    "q_asof_join_last_order",
-    "q_salted_join_event_stats",
-    "q_stream_tumbling_1d",
-    "q_stream_tumbling_watermark",
-    "q_stream_sliding_6h",
-    "q_stream_dedup_pairs",
-    "q_stream_dedup_within_watermark",
-    "q_stream_stream_join",
-    "q_stream_stateful_stats",
-    "q_stream_session_windows",
+    # -- changed this round: must be driver-re-checked -------------------
     "q_stream_mq_wordcount",
-    "q_stream_static_join",
-    "q_stream_mq_replay",
-    "q_stream_foreachbatch_parquet",
-    "q_stream_rate_source",
-    "q_stream_stream_left_outer",
-    "q_stream_transform_with_state",
-    "q_partition_pruned_day",
-    "q_events_json_extract",
-    "q_events_tumbling_1d",
-    "q_events_sliding_6h",
-    "q_events_sessionize",
-    "q_events_pivot_daily",
-    "q_wordcount_topk",
-    "q_mqlog_roundtrip",
-    "q_map_functions",
-    "q_fuzzy_source_pairs",
+    "q_approx_distinct_parts",
+    "q_stream_decontaminate",
+    # -- only driver record is an r01 hash-FAIL (fixed in ccb80c6) -------
+    "q12_priority_by_class",
+    # -- TPC-H family, last checked r01 ----------------------------------
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_heavy_promo_shippers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    # -- join variants, last checked r01 ---------------------------------
+    "q_top_customers",
+    "q_semi_join_priority",
+    "q_anti_join_idle_customers",
+    "q_outer_join_nation_customers",
+    "q_full_outer_join_balance",
+    "q_right_join_order_coverage",
+    "q_subquery_above_avg",
+    # -- agg/rollup/set-op families, last checked r01 --------------------
+    "q_rollup_returns",
+    "q_cube_orders",
+    "q_grouping_sets_sql",
+    "q_distinct_parts_per_flag",
+    "q_setops_active_customers",
+    "q_union_high_value",
+    # -- window family, last checked r01 ---------------------------------
+    "q_window_top_parts_per_brand",
+    "q_window_running_total",
+    "q_window_order_gaps",
+    "q_window_rank_dense_ntile",
+    # -- scalar/array/date/percentile families, last checked r01 ---------
+    "q_scalar_functions",
+    "q_date_functions",
+    "q_array_functions",
+    "q_percentiles_price",
+    "q_events_global_stats",
+    # -- stable r03 greens rotated back in on schedule -------------------
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_udf_scalar_tokens",
 )
 
 

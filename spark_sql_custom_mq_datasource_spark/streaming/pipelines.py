@@ -32,7 +32,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from ..plans.registry import register
@@ -465,16 +471,39 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    mq source, drained deterministically: startingTimestamp=0 +
 #    advanceMsPerBatch makes the offset range — and therefore every payload
 #    — a pure function of the options (SURVEY.md §2.1 #10 fix). The mq
-#    stream isn't a DuckDB table, so this is rows-only at the gate; the
-#    pytest suite asserts exact counts.
+#    stream isn't a DuckDB table, but the payload generator IS the spec:
+#    the oracle below recomputes the exact expected counts from it at
+#    import time and ships them to DuckDB as a VALUES literal, making the
+#    reference's own flagship demo hash-checkable (VERDICT.md r04 item 2).
 # --------------------------------------------------------------------------
+
+
+def _mq_wordcount_oracle() -> str:
+    """Expected word counts for the exact drain below — seed=42, partitions
+    0-3, offsets [0, 5000) at intervalMs=10 → record indices [0, 500) per
+    partition — recomputed from the deterministic payload function
+    (sources/mq.py:137-145) and emitted as a DuckDB VALUES table."""
+    import collections
+
+    from ..sources.mq import _indices_in_range, _payload
+
+    expected: collections.Counter = collections.Counter()
+    for p in range(4):
+        for i in _indices_in_range(0, 5000, 10):
+            expected.update(_payload(42, p, i).split(" "))
+    rows = ", ".join(f"('{w}', {n})" for w, n in sorted(expected.items()))
+    return (
+        f'SELECT word, CAST(cnt AS BIGINT) AS "count" '
+        f"FROM (VALUES {rows}) AS t(word, cnt) ORDER BY word"
+    )
 
 
 @register(
     "q_stream_mq_wordcount",
-    None,
+    _mq_wordcount_oracle(),
     doc="Reference WordCount over the custom mq streaming source "
-    "(deterministic bounded drain).",
+    "(deterministic bounded drain); oracle = VALUES literal recomputed "
+    "from the payload generator.",
 )
 def q_stream_mq_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import register_mq_source
@@ -929,11 +958,17 @@ def _register_stream_decontaminate() -> None:
         WHERE CAST(m.common AS DOUBLE) / sz.n >= {DECONTAM_THRESHOLD}
         ORDER BY m.doc_id, m.eval_id
         """,
-        doc="STREAMING decontamination: stream-static broadcast join of the "
-        "doc firehose's hashed shingles against the benchmark index, "
-        "streaming match-count aggregation; oracle = batch twin.",
+        doc="STREAMING decontamination: stream-static broadcast probe of the "
+        "doc firehose against the benchmark shingle index, run per "
+        "micro-batch via foreachBatch. A document is one input row, so all "
+        "of its shingle matches live inside one batch — the per-batch probe "
+        "carries ZERO cross-batch state (no watermark needed; evictability "
+        "is structural), unlike a global streaming agg which would grow "
+        "per-(doc,eval) state forever (ADVICE r04 item 5).",
     )
     def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
         from ..functions.text import word_hash  # noqa: F401 (module init)
         from ..operators.dedup import hashed_shingles, shingle_sets_cached
 
@@ -948,22 +983,52 @@ def _register_stream_decontaminate() -> None:
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
-        sh = (
-            stream.where(F.size(F.split(F.trim("text"), " ")) >= 3)
-            .select("doc_id", hashed_shingles("text").alias("hset"))
-            .select(
-                "doc_id", F.size("hset").alias("n"), F.explode("hset").alias("s")
+        out_dir = tempfile.mkdtemp(prefix="decon_sink_")
+
+        def probe(bdf: DataFrame, batch_id: int) -> None:
+            # Batch-local probe: broadcast the (small) eval index, aggregate
+            # only the docs in THIS batch, land verdicts, release everything.
+            sh = (
+                bdf.where(F.size(F.split(F.trim("text"), " ")) >= 3)
+                .select("doc_id", hashed_shingles("text").alias("hset"))
+                .select(
+                    "doc_id", F.size("hset").alias("n"), F.explode("hset").alias("s")
+                )
             )
+            matches = (
+                sh.join(F.broadcast(eval_sh), "s")
+                .where(F.col("doc_id") != F.col("eval_id"))
+                .groupBy("doc_id", "eval_id", "n")
+                .agg(F.count("*").alias("common"))
+            )
+            matches.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
         )
-        matches = (
-            sh.join(F.broadcast(eval_sh), "s")
-            .where(F.col("doc_id") != F.col("eval_id"))
-            .groupBy("doc_id", "eval_id", "n")
-            .agg(F.count("*").alias("common"))
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("decontaminate stream did not drain in 300s")
+        finally:
+            if q.isActive:
+                q.stop()
+
+        landed_schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("eval_id", LongType()),
+                StructField("n", IntegerType()),
+                StructField("common", LongType()),
+            ]
         )
-        out = run_to_table(spark, matches, "complete")
+        landed = spark.read.schema(landed_schema).parquet(out_dir)
         return (
-            out.select(
+            landed.select(
                 "doc_id",
                 "eval_id",
                 F.col("common").cast("int").alias("common"),

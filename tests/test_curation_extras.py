@@ -198,3 +198,55 @@ class TestTokenBudgetMixProperties:
             exp = self._reference(inv, budget)
             assert got == exp, f"case {case}: inv={inv} budget={budget}"
             assert sum(got.values()) == min(budget, sum(inv.values()))
+
+
+class TestDegenerateInputGuards:
+    """ADVICE r04 item 3: degenerate inputs must produce defined output,
+    not silent NULL cascades."""
+
+    def test_quantize_all_zero_vector_yields_zero_codes(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {
+            r["vec_id"]: r
+            for r in df.select(
+                "vec_id", quantize_int8("embedding").alias("q")
+            ).select("vec_id", "q.scale", "q.codes").collect()
+        }
+        assert rows[1]["scale"] == 0.0
+        assert rows[1]["codes"] == [0, 0, 0]  # defined, not NULL
+        assert rows[2]["codes"] == [64, -127, 32]
+
+    def test_token_budget_mix_empty_inventory(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            token_budget_mix,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 0), ("b", 0)], "source string, avail long"
+        )
+        got = {r["source"]: r["alloc"] for r in token_budget_mix(df, 100).collect()}
+        assert got == {"a": 0, "b": 0}  # defined zeros, not NULLs
+
+
+class TestCacheClearHook:
+    def test_clear_dedup_caches_releases_everything(self, spark, sf_dir):
+        """ADVICE r04 item 2: multi-fixture sessions need a reclaim hook for
+        the DISK_ONLY materializations."""
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            _sets_cache,
+            clear_dedup_caches,
+            shingle_sets_cached,
+        )
+
+        shingle_sets_cached(spark, sf_dir).count()  # materialize
+        assert any(k[0] == id(spark) for k in _sets_cache)
+        clear_dedup_caches(spark)
+        assert not any(k[0] == id(spark) for k in _sets_cache)
+        # and the session-level cache is empty (anonymous persists dropped)
+        jcm = spark._jsparkSession.sharedState().cacheManager()
+        assert jcm.isEmpty()
+        # cache rebuilds transparently on next use
+        assert shingle_sets_cached(spark, sf_dir).count() > 0

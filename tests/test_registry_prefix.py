@@ -23,9 +23,10 @@ def test_prefix_is_exactly_priority():
     assert len(_PRIORITY) == 50
 
 
-def test_prefix_queries_all_have_oracles_except_live_streams():
-    """Everything in the checked prefix should be value-checkable; the only
-    exception is the live-clock mq wordcount (rows-only by design)."""
+def test_prefix_queries_all_have_oracles():
+    """Everything in the checked prefix is value-checkable — including the
+    mq wordcount, whose oracle is a VALUES literal recomputed from the
+    deterministic payload generator (VERDICT.md r04 item 2)."""
     oracles = get_oracles()
     no_oracle = [n for n in _PRIORITY if n not in oracles]
-    assert no_oracle == ["q_stream_mq_wordcount"], no_oracle
+    assert no_oracle == [], no_oracle
