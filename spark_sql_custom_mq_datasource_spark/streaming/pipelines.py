@@ -70,6 +70,37 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_events_ts(stream)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def configure_state_store(spark: SparkSession) -> None:
+    """Route streaming state to RocksDB (VERDICT.md r04 item 6).
+
+    The default HDFSBackedStateStoreProvider keeps every key's state as
+    deserialized JVM objects on the executor heap — at 100 TB/day the state
+    for windowed aggs / stream-stream joins / dedup outgrows the heap long
+    before anything else breaks. RocksDB keeps state off-heap + on local
+    disk with incremental changelog checkpointing, which is the provider
+    every large production deployment runs. rocksdbjni ships inside the
+    pyspark wheel, so this holds on the driver's vanilla session too.
+
+    Set per-session (captured by each query at start). Escape hatch:
+    SPARK_GRAFT_STATE_STORE=hdfs restores the default provider."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "hdfs":
+        return
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    # Changelog checkpointing: upload per-batch deltas instead of full
+    # RocksDB snapshots — the at-scale default for commit latency.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+
 def run_to_table(
     spark: SparkSession,
     df: DataFrame,
@@ -78,6 +109,7 @@ def run_to_table(
 ) -> DataFrame:
     """Drain a finite streaming DataFrame via Trigger.AvailableNow into a
     memory sink; return the sink contents as a batch DataFrame."""
+    configure_state_store(spark)
     name = "strm_" + uuid.uuid4().hex[:12]
     q = (
         df.writeStream.outputMode(output_mode)

@@ -85,3 +85,26 @@ class TestWatermarkContract:
         assert appended  # something was emitted
         assert set(appended) < set(complete)  # strictly fewer windows
         assert all(complete[k] == v for k, v in appended.items())
+
+
+class TestRocksDBStateStore:
+    def test_streaming_drain_uses_rocksdb_provider(self, spark):
+        """VERDICT r04 item 6: streaming state must run on RocksDB (off-heap,
+        disk-backed, changelog-checkpointed) — the HDFS-backed heap store is
+        the first thing to fall over at 100 TB/day."""
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            ROCKSDB_PROVIDER,
+            configure_state_store,
+            events_stream,
+            run_to_table,
+        )
+
+        configure_state_store(spark)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        # a stateful drain actually executes under the provider
+        agg = events_stream(spark, SF).groupBy("event_type").count()
+        out = run_to_table(spark, agg, "complete")
+        assert out.count() > 0
