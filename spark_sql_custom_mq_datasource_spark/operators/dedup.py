@@ -277,6 +277,19 @@ def jaccard_pairs_from_sets(
     by exact dedup instead. Prefix positions are recomputed over the
     surviving (rarest-first) shingles, so the positional bound stays valid
     relative to the reduced index."""
+    cand = _candidate_pairs(sets, threshold, max_shingle_df)
+    return _verify_pairs(cand, sets, threshold)
+
+
+def _candidate_pairs(
+    sets: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Candidate (da, db) pairs from the prefix-filtered inverted-index
+    self-join — the stage whose fan-out the stop-shingle cap bounds
+    (exposed separately so tests can measure it under adversarial skew,
+    VERDICT.md r04 item 5)."""
     from pyspark.storagelevel import StorageLevel
 
     sh = sets.select("doc_id", "n", F.explode("hset").alias("s"))
@@ -319,7 +332,7 @@ def jaccard_pairs_from_sets(
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    return _verify_pairs(cand, sets, threshold)
+    return cand
 
 
 @register(
