@@ -228,3 +228,66 @@ class TestConnectedComponents:
         )
         got = {r["id"]: r["rep"] for r in connected_components(edges).collect()}
         assert set(got.values()) == {0} and len(got) == 9
+
+
+class TestConnectedComponentsStar:
+    """Large-star/small-star upgrade path (VERDICT r04 item 7): must agree
+    with min-label propagation everywhere and converge on DEEP graphs in
+    O(log n) rounds where label-prop's O(diameter) would not."""
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        # 100-node path: diameter 99. max_iter=10 > log2(100) rounds is
+        # plenty for the star algorithm; min-label would need ~99 rounds.
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], "da long, db long"
+        )
+        got = {
+            r["id"]: r["rep"]
+            for r in connected_components_star(edges, max_iter=10).collect()
+        }
+        assert len(got) == 100 and set(got.values()) == {0}
+
+    def test_matches_min_label_on_random_graphs(self, spark):
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(99)
+        for trial in range(3):
+            n = 60
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 10 * trial)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            df = spark.createDataFrame(edges, "da long, db long")
+            ml = {r["id"]: r["rep"] for r in connected_components(df).collect()}
+            st = {
+                r["id"]: r["rep"]
+                for r in connected_components_star(df).collect()
+            }
+            assert st == ml, f"trial {trial}"
+
+    def test_star_and_isolated_pair_topologies(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        # hub-and-spoke around 50 plus a detached pair — exercises both
+        # star rounds' self-attach and the left-join self-rep fallback
+        edges = spark.createDataFrame(
+            [(50, i) for i in range(51, 60)] + [(5, 50), (70, 71)],
+            "da long, db long",
+        )
+        got = {
+            r["id"]: r["rep"]
+            for r in connected_components_star(edges).collect()
+        }
+        assert got[70] == 70 and got[71] == 70
+        assert all(got[i] == 5 for i in [5, 50] + list(range(51, 60)))
