@@ -320,3 +320,122 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("ntext")).alias("min_len"),
         F.max(F.length("ntext")).alias("max_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition/quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 data pipeline): per-document repetition and
+# shape statistics with hard accept thresholds. All four metrics are
+# exported as exact integers (2^-20 micro-units; integer division of exact
+# int64 numerators) so the accept boolean is engine-portable.
+#
+# Scale: the word-level stats are one groupBy(doc_id, word) shuffle over
+# the corpus; the 2-gram stats are per-row array HOFs (no shuffle). Both
+# are scan-shaped — the thresholds prune before any downstream operator.
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_DUP2_MAX_Q20 = 83886  # floor(0.08 * 2^20): ≤8% duplicate 2-grams
+GOPHER_TOPWORD_MAX_Q20 = 157286  # floor(0.15 * 2^20): top word ≤15% of doc
+GOPHER_MWL_MIN_Q20 = 3 * 1048576  # mean word length in [3, 6] chars
+GOPHER_MWL_MAX_Q20 = 6 * 1048576
+
+
+@register(
+    "q_quality_gopher",
+    f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1]) AS g2
+      FROM ws
+    ),
+    rep2 AS (
+      SELECT doc_id,
+             CAST(floor((len(g2) - len(list_distinct(g2))) * 1048576.0
+                        / len(g2) + 0.5) AS BIGINT) AS dup2_q20
+      FROM g2 WHERE len(g2) > 0
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM ws),
+    wcnt AS (SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    wstat AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS wc,
+             CAST(floor(MAX(n) * 1048576.0 / SUM(n) + 0.5) AS BIGINT)
+               AS topword_q20,
+             CAST(floor(SUM(n * length(w)) * 1048576.0 / SUM(n) + 0.5) AS BIGINT)
+               AS mwl_q20
+      FROM wcnt GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.wc, r.dup2_q20, w.topword_q20, w.mwl_q20,
+           (w.wc >= {GOPHER_MIN_WORDS}
+            AND r.dup2_q20 <= {GOPHER_DUP2_MAX_Q20}
+            AND w.topword_q20 <= {GOPHER_TOPWORD_MAX_Q20}
+            AND w.mwl_q20 BETWEEN {GOPHER_MWL_MIN_Q20} AND {GOPHER_MWL_MAX_Q20})
+             AS accept
+    FROM wstat w JOIN rep2 r ON w.doc_id = r.doc_id
+    ORDER BY w.doc_id
+    """,
+    doc="Gopher-style repetition/shape quality gate: word count, duplicate "
+    "2-gram fraction, top-word fraction, mean word length (all integer "
+    "micro-units) + hard accept thresholds.",
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    q20 = F.lit(1048576.0)
+    # 2-gram repetition: per-row HOF, no shuffle
+    g2 = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+            " i -> concat(split(trim(text), ' ')[i], ' ',"
+            "             split(trim(text), ' ')[i+1]))"
+        ).alias("g2"),
+    ).where(F.size("g2") > 0)
+    rep2 = g2.select(
+        "doc_id",
+        F.floor(
+            (F.size("g2") - F.size(F.array_distinct("g2"))) * q20 / F.size("g2")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dup2_q20"),
+    )
+    # word stats: one corpus shuffle
+    wcnt = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    wstat = wcnt.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("wc"),
+        F.floor(F.max("n") * q20 / F.sum("n") + F.lit(0.5))
+        .cast("bigint")
+        .alias("topword_q20"),
+        F.floor(
+            F.sum(F.col("n") * F.length("w")) * q20 / F.sum("n") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mwl_q20"),
+    )
+    return (
+        wstat.join(rep2, "doc_id")
+        .select(
+            "doc_id",
+            "wc",
+            "dup2_q20",
+            "topword_q20",
+            "mwl_q20",
+            (
+                (F.col("wc") >= GOPHER_MIN_WORDS)
+                & (F.col("dup2_q20") <= GOPHER_DUP2_MAX_Q20)
+                & (F.col("topword_q20") <= GOPHER_TOPWORD_MAX_Q20)
+                & (F.col("mwl_q20") >= GOPHER_MWL_MIN_Q20)
+                & (F.col("mwl_q20") <= GOPHER_MWL_MAX_Q20)
+            ).alias("accept"),
+        )
+        .orderBy("doc_id")
+    )

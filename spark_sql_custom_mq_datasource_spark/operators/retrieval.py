@@ -1,0 +1,178 @@
+"""Full-text retrieval over the documents corpus — BM25 top-k.
+
+The LLM-pipeline counterpart to the embedding ANN family in
+``operators/similarity.py``: lexical retrieval over an inverted index.
+This is the operator behind corpus search, hard-negative mining, and
+retrieval-based decontamination at training-data scale.
+
+Scale design (100 TB corpus, 1000 executors):
+  * The inverted index is (term, doc, tf) — built with ONE shuffle
+    (groupBy doc_id, term). Postings are filtered to the query terms by a
+    BROADCAST semi-join BEFORE any per-term statistics are computed, so
+    the big side is touched once, scan-shaped, and nothing all-pairs ever
+    exists: cost is O(postings of query terms), not O(corpus × queries).
+  * Per-term document frequencies and the global average doc length are
+    tiny aggregates (|query vocabulary| rows, 1 row) joined back by
+    broadcast — no second shuffle of the corpus.
+  * Scoring is pure Catalyst arithmetic; the only window function ranks
+    the per-query candidate set (|queries| × |matched docs| rows,
+    partitioned by query id — never the corpus).
+
+Float portability (oracle contract): per-term BM25 contributions are
+quantized to integer micro-units (floor(x * 2^20 + 0.5), the repo-wide
+convention) and SUMMED AS INT64 — integer addition is associative, so
+Spark's and DuckDB's different aggregation orders cannot diverge, and a
+final-ulp difference in ln() would need to land within ~2e-10 of a
+quantization boundary to flip a value.
+
+Reference parity note: the reference repo (a source-only mock MQ,
+/root/reference/src/main/java/org/example/) has no retrieval surface;
+this module is part of the LLM-data-pipeline brief (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..plans.util import tp
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+Q20 = 1048576.0  # 2^20 — the repo-wide integer micro-unit scale
+
+# Fixed benchmark queries over the fixture vocabulary (TESTDATA.md): the
+# registered query must be deterministic, so the query set is a constant.
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "spark join filter"),
+    (1, "window agg group"),
+    (2, "stream batch merge"),
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k docs per query by Okapi BM25.
+
+    docs: (doc_id, text); queries: (qid, qtext).
+    Returns (qid, rank, doc_id, score_q20) — score in 2^-20 units.
+    """
+    # Doc length is a PER-ROW projection (size of the token array), not an
+    # aggregate: computing it before the explode and carrying it through
+    # the tf groupBy gets it into every posting for free. The alternative
+    # (groupBy(doc_id) then join back) would shuffle the whole corpus by
+    # doc_id a second time at scale.
+    words = docs.select(
+        "doc_id",
+        F.split(F.trim("text"), " ").alias("ws"),
+    ).select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
+    toks = words.select("doc_id", "dl", F.explode("ws").alias("t"))
+    # inverted index: the ONE corpus shuffle (dl rides along in the key's
+    # functional closure — it's constant per doc_id, grouped at no cost)
+    tf = toks.groupBy("doc_id", "dl", "t").agg(F.count("*").alias("tf"))
+    # corpus-level scalars from the per-row projection (no shuffle beyond
+    # a partial+final agg): N and avgdl, single tiny row, broadcast
+    stats = words.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qterms = queries.select(
+        "qid", F.explode(F.split(F.trim("qtext"), " ")).alias("t")
+    ).distinct()
+    # postings restricted to query terms FIRST (broadcast semi-join), then
+    # df over that small slice — the corpus is never shuffled again
+    post = tf.join(F.broadcast(qterms.select("t").distinct()), "t")
+    df_ = post.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        post.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(df_), "t")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_term = scored.select(
+        "qid",
+        "doc_id",
+        F.floor(contrib * F.lit(Q20) + F.lit(0.5)).cast("bigint").alias("c_q20"),
+    )
+    total = per_term.groupBy("qid", "doc_id").agg(F.sum("c_q20").alias("score_q20"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q20"), "doc_id")
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score_q20")
+    )
+
+
+_QUERY_VALUES = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in BM25_QUERIES)
+
+_SQL_BM25 = f"""
+  WITH toks AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+  ),
+  tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+  dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+  stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+  q AS (SELECT * FROM (VALUES {_QUERY_VALUES}) AS v(qid, qtext)),
+  qterms AS (SELECT DISTINCT qid, unnest(string_split(trim(qtext), ' ')) AS t FROM q),
+  post AS (SELECT tf.* FROM tf SEMI JOIN qterms ON tf.t = qterms.t),
+  df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+  per_term AS (
+    SELECT qterms.qid, post.doc_id,
+           CAST(floor(
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (post.tf * {BM25_K1 + 1.0})
+             / (post.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+             * {Q20} + 0.5) AS BIGINT) AS c_q20
+    FROM post
+    JOIN qterms ON post.t = qterms.t
+    JOIN df ON post.t = df.t
+    JOIN dl ON post.doc_id = dl.doc_id
+    CROSS JOIN stats
+  ),
+  total AS (SELECT qid, doc_id, SUM(c_q20) AS score_q20
+            FROM per_term GROUP BY 1, 2),
+  ranked AS (SELECT qid, doc_id, score_q20,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY score_q20 DESC, doc_id) AS rank
+             FROM total)
+  SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+         doc_id, CAST(score_q20 AS BIGINT) AS score_q20
+  FROM ranked WHERE rank <= {BM25_TOP_K}
+  ORDER BY qid, rank
+"""
+
+
+@register(
+    "q_bm25_topk",
+    _SQL_BM25,
+    doc="Okapi BM25 top-10 per benchmark query over the documents corpus: "
+    "inverted index (one shuffle), broadcast query-term semi-join, "
+    "integer-quantized contributions summed exactly.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(list(BM25_QUERIES), "qid int, qtext string")
+    out = bm25_topk(docs, queries)
+    return out.select(
+        F.col("qid").cast("int").alias("qid"),
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.col("score_q20").cast("bigint").alias("score_q20"),
+    ).orderBy("qid", "rank")

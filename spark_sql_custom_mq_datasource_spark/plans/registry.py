@@ -116,10 +116,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_array_functions",
     "q_percentiles_price",
     "q_events_global_stats",
-    # -- stable r03 greens rotated back in on schedule -------------------
+    # -- new this round: never driver-checked, highest rotation priority --
+    "q_bm25_topk",
+    "q_quality_gopher",
+    # -- stable r03 green rotated back in on schedule --------------------
     "q_text_quality",
-    "q_text_fingerprint",
-    "q_udf_scalar_tokens",
 )
 
 
@@ -127,6 +128,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent), then pin
     the harness-checked prefix to _PRIORITY order."""
     from ..operators import dedup  # noqa: F401
+    from ..operators import retrieval  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..functions import text  # noqa: F401
     from ..operators import curation  # noqa: F401

@@ -1,0 +1,120 @@
+"""BM25 retrieval + Gopher quality gate (round-5 additions)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_sql_custom_mq_datasource_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    Q20,
+    bm25_topk,
+)
+
+
+class TestBM25:
+    def test_scores_match_hand_computation(self, spark):
+        corpus = [
+            (0, "apple banana apple cherry"),
+            (1, "banana cherry cherry cherry durian"),
+            (2, "apple apple apple apple"),
+            (3, "durian elderberry fig grape"),
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        queries = spark.createDataFrame([(0, "apple cherry")], "qid int, qtext string")
+        got = {
+            (r["qid"], r["doc_id"]): (r["rank"], r["score_q20"])
+            for r in bm25_topk(docs, queries).collect()
+        }
+
+        # reference computation, mirroring the quantize-then-sum contract
+        toks = {d: t.split(" ") for d, t in corpus}
+        n_docs = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n_docs
+        dfs = {
+            t: sum(1 for v in toks.values() if t in v)
+            for t in ["apple", "cherry"]
+        }
+        expected = {}
+        for d, words in toks.items():
+            score = 0
+            for t in ["apple", "cherry"]:
+                tf = words.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                c = (
+                    idf
+                    * (tf * (BM25_K1 + 1.0))
+                    / (tf + BM25_K1 * (1 - BM25_B + BM25_B * len(words) / avgdl))
+                )
+                score += math.floor(c * Q20 + 0.5)
+            if score:
+                expected[d] = score
+        assert {d: s for (_, d), (_, s) in got.items()} == expected
+        # ranking: descending score, doc_id tiebreak
+        ranks = sorted(got.values())
+        scores_in_rank_order = [s for _, s in ranks]
+        assert scores_in_rank_order == sorted(scores_in_rank_order, reverse=True)
+
+    def test_plan_is_broadcast_shaped(self, spark, sf_dir):
+        """The only joins are broadcasts (query terms, df, 1-row stats):
+        the corpus is shuffled exactly once (inverted-index groupBy) and
+        never sort-merge-joined."""
+        from spark_sql_custom_mq_datasource_spark.operators.retrieval import (
+            q_bm25_topk,
+        )
+
+        plan = (
+            q_bm25_topk(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_topk_bounded_per_query(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.retrieval import (
+            BM25_TOP_K,
+            q_bm25_topk,
+        )
+
+        out = q_bm25_topk(spark, sf_dir)
+        per_q = out.groupBy("qid").count().collect()
+        assert all(r["count"] <= BM25_TOP_K for r in per_q)
+        assert len(per_q) == 3
+
+
+class TestGopherQuality:
+    def test_accept_discriminates_on_fixture(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_quality_gopher,
+        )
+
+        counts = {
+            r["accept"]: r["count"]
+            for r in q_quality_gopher(spark, sf_dir).groupBy("accept").count().collect()
+        }
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+    def test_metrics_on_known_doc(self, spark):
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_quality_gopher,
+        )
+        import tempfile, os
+
+        # "a a a a b" -> wc=5, top word 4/5, 2-grams [a a, a a, a a, a b]
+        # -> dup2 = (4 - 2) / 4 = 0.5
+        d = tempfile.mkdtemp(prefix="gopher_")
+        spark.createDataFrame(
+            [(0, "a a a a b", "en", "s", 9)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        row = q_quality_gopher(spark, d).collect()[0]
+        assert row["wc"] == 5
+        assert row["dup2_q20"] == int(0.5 * 1048576 + 0.5)
+        assert row["topword_q20"] == math.floor(4 / 5 * 1048576 + 0.5)
+        assert row["accept"] is False  # too short, too repetitive
