@@ -574,3 +574,129 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(token_count("text")).cast("bigint").alias("avail"))
     )
     return token_budget_mix(inv, MIX_BUDGET_TOKENS).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (data selection)
+# --------------------------------------------------------------------------
+#
+# Data Selection with Importance Resampling (Xie et al., NeurIPS 2023):
+# score each raw-pool document by how much more likely its hashed-unigram
+# features are under a TARGET distribution (here: the benchmark eval slice,
+# the same every-97th-doc set decontamination uses) than under the raw
+# pool itself:  w(doc) = Σ_tokens [ln p_target(bucket) - ln p_pool(bucket)].
+#
+# The hashing is the scale trick: features are word-hash buckets modulo
+# DSIR_BUCKETS, so the importance model is a BOUNDED lookup table
+# (DSIR_BUCKETS rows, broadcast) no matter how large the live vocabulary
+# is — a 100 TB corpus shuffles its tokens exactly once (the per-doc
+# weight groupBy); the two bucket-count aggregates collapse map-side to
+# DSIR_BUCKETS partial rows. Laplace (+1) smoothing keeps every bucket's
+# probability finite in both distributions.
+#
+# Portability: per-bucket log-ratios are quantized to 2^-20 micro-units
+# (int64) and per-doc weights are integer SUMS of those — associative, so
+# Spark and DuckDB agg orders cannot diverge (same contract as BM25).
+
+DSIR_BUCKETS = 8192
+DSIR_EVAL_MOD = 97  # target slice = benchmark docs (mirrors DECONTAM_EVAL_MOD)
+
+
+def dsir_bucket(word: Column) -> Column:
+    from ..functions.text import word_hash
+
+    return word_hash(word) % DSIR_BUCKETS
+
+
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, weight_q20) for every raw-pool (non-target) doc."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w")
+    ).select("doc_id", dsir_bucket(F.col("w")).alias("b"))
+    is_target = F.col("doc_id") % DSIR_EVAL_MOD == 0
+    tgt = toks.where(is_target).groupBy("b").agg(F.count("*").alias("ct"))
+    pool = toks.where(~is_target).groupBy("b").agg(F.count("*").alias("cp"))
+    tot_t = tgt.agg(F.sum("ct").alias("tt"))
+    tot_p = pool.agg(F.sum("cp").alias("tp"))
+    # full outer over the bounded bucket space; missing side -> count 0
+    lr = (
+        tgt.join(pool, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+        )
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_p))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("ct") + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                    - F.log(
+                        (F.col("cp") + F.lit(1.0))
+                        / (F.col("tp") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                )
+                * F.lit(1048576.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr_q20"),
+        )
+    )
+    return (
+        toks.where(~is_target)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lr_q20").alias("weight_q20"),
+        )
+    )
+
+
+_SQL_DSIR = f"""
+  WITH toks AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(unnest(string_split(trim(text), ' '))), 1, 15))
+                AS BIGINT) % {DSIR_BUCKETS} AS b
+    FROM documents
+  ),
+  tgt AS (SELECT b, COUNT(*) AS ct FROM toks
+          WHERE doc_id % {DSIR_EVAL_MOD} = 0 GROUP BY b),
+  pool AS (SELECT b, COUNT(*) AS cp FROM toks
+           WHERE doc_id % {DSIR_EVAL_MOD} <> 0 GROUP BY b),
+  tot AS (SELECT (SELECT SUM(ct) FROM tgt) AS tt,
+                 (SELECT SUM(cp) FROM pool) AS tp),
+  lr AS (
+    SELECT COALESCE(tgt.b, pool.b) AS b,
+           CAST(floor((ln((COALESCE(ct, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                     - ln((COALESCE(cp, 0) + 1.0) / (tp + {DSIR_BUCKETS}.0)))
+                     * 1048576.0 + 0.5) AS BIGINT) AS lr_q20
+    FROM tgt FULL OUTER JOIN pool ON tgt.b = pool.b CROSS JOIN tot
+  )
+  SELECT toks.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(lr_q20) AS BIGINT) AS weight_q20
+  FROM toks JOIN lr ON toks.b = lr.b
+  WHERE toks.doc_id % {DSIR_EVAL_MOD} <> 0
+  GROUP BY toks.doc_id
+  ORDER BY toks.doc_id
+"""
+
+
+@register(
+    "q_dsir_importance",
+    _SQL_DSIR,
+    doc="DSIR-style importance weighting: hashed-unigram bucket log-ratio "
+    "of target (benchmark slice) vs raw pool, Laplace-smoothed, quantized "
+    "per-bucket and integer-summed per doc; the importance model is a "
+    "bounded broadcast table regardless of vocabulary size.",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    return dsir_weights(docs).orderBy("doc_id")

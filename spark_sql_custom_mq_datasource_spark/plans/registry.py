@@ -119,8 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- new this round: never driver-checked, highest rotation priority --
     "q_bm25_topk",
     "q_quality_gopher",
-    # -- stable r03 green rotated back in on schedule --------------------
-    "q_text_quality",
+    "q_dsir_importance",
 )
 
 

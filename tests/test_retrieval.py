@@ -118,3 +118,43 @@ class TestGopherQuality:
         assert row["dup2_q20"] == int(0.5 * 1048576 + 0.5)
         assert row["topword_q20"] == math.floor(4 / 5 * 1048576 + 0.5)
         assert row["accept"] is False  # too short, too repetitive
+
+
+class TestDSIR:
+    def test_target_like_docs_score_higher(self, spark):
+        """Docs whose tokens match the target slice's vocabulary must
+        outweigh docs made of pool-only vocabulary."""
+        import os
+        import tempfile
+
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            DSIR_EVAL_MOD,
+            dsir_weights,
+        )
+
+        # target doc (id 0 ≡ 0 mod 97) uses vocab A; pool docs use A or B
+        rows = [
+            (0, "alpha beta gamma alpha beta gamma"),
+            (1, "alpha beta gamma alpha"),  # target-like pool doc
+            (2, "omega psi chi phi"),  # pool-only vocab
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        w = {r["doc_id"]: r["weight_q20"] for r in dsir_weights(docs).collect()}
+        assert set(w) == {1, 2}  # target doc excluded from output
+        assert w[1] > w[2]
+
+    def test_fixture_weights_are_finite_and_complete(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            DSIR_EVAL_MOD,
+            q_dsir_importance,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        out = q_dsir_importance(spark, sf_dir)
+        n_pool = (
+            t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % DSIR_EVAL_MOD != 0)
+            .count()
+        )
+        assert out.count() == n_pool
+        assert out.where(F.col("weight_q20").isNull()).count() == 0
