@@ -101,6 +101,20 @@ SHOWCASE = [
         "scale) and the final presentation sort. Quantization itself runs "
         "at scan speed inside codegen.",
     ),
+    (
+        "q_bm25_topk",
+        "BM25 retrieval: doc length rides the inverted-index groupBy as a "
+        "per-row projection (no second corpus shuffle); every join is a "
+        "broadcast (query terms, df table, 1-row stats) — the corpus "
+        "shuffles exactly once and is never sort-merge-joined.",
+    ),
+    (
+        "q_dsir_importance",
+        "DSIR importance weighting: the log-ratio model is a bounded "
+        "8192-row broadcast; bucket counts collapse map-side to partial "
+        "rows; the only corpus-sized exchange is the per-doc weight "
+        "groupBy.",
+    ),
 ]
 
 
