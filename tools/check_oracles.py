@@ -10,6 +10,7 @@ order-insensitive value representation. Usage:
 from __future__ import annotations
 
 import math
+import os
 import re
 import sys
 import time
@@ -114,9 +115,22 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from spark_sql_custom_mq_datasource_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("CHECK_VANILLA"):
+        # Driver-fidelity mode: a bare session like the external gate's —
+        # no AQE/Arrow/UTC/memory confs from session.builder_conf.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from spark_sql_custom_mq_datasource_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     con = duckdb.connect()
