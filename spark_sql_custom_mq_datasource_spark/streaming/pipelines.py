@@ -1072,3 +1072,133 @@ def _register_stream_decontaminate() -> None:
 
 
 _register_stream_decontaminate()
+
+
+# --------------------------------------------------------------------------
+# 17. Streaming quality gate — the Gopher repetition/shape rules
+#     (functions/text.py q_quality_gopher) applied to the document firehose
+#     in-flight. Every metric is a PER-ROW computation (array HOFs over the
+#     doc's own tokens), so the streaming form is stateless: no watermark,
+#     no state store, nothing to evict — the gate is a map over the stream,
+#     which is exactly how a 100 TB/day ingest wants its quality filter.
+#     Oracle = the batch twin's SQL (identical rules, identical integers).
+# --------------------------------------------------------------------------
+
+
+def _register_stream_quality_gate() -> None:
+    from ..functions.text import (
+        GOPHER_DUP2_MAX_Q20,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_MAX_Q20,
+        GOPHER_MWL_MIN_Q20,
+        GOPHER_TOPWORD_MAX_Q20,
+    )
+
+    @register(
+        "q_stream_quality_gate",
+        f"""
+        WITH ws AS (
+          SELECT doc_id, lang, string_split(trim(text), ' ') AS ws FROM documents
+        ),
+        g2 AS (
+          SELECT doc_id, lang, ws,
+                 list_transform(generate_series(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1]) AS g2
+          FROM ws
+        ),
+        m AS (
+          SELECT doc_id, lang,
+                 len(ws) AS wc,
+                 CAST(floor((len(g2) - len(list_distinct(g2))) * 1048576.0
+                            / len(g2) + 0.5) AS BIGINT) AS dup2_q20,
+                 (SELECT CAST(floor(MAX(cnt) * 1048576.0 / SUM(cnt) + 0.5) AS BIGINT)
+                  FROM (SELECT COUNT(*) AS cnt FROM unnest(ws) AS u(w) GROUP BY w))
+                   AS topword_q20,
+                 (SELECT CAST(floor(SUM(length(w)) * 1048576.0 / COUNT(*) + 0.5) AS BIGINT)
+                  FROM unnest(ws) AS u(w)) AS mwl_q20
+          FROM g2 WHERE len(g2) > 0
+        ),
+        gated AS (
+          SELECT lang,
+                 (wc >= {GOPHER_MIN_WORDS}
+                  AND dup2_q20 <= {GOPHER_DUP2_MAX_Q20}
+                  AND topword_q20 <= {GOPHER_TOPWORD_MAX_Q20}
+                  AND mwl_q20 BETWEEN {GOPHER_MWL_MIN_Q20} AND {GOPHER_MWL_MAX_Q20})
+                   AS accept
+          FROM m
+        )
+        SELECT lang, accept, COUNT(*) AS n_docs
+        FROM gated GROUP BY lang, accept ORDER BY lang, accept
+        """,
+        doc="STREAMING quality gate: the Gopher repetition/shape rules "
+        "applied per-row to the doc firehose (stateless map — no state "
+        "store, no watermark), per-(lang, accept) admission counts; "
+        "oracle = the batch rules inlined.",
+    )
+    def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = (
+            spark.readStream.schema(docs_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        q20 = F.lit(1048576.0)
+        ws = F.split(F.trim("text"), " ")
+        g2 = F.expr(
+            "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+            " i -> concat(split(trim(text), ' ')[i], ' ',"
+            "             split(trim(text), ' ')[i+1]))"
+        )
+        # per-row top-word count via sort + fold over the doc's own tokens:
+        # stateless, no shuffle — run-length max over the sorted array
+        run_max = F.expr(
+            "aggregate(array_sort(split(trim(text), ' ')),"
+            " struct(CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS run,"
+            "        CAST(NULL AS STRING) AS prev),"
+            " (acc, w) -> struct("
+            "   greatest(acc.best, IF(acc.prev <=> w, acc.run + 1, CAST(1 AS BIGINT))),"
+            "   IF(acc.prev <=> w, acc.run + 1, CAST(1 AS BIGINT)),"
+            "   w),"
+            " acc -> acc.best)"
+        )
+        sum_len = F.aggregate(
+            ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        )
+        wc = F.size(ws).cast("bigint")
+        metrics = stream.where(F.size(g2) > 0).select(
+            "lang",
+            wc.alias("wc"),
+            F.floor(
+                (F.size(g2) - F.size(F.array_distinct(g2))) * q20 / F.size(g2)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dup2_q20"),
+            F.floor(run_max * q20 / wc + F.lit(0.5)).cast("bigint").alias(
+                "topword_q20"
+            ),
+            F.floor(sum_len * q20 / wc + F.lit(0.5)).cast("bigint").alias("mwl_q20"),
+        )
+        from ..functions.text import (
+            GOPHER_DUP2_MAX_Q20,
+            GOPHER_MIN_WORDS,
+            GOPHER_MWL_MAX_Q20,
+            GOPHER_MWL_MIN_Q20,
+            GOPHER_TOPWORD_MAX_Q20,
+        )
+
+        gated = metrics.select(
+            "lang",
+            (
+                (F.col("wc") >= GOPHER_MIN_WORDS)
+                & (F.col("dup2_q20") <= GOPHER_DUP2_MAX_Q20)
+                & (F.col("topword_q20") <= GOPHER_TOPWORD_MAX_Q20)
+                & (F.col("mwl_q20") >= GOPHER_MWL_MIN_Q20)
+                & (F.col("mwl_q20") <= GOPHER_MWL_MAX_Q20)
+            ).alias("accept"),
+        )
+        counts = gated.groupBy("lang", "accept").agg(F.count("*").alias("n_docs"))
+        return run_to_table(spark, counts, "complete").orderBy("lang", "accept")
+
+
+_register_stream_quality_gate()

@@ -158,3 +158,34 @@ class TestDSIR:
         )
         assert out.count() == n_pool
         assert out.where(F.col("weight_q20").isNull()).count() == 0
+
+
+class TestStreamQualityGate:
+    def test_matches_batch_gopher_rules(self, spark, sf_dir):
+        """The streaming gate's per-(lang, accept) counts must equal the
+        batch q_quality_gopher aggregated the same way — stream/batch
+        parity for the stateless quality map."""
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_quality_gopher,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        q_stream_quality_gate = get_queries()["q_stream_quality_gate"]
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+        batch = {
+            (r["lang"], r["accept"]): r["n"]
+            for r in q_quality_gopher(spark, sf_dir)
+            .join(docs, "doc_id")
+            .groupBy("lang", "accept")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        stream = {
+            (r["lang"], r["accept"]): r["n_docs"]
+            for r in q_stream_quality_gate(spark, sf_dir).collect()
+        }
+        assert stream == batch
