@@ -115,3 +115,78 @@ class TestOperatorLaws:
             for r in ann_bruteforce_topk(emb, queries, 5).collect()
         }
         assert all(k5[key] == nid for key, nid in k3.items())
+
+
+class TestCrossEnginePortability:
+    """Fuzz the md5 word-hash convention both engines must agree on — it is
+    the foundation under every dedup/split/DSIR/decontaminate oracle. A
+    drift here would silently break dozens of hash checks at once."""
+
+    def test_word_hash_matches_duckdb_on_random_strings(self, spark):
+        import random
+        import string
+
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from spark_sql_custom_mq_datasource_spark.functions.text import word_hash
+
+        rng = random.Random(5)
+        alphabet = string.ascii_letters + string.digits + "_-./:@ßéü漢"
+        words = list(
+            {
+                "".join(rng.choices(alphabet, k=rng.randint(1, 16)))
+                for _ in range(400)
+            }
+        )
+        pdf = pd.DataFrame({"w": words})
+        got = {
+            r["w"]: r["h"]
+            for r in spark.createDataFrame(pdf)
+            .select("w", word_hash(F.col("w")).alias("h"))
+            .collect()
+        }
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = dict(
+            con.execute(
+                "SELECT w, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) FROM t"
+            ).fetchall()
+        )
+        assert got == exp
+
+    def test_q20_quantization_matches_duckdb_on_random_doubles(self, spark):
+        """floor(x * 2^20 + 0.5) over arbitrary doubles — the scalar every
+        float-valued oracle is funneled through."""
+        import random
+
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        rng = random.Random(11)
+        xs = [
+            rng.uniform(-1e6, 1e6) * (10 ** rng.randint(-6, 0))
+            for _ in range(500)
+        ] + [0.0, -0.0, 1e-12, -1e-12]
+        pdf = pd.DataFrame({"i": range(len(xs)), "x": xs})
+        got = {
+            r["i"]: r["q"]
+            for r in spark.createDataFrame(pdf)
+            .select(
+                "i",
+                F.floor(F.col("x") * F.lit(1048576.0) + F.lit(0.5))
+                .cast("bigint")
+                .alias("q"),
+            )
+            .collect()
+        }
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = dict(
+            con.execute(
+                "SELECT i, CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FROM t"
+            ).fetchall()
+        )
+        assert got == exp
