@@ -932,3 +932,117 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rep")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): find fixed-length token spans that appear
+# verbatim in more than one document. The paper builds a corpus suffix
+# array; the Spark-scalable equivalent is stride-1 K-token window hashing —
+# every K-token window is hashed (md5-derived int64, the repo's portable
+# convention), windows shuffle ONCE on the hash, and a window is "dup" if
+# its content occurs in >= 2 distinct docs. Per-doc output is the
+# duplicated-span fraction — the signal used to strip boilerplate spans or
+# drop span-contaminated docs.
+#
+# Scale: the window explode is O(corpus tokens) rows of (int64, int64) —
+# same order as the shingle index; the one shuffle groups by hash. Nothing
+# is all-pairs: the doc-frequency table is the duplication volume itself,
+# and the re-join to mark windows is an equi join on the hash.
+# --------------------------------------------------------------------------
+
+SUBSTRING_K = 16  # span length in tokens
+
+
+def substring_window_hashes(docs: DataFrame, k: int = SUBSTRING_K) -> DataFrame:
+    """(doc_id, n_windows, h) — one row per K-token window position."""
+    # The expression must be TOTAL (defined on every row, not just rows the
+    # .where() keeps): the optimizer infers `size(win_arr) > 0` from the
+    # downstream explode and may evaluate it on short rows, where
+    # sequence(0, negative) runs DESCENDING into slice(..., 0, ...) — a
+    # runtime error. The IF guard makes short rows yield an empty array.
+    win_arr = F.expr(
+        f"IF(size(split(trim(text), ' ')) >= {k},"
+        f" transform(sequence(0, size(split(trim(text), ' ')) - {k}),"
+        f" i -> CAST(conv(substring(md5(array_join("
+        f"slice(split(trim(text), ' '), i + 1, {k}), ' ')), 1, 15), 16, 10)"
+        f" AS BIGINT)),"
+        f" CAST(array() AS ARRAY<BIGINT>))"
+    )
+    return (
+        docs.where(F.size(F.split(F.trim("text"), " ")) >= k)
+        .select("doc_id", win_arr.alias("wh"))
+        .select(
+            "doc_id",
+            F.size("wh").cast("bigint").alias("n_windows"),
+            F.explode("wh").alias("h"),
+        )
+    )
+
+
+def substring_dup_spans(docs: DataFrame, k: int = SUBSTRING_K) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_frac_q20) for docs with at
+    least one span shared verbatim with another doc."""
+    win = substring_window_hashes(docs, k)
+    shared = (
+        win.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .where(F.col("d") >= 2)
+        .select("h")
+    )
+    dup = (
+        win.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_dup_windows"))
+    )
+    totals = win.groupBy("doc_id", "n_windows").agg(F.count("*").alias("_chk"))
+    return (
+        totals.select("doc_id", "n_windows")
+        .join(dup, "doc_id")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.floor(
+                F.col("n_dup_windows") * F.lit(1048576.0) / F.col("n_windows")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dup_frac_q20"),
+        )
+    )
+
+
+_SQL_SUBSTRING = f"""
+  WITH ws AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+  ),
+  win AS (
+    SELECT doc_id, CAST(len(ws) - {SUBSTRING_K} + 1 AS BIGINT) AS n_windows,
+           CAST(('0x' || substr(md5(array_to_string(ws[i:i + {SUBSTRING_K} - 1], ' ')),
+                 1, 15)) AS BIGINT) AS h
+    FROM ws, unnest(generate_series(1, len(ws) - {SUBSTRING_K} + 1)) AS t(i)
+    WHERE len(ws) >= {SUBSTRING_K}
+  ),
+  shared AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+  dup AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+          FROM win SEMI JOIN shared ON win.h = shared.h GROUP BY doc_id),
+  totals AS (SELECT DISTINCT doc_id, n_windows FROM win)
+  SELECT t.doc_id, t.n_windows, d.n_dup_windows,
+         CAST(floor(d.n_dup_windows * 1048576.0 / t.n_windows + 0.5) AS BIGINT)
+           AS dup_frac_q20
+  FROM totals t JOIN dup d ON t.doc_id = d.doc_id
+  ORDER BY t.doc_id
+"""
+
+
+@register(
+    "q_dedup_substring_spans",
+    _SQL_SUBSTRING,
+    doc="exact substring-span dedup: stride-1 16-token window hashes, one "
+    "shuffle on the hash, per-doc duplicated-span fraction (the scalable "
+    "stand-in for suffix-array substring dedup).",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    return substring_dup_spans(docs).orderBy("doc_id")

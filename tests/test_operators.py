@@ -291,3 +291,43 @@ class TestConnectedComponentsStar:
         }
         assert got[70] == 70 and got[71] == 70
         assert all(got[i] == 5 for i in [5, 50] + list(range(51, 60)))
+
+
+class TestSubstringSpanDedup:
+    def test_known_shared_span(self, spark):
+        """Two docs sharing an exact 16-token run must both report it; a
+        disjoint doc must not appear."""
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            substring_dup_spans,
+        )
+
+        span = " ".join(f"s{i}" for i in range(16))
+        docs = spark.createDataFrame(
+            [
+                (0, span + " tail0 tail1"),
+                (1, "head0 " + span),
+                (2, " ".join(f"u{i}" for i in range(20))),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in substring_dup_spans(docs).collect()
+        }
+        assert set(got) == {0, 1}
+        # doc0: 18 tokens -> 3 windows, exactly 1 (the span at pos 0) shared
+        assert got[0] == (3, 1)
+        # doc1: 17 tokens -> 2 windows, the span at pos 1 shared
+        assert got[1] == (2, 1)
+
+    def test_short_docs_do_not_break_the_plan(self, spark):
+        """Docs under K tokens must be ignored without a slice() runtime
+        error (the inferred-filter-from-explode hazard)."""
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            substring_dup_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "tiny doc"), (1, "also small")], "doc_id long, text string"
+        )
+        assert substring_dup_spans(docs).count() == 0
