@@ -616,8 +616,11 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
     is_target = F.col("doc_id") % DSIR_EVAL_MOD == 0
     tgt = toks.where(is_target).groupBy("b").agg(F.count("*").alias("ct"))
     pool = toks.where(~is_target).groupBy("b").agg(F.count("*").alias("cp"))
-    tot_t = tgt.agg(F.sum("ct").alias("tt"))
-    tot_p = pool.agg(F.sum("cp").alias("tp"))
+    # coalesce: an EMPTY target (or pool) slice sums to NULL, which would
+    # NULL-cascade through every log-ratio; 0 keeps the Laplace-smoothed
+    # distribution defined (uniform over buckets).
+    tot_t = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    tot_p = pool.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("tp"))
     # full outer over the bounded bucket space; missing side -> count 0
     lr = (
         tgt.join(pool, "b", "full_outer")

@@ -189,3 +189,45 @@ class TestStreamQualityGate:
             for r in q_stream_quality_gate(spark, sf_dir).collect()
         }
         assert stream == batch
+
+
+class TestRound5DegenerateInputs:
+    """Round-5 operators on empty/degenerate inputs: defined results, no
+    NULL cascades, no runtime errors (the same contract ADVICE r04 item 3
+    imposed on quantize/token_budget_mix)."""
+
+    def test_bm25_query_with_no_matching_terms(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma")], "doc_id long, text string"
+        )
+        queries = spark.createDataFrame(
+            [(0, "nonexistent words here")], "qid int, qtext string"
+        )
+        assert bm25_topk(docs, queries).count() == 0
+
+    def test_bm25_empty_corpus(self, spark):
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        queries = spark.createDataFrame([(0, "alpha")], "qid int, qtext string")
+        assert bm25_topk(docs, queries).count() == 0
+
+    def test_dsir_empty_target_slice(self, spark):
+        """No doc_id ≡ 0 (mod 97): the target distribution is all-smoothing;
+        weights must still be defined for every pool doc."""
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            dsir_weights,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+        )
+        rows = dsir_weights(docs).collect()
+        assert len(rows) == 2
+        assert all(r["weight_q20"] is not None for r in rows)
+
+    def test_substring_spans_empty_corpus(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            substring_dup_spans,
+        )
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert substring_dup_spans(docs).count() == 0
