@@ -439,3 +439,112 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters (top-k frequent 2-grams) via Misra-Gries sketching.
+#
+# The exact top-k needs a full groupBy over every distinct gram — at 100 TB
+# that shuffle is dominated by the long tail of singletons. The classic fix
+# is sketch-then-verify: each partition summarizes its stream with a
+# Misra-Gries counter (size MG_K, one pass, O(1) amortized per token);
+# the UNION of partition summaries is guaranteed to contain every item
+# with global frequency > N/MG_K, so only the candidate grams (bounded by
+# partitions x MG_K rows) are shuffled for an EXACT recount. The final
+# result is therefore exact — the sketch only prunes the tail — and the
+# frequency floor (cnt * MG_K > N) is part of the result contract, making
+# the oracle a plain exact query with the same HAVING bound.
+# --------------------------------------------------------------------------
+
+MG_K = 2000  # summary size: guarantees recall of items with freq > N/MG_K
+HH_TOP = 20
+
+
+def _mg_partial(k: int):
+    import pandas as pd
+
+    def summarize(pdfs):
+        counters: dict[str, int] = {}
+        for pdf in pdfs:
+            for g in pdf["gram"]:
+                if g in counters:
+                    counters[g] += 1
+                elif len(counters) < k:
+                    counters[g] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"gram": list(counters) or []}, dtype="object")
+
+    return summarize
+
+
+def heavy_hitters(grams: DataFrame, top: int = HH_TOP, k: int = MG_K) -> DataFrame:
+    """Exact top-`top` grams among items with frequency > N/k.
+
+    grams: a DataFrame with one string column `gram` (one row per
+    occurrence). Phase 1 sketches per partition (mapInPandas, no shuffle);
+    phase 2 recounts ONLY the candidates exactly (semi-join then groupBy —
+    the shuffle is bounded by |candidates|, not |distinct grams|)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    cand = (
+        grams.mapInPandas(
+            _mg_partial(k), StructType([StructField("gram", StringType())])
+        )
+        .distinct()
+    )
+    total = grams.agg(F.count("*").alias("n_total"))
+    return (
+        grams.join(F.broadcast(cand), "gram")
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * F.lit(k) > F.col("n_total"))
+        .select("gram", "cnt")
+        .orderBy(F.desc("cnt"), "gram")
+        .limit(top)
+    )
+
+
+@register(
+    "q_heavy_hitters_2gram",
+    f"""
+    WITH g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(string_split(trim(text), ' ')) - 1),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1])) AS gram
+      FROM documents
+      WHERE len(string_split(trim(text), ' ')) >= 2
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM g)
+    SELECT gram, COUNT(*) AS cnt
+    FROM g CROSS JOIN tot
+    GROUP BY gram, tot.n
+    HAVING COUNT(*) * {MG_K} > tot.n
+    ORDER BY cnt DESC, gram
+    LIMIT {HH_TOP}
+    """,
+    doc="heavy hitters: top-20 corpus 2-grams above the N/2000 frequency "
+    "floor — Misra-Gries per-partition sketch (mapInPandas, no shuffle) "
+    "then EXACT recount of only the candidates; oracle is the plain exact "
+    "query with the same floor.",
+)
+def q_heavy_hitters_2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    g2 = F.expr(
+        "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+        " i -> concat(split(trim(text), ' ')[i], ' ',"
+        "             split(trim(text), ' ')[i+1]))"
+    )
+    grams = (
+        docs.where(F.size(F.split(F.trim("text"), " ")) >= 2)
+        .select(F.explode(g2).alias("gram"))
+    )
+    return heavy_hitters(grams)

@@ -231,3 +231,51 @@ class TestRound5DegenerateInputs:
 
         docs = spark.createDataFrame([], "doc_id long, text string")
         assert substring_dup_spans(docs).count() == 0
+
+
+class TestHeavyHitters:
+    def test_mg_guarantee_on_skewed_stream(self, spark):
+        """An item with frequency > N/k must survive the sketch and be
+        exactly counted; tail items below the floor must be excluded."""
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            heavy_hitters,
+        )
+
+        rows = [("hot",)] * 500 + [(f"tail{i}",) for i in range(400)]
+        grams = spark.createDataFrame(rows, "gram string").repartition(8)
+        got = {r["gram"]: r["cnt"] for r in heavy_hitters(grams, top=5, k=10).collect()}
+        # N=900, floor=90: only "hot" qualifies, with its EXACT count
+        assert got == {"hot": 500}
+
+    def test_matches_plain_exact_topk_on_fixture(self, spark, sf_dir):
+        """On the fixture the sketch path must equal the exact top-k with
+        the same frequency floor (the oracle's own semantics)."""
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            HH_TOP,
+            MG_K,
+            q_heavy_hitters_2gram,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import tp
+
+        docs = tp(spark, sf_dir, "documents")
+        g2 = F.expr(
+            "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+            " i -> concat(split(trim(text), ' ')[i], ' ',"
+            "             split(trim(text), ' ')[i+1]))"
+        )
+        grams = docs.where(F.size(F.split(F.trim("text"), " ")) >= 2).select(
+            F.explode(g2).alias("gram")
+        )
+        n = grams.count()
+        exact = (
+            grams.groupBy("gram")
+            .count()
+            .where(F.col("count") * MG_K > n)
+            .orderBy(F.desc("count"), "gram")
+            .limit(HH_TOP)
+            .collect()
+        )
+        sketched = q_heavy_hitters_2gram(spark, sf_dir).collect()
+        assert [(r["gram"], r["count"]) for r in exact] == [
+            (r["gram"], r["cnt"]) for r in sketched
+        ]
