@@ -115,6 +115,20 @@ SHOWCASE = [
         "rows; the only corpus-sized exchange is the per-doc weight "
         "groupBy.",
     ),
+    (
+        "q_dedup_substring_spans",
+        "Substring-span dedup: stride-1 16-token windows hashed to int64 "
+        "per row (total IF-guarded expression), one shuffle on the hash; "
+        "the shared-span table is the duplication volume itself, re-joined "
+        "equi on the hash — nothing all-pairs.",
+    ),
+    (
+        "q_heavy_hitters_2gram",
+        "Heavy hitters: Misra-Gries partial sketch per partition "
+        "(mapInPandas, no shuffle) -> broadcast candidate semi-join -> "
+        "exact recount of only the candidates; the long tail of singleton "
+        "grams never reaches an exchange.",
+    ),
 ]
 
 
