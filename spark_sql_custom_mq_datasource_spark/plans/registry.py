@@ -57,10 +57,14 @@ def register(
 # q12_priority_by_class, whose only driver record was an r01 hash-FAIL
 # (fixed in round 2, never driver-re-checked since), plus
 # q_approx_distinct_parts (now hash-checkable), q_stream_mq_wordcount
-# (new VALUES oracle) and q_stream_decontaminate (restructured onto
-# foreachBatch), plus 3 stable r03 greens on rotation. Union coverage
-# across rounds stays complete: everything rotated out is green in
-# CORRECTNESS_r04.json.
+# (new VALUES oracle), q_stream_decontaminate (restructured onto
+# foreachBatch), and the 7 operators ADDED this round (never
+# driver-checked — highest priority per tools/rotation_plan.py). Four
+# r01 greens whose FAMILY keeps other members in the prefix
+# (q_top_customers, q_union_high_value, q_window_running_total,
+# q_right_join_order_coverage) wait one more round to make room. Union
+# coverage across rounds stays complete: everything rotated out is green
+# in CORRECTNESS_r04.json or r01 + re-verified locally this round.
 _PRIORITY: tuple[str, ...] = (
     # -- changed this round: must be driver-re-checked -------------------
     "q_stream_mq_wordcount",
@@ -91,12 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
     # -- join variants, last checked r01 ---------------------------------
-    "q_top_customers",
     "q_semi_join_priority",
     "q_anti_join_idle_customers",
     "q_outer_join_nation_customers",
     "q_full_outer_join_balance",
-    "q_right_join_order_coverage",
     "q_subquery_above_avg",
     # -- agg/rollup/set-op families, last checked r01 --------------------
     "q_rollup_returns",
@@ -104,10 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_grouping_sets_sql",
     "q_distinct_parts_per_flag",
     "q_setops_active_customers",
-    "q_union_high_value",
     # -- window family, last checked r01 ---------------------------------
     "q_window_top_parts_per_brand",
-    "q_window_running_total",
     "q_window_order_gaps",
     "q_window_rank_dense_ntile",
     # -- scalar/array/date/percentile families, last checked r01 ---------
@@ -120,6 +120,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_bm25_topk",
     "q_quality_gopher",
     "q_dsir_importance",
+    "q_stream_quality_gate",
+    "q_dedup_substring_spans",
+    "q_heavy_hitters_2gram",
+    "q_compact_small_files",
 )
 
 
