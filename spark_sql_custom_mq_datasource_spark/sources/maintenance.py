@@ -83,3 +83,71 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("token_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partition backfill: restate ONE day of a date-partitioned table without
+# touching any other partition. This is the daily-pipeline bread-and-butter
+# (late data arrived, a bug was fixed, one day is recomputed): dynamic
+# partition overwrite replaces exactly the partitions present in the write,
+# so the job is idempotent and the blast radius is the restated day — never
+# a full-table rewrite. At 100 TB with daily partitions, this is the
+# difference between rewriting ~1/365th of the table and rewriting all of
+# it.
+# --------------------------------------------------------------------------
+
+BACKFILL_DAY = "2024-01-15"  # present at every fixture SF
+
+
+@register(
+    "q_backfill_day_partition",
+    f"""
+    WITH day AS (
+      -- value * 2 BEFORE the decimal cast, mirroring the Spark side (the
+      -- backfilled files hold doubled doubles): doubling is exact in
+      -- binary, but cast-then-double vs double-then-cast can differ at
+      -- the half-even rounding boundary of DECIMAL(18,6).
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value * 2 AS DECIMAL(18,6))) AS DOUBLE) AS restated_value
+      FROM events WHERE CAST(ts AS DATE) = DATE '{BACKFILL_DAY}'
+      GROUP BY event_type
+    )
+    SELECT day.event_type, day.n_events, day.restated_value,
+           (SELECT COUNT(*) FROM events) AS total_rows
+    FROM day ORDER BY day.event_type
+    """,
+    doc="dynamic-partition-overwrite backfill: restate one day (values "
+    "doubled, a corrective restatement) in a date-partitioned copy of "
+    "events; the oracle checks the restated day AND that the total row "
+    "count is unchanged — i.e. no other partition was touched.",
+)
+def q_backfill_day_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="backfill_")
+    ev = t(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("dt").parquet(base)
+
+    # the "recomputed" day: same rows, values restated (doubled)
+    day = F.lit(BACKFILL_DAY).cast("date")
+    restated = ev.where(F.col("dt") == day).withColumn(
+        "value", F.col("value") * F.lit(2.0)
+    )
+    # dynamic mode: ONLY the partitions present in this write are replaced
+    restated.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("dt").parquet(base)
+
+    out = spark.read.parquet(base)
+    total = out.agg(F.count("*").alias("total_rows"))
+    return (
+        out.where(F.col("dt") == day)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("restated_value"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select("event_type", "n_events", "restated_value", "total_rows")
+        .orderBy("event_type")
+    )
