@@ -622,3 +622,74 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q_ann_bruteforce_topk(spark, sf_dir)
     approx = q_ann_lsh_bucketed(spark, sf_dir)
     return ann_recall_at_k(exact, approx).orderBy("qid")
+
+
+# --------------------------------------------------------------------------
+# Persisted ANN index: the LSH bucket index as a DURABLE artifact.
+#
+# At 100 TB the index build (normalize + bucket every vector) is the
+# expensive pass; probes are cheap. Production ANN therefore builds the
+# index once, persists it partitioned BY BUCKET, and amortizes it across
+# every probe job — rebuild only on corpus change. Partitioning the index
+# by bucket also means a probe whose query buckets are known touches only
+# those directories (partition pruning), the storage-layout analogue of
+# the in-memory bucket join.
+#
+# The registered query round-trips exactly that: write (vec_id, ue,
+# bucket) parquet partitioned by bucket, reload, probe. Results are
+# identical to q_ann_lsh_bucketed, so it shares that query's oracle.
+# --------------------------------------------------------------------------
+
+_lsh_index_paths: dict[tuple[int, str], str] = {}
+
+
+def lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+fixture) the persisted LSH index; return its
+    path. Layout: parquet partitioned by `bucket`, rows (vec_id, ue)."""
+    import tempfile
+
+    from .dedup import normalized
+
+    key = (id(spark), sf_dir)
+    if key not in _lsh_index_paths:
+        path = tempfile.mkdtemp(prefix="lsh_index_")
+        (
+            lsh_bucket(tp(spark, sf_dir, "embeddings"), 64)
+            .select("vec_id", normalized(F.col("embedding")).alias("ue"), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        _lsh_index_paths[key] = path
+    return _lsh_index_paths[key]
+
+
+@register(
+    "q_ann_lsh_persisted",
+    _lsh_oracle_sql(),
+    doc="ANN over a PERSISTED LSH index: the bucket index written once as "
+    "parquet partitioned by bucket (the durable, amortized-build artifact "
+    "a production ANN service reads), reloaded and probed; results — and "
+    "oracle — identical to the in-memory q_ann_lsh_bucketed.",
+)
+def q_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dot
+
+    idx = spark.read.parquet(lsh_index_path(spark, sf_dir))
+    queries = idx.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("ue").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        F.broadcast(queries)
+        .join(idx, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("qid")))
+        .withColumn("sim", dot(F.col("qe"), F.col("ue")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select(
+            "qid", F.col("vec_id").alias("neighbor_id"), F.col("rk").cast("int").alias("rk")
+        )
+        .orderBy("qid", "rk")
+    )

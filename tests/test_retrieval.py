@@ -279,3 +279,26 @@ class TestHeavyHitters:
         assert [(r["gram"], r["count"]) for r in exact] == [
             (r["gram"], r["cnt"]) for r in sketched
         ]
+
+
+class TestPersistedLSHIndex:
+    def test_persisted_probe_matches_in_memory_path(self, spark, sf_dir):
+        """The durable index must answer identically to the in-memory
+        bucket join — index persistence cannot change results."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import get_queries
+
+        qs = get_queries()
+        mem = [tuple(r) for r in qs["q_ann_lsh_bucketed"](spark, sf_dir).collect()]
+        disk = [tuple(r) for r in qs["q_ann_lsh_persisted"](spark, sf_dir).collect()]
+        assert mem == disk
+
+    def test_index_layout_is_bucket_partitioned(self, spark, sf_dir):
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            lsh_index_path,
+        )
+
+        path = lsh_index_path(spark, sf_dir)
+        buckets = [d for d in os.listdir(path) if d.startswith("bucket=")]
+        assert len(buckets) > 1  # real partition directories, prunable
