@@ -151,3 +151,85 @@ def q_backfill_day_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "restated_value", "total_rows")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Merge/upsert (CDC apply): fold a change batch into a keyed base table.
+#
+# Plain parquet has no MERGE INTO; the portable pattern (what everyone ran
+# before lakehouse formats, and what the formats compile MERGE down to) is
+# a keyed FULL OUTER join: rows only in base pass through, matched rows
+# take the update's values, rows only in the update insert. One shuffle on
+# the key — at 100 TB you bucket/partition base and updates on the key so
+# even that shuffle disappears (see sources/bucketing.py). Deletes ride
+# the same join as a tombstone column.
+# --------------------------------------------------------------------------
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tombstone: str = "_deleted",
+) -> DataFrame:
+    """Apply a change batch to a keyed table: update matches, insert new
+    keys, drop rows whose update carries tombstone=true."""
+    b = base.select([F.col(c).alias(f"b_{c}") for c in base.columns])
+    u = updates.select([F.col(c).alias(f"u_{c}") for c in updates.columns])
+    joined = b.join(u, b[f"b_{key}"] == u[f"u_{key}"], "full_outer")
+    has_update = F.col(f"u_{key}").isNotNull()
+    deleted = has_update & F.col(f"u_{tombstone}")
+    cols = [
+        F.when(has_update, F.col(f"u_{c}")).otherwise(F.col(f"b_{c}")).alias(c)
+        for c in base.columns
+    ]
+    return joined.where(~deleted).select(cols)
+
+
+@register(
+    "q_merge_upsert_customers",
+    """
+    WITH upd AS (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS new_bal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    merged AS (
+      SELECT c.c_custkey,
+             COALESCE(u.new_bal, CAST(c.c_acctbal AS DECIMAL(12,2))) AS bal,
+             (u.c_custkey IS NOT NULL) AS updated
+      FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+      WHERE c.c_custkey % 1000 <> 1  -- deletes: every 1000th-plus-1 key
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(SUM(bal) AS DOUBLE) AS balance_total
+    FROM merged
+    """,
+    doc="CDC merge/upsert: fold a change batch (balance +100 for every "
+    "10th key, tombstone-delete every 1000th-plus-1 key) into customer "
+    "via one full-outer key join — the portable MERGE INTO; oracle "
+    "recomputes the merged aggregate relationally.",
+)
+def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(12,2)").alias("bal")
+    )
+    updates = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", (F.col("bal") + 100).alias("bal"))
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            cust.where(F.col("c_custkey") % 1000 == 1)
+            .select("c_custkey", "bal")
+            .withColumn("_deleted", F.lit(True))
+        )
+    )
+    base = cust.withColumn("_deleted", F.lit(False))
+    merged = merge_upsert(base, updates, "c_custkey")
+    upd_keys = F.col("c_custkey") % 10 == 0
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(upd_keys, 1).otherwise(0)).cast("bigint").alias("n_updated"),
+        F.sum("bal").cast("double").alias("balance_total"),
+    )

@@ -302,3 +302,24 @@ class TestPersistedLSHIndex:
         path = lsh_index_path(spark, sf_dir)
         buckets = [d for d in os.listdir(path) if d.startswith("bucket=")]
         assert len(buckets) > 1  # real partition directories, prunable
+
+
+class TestMergeUpsert:
+    def test_update_insert_delete_semantics(self, spark):
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            merge_upsert,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", False), (2, "b", False), (3, "c", False)],
+            "k long, v string, _deleted boolean",
+        )
+        updates = spark.createDataFrame(
+            [(2, "B", False), (4, "d", False), (3, None, True)],
+            "k long, v string, _deleted boolean",
+        )
+        got = {
+            r["k"]: r["v"] for r in merge_upsert(base, updates, "k").collect()
+        }
+        # 1 untouched, 2 updated, 3 tombstoned away, 4 inserted
+        assert got == {1: "a", 2: "B", 4: "d"}
