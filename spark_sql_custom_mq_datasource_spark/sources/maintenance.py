@@ -233,3 +233,55 @@ def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(upd_keys, 1).otherwise(0)).cast("bigint").alias("n_updated"),
         F.sum("bal").cast("double").alias("balance_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution: a table whose files were written under different
+# schema versions (a column added later) must stay readable as one table.
+# Parquet + mergeSchema reconciles per-file footers at planning time:
+# files written before the column arrive as NULLs, files after carry
+# values. At 100 TB you pay footer reconciliation once per planning, not
+# a table rewrite per schema change — which is why additive evolution is
+# the only kind a pipeline should do (renames/drops need a rewrite).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_schema_evolution_merge",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS with_quality,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS quality_sum
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="schema evolution via mergeSchema: v1 files (even doc_ids) lack "
+    "the quality column, v2 files (odd doc_ids) carry it (= n_chars); the "
+    "merged read reconciles both vintages, v1 rows surface as NULLs. "
+    "Oracle recomputes the per-lang null accounting relationally.",
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="evolve_")
+    docs = t(spark, sf_dir, "documents")
+    # v1 vintage: the original schema
+    docs.where(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(base, "v=1")
+    )
+    # v2 vintage: same columns + a later-added quality column
+    docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", F.col("n_chars").cast("bigint")
+    ).write.mode("overwrite").parquet(os.path.join(base, "v=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v=1"), os.path.join(base, "v=2")
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("quality").cast("bigint").alias("with_quality"),
+            F.sum("quality").cast("bigint").alias("quality_sum"),
+        )
+        .orderBy("lang")
+    )
