@@ -1202,3 +1202,36 @@ def _register_stream_quality_gate() -> None:
 
 
 _register_stream_quality_gate()
+
+
+def _register_stream_pii_redact() -> None:
+    from ..operators.privacy import _SQL_PII, _injected_text, pii_counts, redact_pii
+
+    @register(
+        "q_stream_pii_redact",
+        _SQL_PII,
+        doc="STREAMING PII redaction: the privacy regex pass applied per-row "
+        "to the doc firehose — a stateless append-mode map (no state store, "
+        "no watermark; at 100 TB/day this is pure pipelined throughput). "
+        "Oracle = the batch redaction inlined.",
+    )
+    def q_stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = (
+            spark.readStream.schema(docs_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        injected = stream.select("doc_id", _injected_text().alias("itext"))
+        counts = pii_counts("itext")
+        red = injected.select(
+            "doc_id",
+            counts["n_email"].alias("n_email"),
+            counts["n_ip"].alias("n_ip"),
+            counts["n_phone"].alias("n_phone"),
+            F.md5(redact_pii("itext")).alias("red_md5"),
+        )
+        return run_to_table(spark, red, "append").orderBy("doc_id")
+
+
+_register_stream_pii_redact()
