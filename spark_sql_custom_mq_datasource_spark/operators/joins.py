@@ -286,3 +286,83 @@ def q_salted_join_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Runtime bitmap-filter join (explicit bloom-style pre-filter)
+# --------------------------------------------------------------------------
+
+RF_BUCKETS = 1 << 16  # bitmap domain: bounded broadcast regardless of dim size
+
+
+def runtime_filter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Equi-join with an explicit runtime membership pre-filter on the fact.
+
+    The dim side's join keys are projected to hash(key) mod RF_BUCKETS and
+    de-duplicated — a <=65536-row "bitmap" that stays broadcastable no
+    matter how many keys the dim has (the point where broadcasting the keys
+    themselves stops being possible). The fact is pre-filtered by a
+    broadcast LEFT SEMI on the bucket BEFORE the shuffle join, so rows that
+    cannot match never enter the exchange: at 100 TB, shuffle bytes drop by
+    the dim's selectivity (false-positive rate <= |dim keys| / 65536).
+    The exact equi-join afterwards removes bucket collisions, making the
+    pre-filter semantically transparent — which is why the oracle is the
+    plain join. This is the hand-rolled twin of Spark's own
+    spark.sql.optimizer.runtime.bloomFilter.enabled rewrite; explicit
+    because the optimizer's heuristic declines small-looking plans and
+    cannot see through non-file sources."""
+    buckets = dim.select(
+        F.pmod(F.hash(F.col(dim_key)), F.lit(RF_BUCKETS)).alias("_rb")
+    ).distinct()
+    pre = fact.join(
+        F.broadcast(buckets),
+        F.pmod(F.hash(F.col(fact_key)), F.lit(RF_BUCKETS)) == F.col("_rb"),
+        "leftsemi",
+    )
+    return pre.join(dim, pre[fact_key] == dim[dim_key])
+
+
+@register(
+    "q_runtime_filter_join",
+    """
+    SELECT p.p_brand, l.l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+    GROUP BY p.p_brand, l.l_returnflag
+    ORDER BY p.p_brand, l.l_returnflag
+    """,
+    doc="runtime bitmap-filter join: lineitem pre-filtered by a broadcast "
+    "<=65536-bucket hash bitmap of the selective part subset before the "
+    "exact join; oracle is the plain join (the filter is transparent).",
+)
+def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import dec
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    pt = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin("Brand#1", "Brand#2"))
+        .select("p_partkey", "p_brand")
+    )
+    joined = runtime_filter_join(li, pt, "l_partkey", "p_partkey")
+    return (
+        joined.groupBy("p_brand", "l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("p_brand", "l_returnflag")
+    )

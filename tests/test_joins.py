@@ -99,3 +99,41 @@ class TestSaltedJoin:
         out = salted_join(big, small, "k", num_salts=4, how="left").collect()
         assert len(out) == big.count()
         assert {r["w"] for r in out if r["k"] == "orphan"} == {None}
+
+
+class TestRuntimeFilterJoin:
+    def _frames(self, spark):
+        fact = spark.createDataFrame(
+            [(i, i * 10.0) for i in range(100)], "fk long, v double"
+        )
+        dim = spark.createDataFrame(
+            [(5, "a"), (17, "b"), (99, "c"), (1000, "d")], "dk long, name string"
+        )
+        return fact, dim
+
+    def test_matches_plain_join(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.joins import (
+            runtime_filter_join,
+        )
+
+        fact, dim = self._frames(spark)
+        got = sorted(
+            (r["fk"], r["name"])
+            for r in runtime_filter_join(fact, dim, "fk", "dk").collect()
+        )
+        want = sorted(
+            (r["fk"], r["name"])
+            for r in fact.join(dim, fact.fk == dim.dk).collect()
+        )
+        assert got == want == [(5, "a"), (17, "b"), (99, "c")]
+
+    def test_prefilter_is_broadcast_before_exchange(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.joins import (
+            runtime_filter_join,
+        )
+
+        fact, dim = self._frames(spark)
+        plan = runtime_filter_join(fact, dim, "fk", "dk")._jdf.queryExecution(
+        ).executedPlan().toString()
+        # the semi pre-filter must be a broadcast (never a shuffle of fact)
+        assert "LeftSemi, BuildRight" in plan and "Broadcast" in plan
