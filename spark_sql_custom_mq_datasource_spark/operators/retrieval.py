@@ -176,3 +176,88 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("score_q20").cast("bigint").alias("score_q20"),
     ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms (corpus keyword extraction)
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+TFIDF_DOC_MOD = 25  # registered query reports this deterministic doc slice
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF (sklearn convention:
+    idf = ln((1+N)/(1+df)) + 1). Returns (doc_id, rank, term, tfidf_q20).
+
+    Scale shape: tf is the ONE corpus shuffle (groupBy doc,term); df
+    aggregates the already-collapsed postings table (far smaller than the
+    corpus) and joins back on term UNHINTED — at fixture scale AQE turns it
+    into a broadcast, at 100 TB vocabulary a shuffle join on term is the
+    right plan and nothing here prevents it. The ranking window partitions
+    by doc_id over k-bounded candidates, never the corpus."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("t")
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf = (
+        F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+        + F.lit(1.0)
+    )
+    scored = tf.join(df_, "t").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        F.col("t").alias("term"),
+        F.floor(F.col("tf") * idf * F.lit(Q20) + F.lit(0.5))
+        .cast("bigint")
+        .alias("tfidf_q20"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_q20"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tfidf_q20")
+    )
+
+
+_SQL_TFIDF = f"""
+  WITH toks AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+  ),
+  tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+  df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+  n AS (SELECT COUNT(*) AS n_docs FROM documents),
+  scored AS (
+    SELECT tf.doc_id, tf.t AS term,
+           CAST(floor(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0)
+                      * {Q20} + 0.5) AS BIGINT) AS tfidf_q20
+    FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+  ),
+  ranked AS (
+    SELECT doc_id, term, tfidf_q20,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf_q20 DESC, term) AS rank
+    FROM scored
+  )
+  SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tfidf_q20
+  FROM ranked
+  WHERE rank <= {TFIDF_TOP_K} AND doc_id % {TFIDF_DOC_MOD} = 0
+  ORDER BY doc_id, rank
+"""
+
+
+@register(
+    "q_tfidf_topterms",
+    _SQL_TFIDF,
+    doc="per-document top-3 TF-IDF terms (smoothed idf, integer-quantized): "
+    "one corpus shuffle for tf, df over the collapsed postings, unhinted "
+    "term join; deterministic doc_id % 25 slice reported.",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs)
+    return (
+        out.where(F.col("doc_id") % TFIDF_DOC_MOD == 0)
+        .orderBy("doc_id", "rank")
+    )

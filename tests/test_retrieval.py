@@ -323,3 +323,36 @@ class TestMergeUpsert:
         }
         # 1 untouched, 2 updated, 3 tombstoned away, 4 inserted
         assert got == {1: "a", 2: "B", 4: "d"}
+
+
+class TestTfidf:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from spark_sql_custom_mq_datasource_spark.operators.retrieval import (
+            tfidf_top_terms,
+        )
+
+        corpus = [
+            (0, "apple apple banana"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry durian"),
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["term"]): (r["rank"], r["tfidf_q20"])
+            for r in tfidf_top_terms(docs, k=2).collect()
+        }
+        toks = {d: t.split(" ") for d, t in corpus}
+        n = len(toks)
+        dfs = {"apple": 1, "banana": 2, "cherry": 2, "durian": 1}
+        expected = {}
+        for d, words in toks.items():
+            scores = {}
+            for t in set(words):
+                idf = math.log((1.0 + n) / (1.0 + dfs[t])) + 1.0
+                scores[t] = math.floor(words.count(t) * idf * Q20 + 0.5)
+            top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+            for rank, (t, s) in enumerate(top, 1):
+                expected[(d, t)] = (rank, s)
+        assert got == expected
