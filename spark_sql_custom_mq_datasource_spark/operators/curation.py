@@ -703,3 +703,76 @@ _SQL_DSIR = f"""
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tp(spark, sf_dir, "documents")
     return dsir_weights(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking (tokenize-and-chunk with overlap)
+# --------------------------------------------------------------------------
+
+CHUNK_WINDOW = 16  # tokens per chunk
+CHUNK_STRIDE = 8  # chunk start spacing (window - stride = overlap)
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each doc into overlapping token windows: chunk k covers tokens
+    [k*stride, k*stride + window) for every k with k*stride < n_tokens
+    (tail chunks run short rather than being dropped — no token is lost).
+
+    The 1->N mapping every training pipeline runs between curation and
+    batching. Pure per-row Catalyst projection (sequence + explode +
+    slice): zero shuffles, fan-out bounded by n_tokens/stride per row, so
+    at 100 TB it is scan-shaped and embarrassingly parallel."""
+    ws = F.split(F.trim("text"), " ")
+    n = F.size(ws)
+    ks = F.sequence(F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"))
+    return (
+        docs.select("doc_id", ws.alias("ws"), F.explode(ks).alias("k"))
+        .select(
+            "doc_id",
+            F.col("k").cast("int").alias("chunk_id"),
+            F.slice("ws", F.col("k") * stride + 1, window).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("int").alias("chunk_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+    )
+
+
+_SQL_CHUNK = f"""
+  WITH w AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+  ),
+  k AS (
+    SELECT doc_id, ws,
+           unnest(generate_series(0, CAST(floor((len(ws) - 1) / {CHUNK_STRIDE})
+                                          AS INTEGER))) AS k
+    FROM w
+  ),
+  c AS (
+    SELECT doc_id, k AS chunk_id,
+           ws[k * {CHUNK_STRIDE} + 1 : k * {CHUNK_STRIDE} + {CHUNK_WINDOW}] AS chunk
+    FROM k
+  )
+  SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         CAST(len(chunk) AS INTEGER) AS chunk_tokens,
+         md5(array_to_string(chunk, ' ')) AS chunk_md5
+  FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "q_chunk_documents",
+    _SQL_CHUNK,
+    doc="context-window chunking: each doc split into overlapping "
+    f"{CHUNK_WINDOW}-token windows every {CHUNK_STRIDE} tokens (tail kept "
+    "short, no token lost) — per-row sequence+explode+slice, zero "
+    "shuffles; md5 value-checks exact chunk content.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs).orderBy("doc_id", "chunk_id")

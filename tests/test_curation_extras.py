@@ -250,3 +250,44 @@ class TestCacheClearHook:
         assert jcm.isEmpty()
         # cache rebuilds transparently on next use
         assert shingle_sets_cached(spark, sf_dir).count() > 0
+
+
+class TestChunkDocuments:
+    def test_overlap_tail_and_short_doc(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            chunk_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "x")], "doc_id long, text string"
+        )
+        out = (
+            chunk_documents(docs, window=8, stride=4)
+            .orderBy("doc_id", "chunk_id")
+            .collect()
+        )
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_tokens"])
+            )
+        # doc 1: n=10 -> starts 0,4,8 -> lengths 8,6,2 (tail kept, no loss)
+        assert by_doc[1] == [(0, 8), (1, 6), (2, 2)]
+        # doc 2: single token -> one chunk of 1
+        assert by_doc[2] == [(0, 1)]
+
+    def test_every_token_covered(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            chunk_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(7, " ".join(f"t{i}" for i in range(23)),)], "doc_id long, text string"
+        )
+        total = (
+            chunk_documents(docs, window=8, stride=8)
+            .agg(F.sum("chunk_tokens").alias("s"))
+            .collect()[0]["s"]
+        )
+        # stride == window (no overlap): chunk tokens partition the doc
+        assert total == 23
