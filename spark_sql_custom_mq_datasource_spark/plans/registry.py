@@ -141,6 +141,7 @@ def _load_all() -> None:
     from ..operators import joins  # noqa: F401
     from ..streaming import pipelines  # noqa: F401
     from ..sources import bucketing  # noqa: F401
+    from ..sources import jsonl  # noqa: F401
     from ..sources import maintenance  # noqa: F401
     from . import analytics  # noqa: F401
     from . import tpch  # noqa: F401

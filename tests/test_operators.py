@@ -331,3 +331,25 @@ class TestSubstringSpanDedup:
             [(0, "tiny doc"), (1, "also small")], "doc_id long, text string"
         )
         assert substring_dup_spans(docs).count() == 0
+
+
+class TestJsonlRoundtrip:
+    def test_lossless_on_hostile_strings(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.jsonl import (
+            read_jsonl,
+            write_jsonl,
+        )
+
+        rows = [
+            (1, 'quote " backslash \\ tab\tnewline\nend'),
+            (2, "unicode: naïve – 中文 🚀"),
+            (3, ""),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        path = str(tmp_path / "jl")
+        write_jsonl(df, path, shards=1)
+        back = read_jsonl(spark, path, df.schema)
+        assert sorted(
+            (r["id"], r["text"]) for r in back.collect()
+        ) == sorted(rows)
