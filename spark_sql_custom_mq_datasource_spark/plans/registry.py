@@ -65,6 +65,13 @@ def register(
 # q_right_join_order_coverage) wait one more round to make room. Union
 # coverage across rounds stays complete: everything rotated out is green
 # in CORRECTNESS_r04.json or r01 + re-verified locally this round.
+#
+# Late-round-5 additions (PII redaction ×2, runtime-filter join, TF-IDF,
+# chunking, JSONL roundtrip) take never-checked priority; six more stable
+# r01 greens with in-prefix family cover step aside for them
+# (q_semi_join_priority, q_distinct_parts_per_flag, q_array_functions,
+# q_events_global_stats, q_window_order_gaps, q_cube_orders — each
+# locally re-verified via tools/check_oracles.py this round).
 _PRIORITY: tuple[str, ...] = (
     # -- changed this round: must be driver-re-checked -------------------
     "q_stream_mq_wordcount",
@@ -95,27 +102,21 @@ _PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
     # -- join variants, last checked r01 ---------------------------------
-    "q_semi_join_priority",
     "q_anti_join_idle_customers",
     "q_outer_join_nation_customers",
     "q_full_outer_join_balance",
     "q_subquery_above_avg",
     # -- agg/rollup/set-op families, last checked r01 --------------------
     "q_rollup_returns",
-    "q_cube_orders",
     "q_grouping_sets_sql",
-    "q_distinct_parts_per_flag",
     "q_setops_active_customers",
     # -- window family, last checked r01 ---------------------------------
     "q_window_top_parts_per_brand",
-    "q_window_order_gaps",
     "q_window_rank_dense_ntile",
     # -- scalar/array/date/percentile families, last checked r01 ---------
     "q_scalar_functions",
     "q_date_functions",
-    "q_array_functions",
     "q_percentiles_price",
-    "q_events_global_stats",
     # -- new this round: never driver-checked, highest rotation priority --
     "q_bm25_topk",
     "q_quality_gopher",
@@ -124,6 +125,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_substring_spans",
     "q_heavy_hitters_2gram",
     "q_compact_small_files",
+    # -- late-round-5 additions: never driver-checked -------------------
+    "q_pii_redact",
+    "q_stream_pii_redact",
+    "q_runtime_filter_join",
+    "q_tfidf_topterms",
+    "q_chunk_documents",
+    "q_jsonl_roundtrip",
 )
 
 
