@@ -152,6 +152,7 @@ def _load_all() -> None:
     from ..sources import jsonl  # noqa: F401
     from ..sources import maintenance  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import product_analytics  # noqa: F401
     from . import tpch  # noqa: F401
     from . import tpch2  # noqa: F401
     from . import tpch3  # noqa: F401
