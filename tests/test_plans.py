@@ -149,3 +149,37 @@ class TestPartitionPruning:
         assert pruned.rdd.getNumPartitions() <= max(
             1, spark.read.parquet(path).rdd.getNumPartitions() // 10
         )
+
+
+class TestLateRound5Ops:
+    def test_pii_redact_is_pure_projection(self, spark, sf_dir):
+        # zero exchanges except the presentation sort's rangepartitioning
+        # (formatted explain lists each node twice: tree + detail section,
+        # so count the detail headers)
+        import re
+
+        p = plan(spark, sf_dir, "q_pii_redact")
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        assert "rangepartitioning" in p and "hashpartitioning" not in p
+
+    def test_tfidf_no_nested_loop_except_scalar_stats(self, spark, sf_dir):
+        # the 1-row n_docs broadcast is the only permitted non-equi join
+        import re
+
+        p = plan(spark, sf_dir, "q_tfidf_topterms")
+        assert "CartesianProduct" not in p
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1
+
+    def test_chunking_is_generate_no_join(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_chunk_documents")
+        assert "Generate" in p  # the explode
+        assert "Join" not in p
+
+    def test_funnel_joins_are_equi(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_funnel_stages")
+        assert "CartesianProduct" not in p
+
+    def test_wau_explode_bounded_no_self_join(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_rolling_dau_wau")
+        assert "Generate" in p  # contribution explode, not a 7-way self-join
+        assert "CartesianProduct" not in p

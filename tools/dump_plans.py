@@ -129,6 +129,40 @@ SHOWCASE = [
         "exact recount of only the candidates; the long tail of singleton "
         "grams never reaches an exchange.",
     ),
+    (
+        "q_runtime_filter_join",
+        "Runtime bitmap-filter join: the dim's keys collapse to a <=65536-"
+        "row hash bitmap that BROADCASTs regardless of dim size; the fact "
+        "passes a BroadcastHashJoin LeftSemi BEFORE the exact join's "
+        "exchange, so non-matching rows never shuffle. Exact join removes "
+        "bucket collisions (filter is transparent).",
+    ),
+    (
+        "q_tfidf_topterms",
+        "TF-IDF keywords: tf is the one corpus shuffle; df aggregates the "
+        "collapsed postings; the term join is UNHINTED so AQE broadcasts "
+        "at fixture scale while a vocabulary-scale shuffle join stays "
+        "available; ranking window partitions by doc_id only.",
+    ),
+    (
+        "q_pii_redact",
+        "PII redaction: regexp_count + chained regexp_replace as a pure "
+        "codegen projection — zero exchanges except the presentation sort; "
+        "linear-time character-class patterns, so a pathological document "
+        "cannot stall an executor.",
+    ),
+    (
+        "q_chunk_documents",
+        "Context-window chunking: sequence+explode+slice per row, fan-out "
+        "bounded by n_tokens/stride — scan-shaped 1->N with zero exchanges "
+        "before the presentation sort.",
+    ),
+    (
+        "q_rolling_dau_wau",
+        "Rolling WAU: distinct-over-sliding-window rewritten as a bounded "
+        "7-day contribution explode + distinct — one fan-out, one shuffle, "
+        "never a 7-way self-join of the fact table.",
+    ),
 ]
 
 
