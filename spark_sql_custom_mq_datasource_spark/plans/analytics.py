@@ -494,3 +494,48 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
         F.element_at(upper_vals, "type").alias("type_upper"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Approximate percentile (KLL/GK sketch) with its error bound encoded in
+# the result — the approx-agg pattern shared with q_approx_distinct_parts:
+# the sketch estimate is engine-specific, so the hash check covers (a) the
+# exact interpolated percentile computed alongside and (b) a boolean that
+# the estimate landed within 2% of it. At scale the sketch is the only
+# viable plan: it is one pass, mergeable map-side, O(accuracy) memory per
+# group vs the exact path's full sort per group.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_approx_percentile_bounds",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.50) AS exact_p50,
+           TRUE AS within_2pct
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    doc="percentile_approx (accuracy 10000) per group, checked against the "
+    "exact interpolated median computed alongside; the 2% bound rides in "
+    "the result row so the sketch's correctness is hash-verified.",
+)
+def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.50)).alias("exact_p50"),
+            F.percentile_approx("l_extendedprice", F.lit(0.50), F.lit(10000)).alias(
+                "_approx"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            (
+                F.abs(F.col("_approx") - F.col("exact_p50")) / F.col("exact_p50")
+                < F.lit(0.02)
+            ).alias("within_2pct"),
+        )
+        .orderBy("l_returnflag")
+    )

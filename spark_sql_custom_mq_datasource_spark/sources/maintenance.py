@@ -285,3 +285,60 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Retention pruning: expire partitions older than a cutoff.
+#
+# The other half of the partition lifecycle (backfill restates, retention
+# expires). On a date-partitioned table this is a METADATA operation:
+# enumerate partition directories (what a lake catalog does from its
+# manifest), delete the expired ones. Zero data read, zero shuffle, cost
+# O(#expired partitions) — versus DELETE WHERE, which rewrites the whole
+# table. At 100 TB with a 2-year retention window this is the difference
+# between a directory unlink per day and a daily full-table rewrite.
+# --------------------------------------------------------------------------
+
+RETENTION_CUTOFF = "2024-01-08"  # keep dt >= cutoff (expire the first week)
+
+
+def prune_partitions_before(base: str, cutoff: str) -> list[str]:
+    """Delete dt=<day> partition dirs with day < cutoff; return what was
+    dropped. Pure directory surgery — no Spark job at all."""
+    import shutil
+
+    dropped = []
+    for d in sorted(os.listdir(base)):
+        if d.startswith("dt=") and d[3:] < cutoff:
+            shutil.rmtree(os.path.join(base, d))
+            dropped.append(d)
+    return dropped
+
+
+@register(
+    "q_retention_prune",
+    f"""
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '{RETENTION_CUTOFF}'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="retention pruning: expired dt-partitions of a date-partitioned "
+    "events copy are dropped by directory unlink (metadata-only, zero "
+    "data read/shuffle); the read-back must equal the corpus filtered to "
+    "the retention window — surviving partitions untouched.",
+)
+def q_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="retain_")
+    ev = t(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("dt").parquet(base)
+
+    dropped = prune_partitions_before(base, RETENTION_CUTOFF)
+    assert dropped, "fixture spans January; the first week must expire"
+
+    out = spark.read.parquet(base)
+    return (
+        out.groupBy(F.col("dt").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("day")
+    )

@@ -353,3 +353,22 @@ class TestJsonlRoundtrip:
         assert sorted(
             (r["id"], r["text"]) for r in back.collect()
         ) == sorted(rows)
+
+
+class TestRetentionPrune:
+    def test_unlinks_only_expired_partitions(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            prune_partitions_before,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-05"), (2, "2024-01-08"), (3, "2024-01-20")],
+            "id long, dt string",
+        ).withColumn("dt", F.col("dt").cast("date"))
+        base = str(tmp_path / "tbl")
+        df.write.partitionBy("dt").parquet(base)
+
+        dropped = prune_partitions_before(base, "2024-01-08")
+        assert dropped == ["dt=2024-01-05"]
+        kept = sorted(r["id"] for r in spark.read.parquet(base).collect())
+        assert kept == [2, 3]  # cutoff day itself survives (>= semantics)
