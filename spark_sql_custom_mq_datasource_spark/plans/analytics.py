@@ -539,3 +539,161 @@ def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-RANGE window frame: rolling 24 h average per user. RANGE frames are
+# value-based (every row whose order key falls in [key-86400, key] joins
+# the frame) — the surface ROWS frames cannot express when events are
+# irregularly spaced. Order key is floor-seconds on BOTH engines (Spark's
+# unix_timestamp truncates; DuckDB's epoch() keeps fractions — flooring
+# pins identical frame membership for ties). The windowed sum uses the
+# repo's decimal convention so frame-internal accumulation order can't
+# leak into the double.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_window_time_range_avg",
+    """
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id
+                        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                        RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+             AS avg_24h
+    FROM events WHERE user_id < 5
+    ORDER BY user_id, ts_s
+    """,
+    doc="time-RANGE window frame: per-user rolling 24h average over "
+    "irregular event times (value-based frame, not ROWS); floor-seconds "
+    "order key and decimal frame sums keep both engines bit-identical.",
+)
+def q_window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+                / F.count("*").over(w)
+            ).alias("avg_24h"),
+        )
+        .orderBy("user_id", "ts_s")
+    )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (melt): the inverse of the daily pivot — wide per-type count
+# columns back to (day, event_type, n) long form. Spark 4's native
+# DataFrame.unpivot; the oracle reconstructs the same full grid (including
+# explicit zeros, which a bare GROUP BY would drop) relationally.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_unpivot_daily",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT days.day, types.event_type,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n
+    FROM days CROSS JOIN types
+    LEFT JOIN counts ON counts.day = days.day
+                    AND counts.event_type = types.event_type
+    ORDER BY days.day, types.event_type
+    """,
+    doc="UNPIVOT/melt: the wide daily pivot flipped back to long form via "
+    "DataFrame.unpivot, zeros preserved (the full day x type grid) — "
+    "oracle rebuilds the grid relationally.",
+)
+def q_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    wide = wide.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES]
+    )
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=list(_EVENT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .select("day", "event_type", F.col("n").cast("bigint").alias("n"))
+        .orderBy("day", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Null semantics: explicit NULLS FIRST ordering and null-safe equality
+# (<=> / IS NOT DISTINCT FROM). The hash compare is order-insensitive, so
+# the null ORDERING is baked into a row_number value — engines that
+# disagree on where NULLs sort (Spark default: first ASC; DuckDB default:
+# last) produce different rn values unless the explicit NULLS FIRST is
+# honored identically.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_null_semantics",
+    """
+    WITH s AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey < 200
+    )
+    SELECT c_custkey, seg,
+           CAST(ROW_NUMBER() OVER (ORDER BY seg ASC NULLS FIRST, c_custkey)
+                AS INTEGER) AS rn,
+           (seg IS NOT DISTINCT FROM
+              lag(seg) OVER (ORDER BY seg ASC NULLS FIRST, c_custkey))
+             AS same_as_prev
+    FROM s ORDER BY rn
+    """,
+    doc="null semantics: NULLS FIRST ordering baked into row_number values "
+    "and null-safe equality (<=>) against a possibly-NULL lag — TRUE for "
+    "NULL<=>NULL, which plain = can never produce. The unpartitioned "
+    "window is demo-bounded by the c_custkey < 200 slice (a global total "
+    "order is semantically global; at scale you'd partition or bucket it).",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        )
+    )
+    w = Window.orderBy(F.col("seg").asc_nulls_first(), "c_custkey")
+    return (
+        s.select(
+            "c_custkey",
+            "seg",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.col("seg").eqNullSafe(F.lag("seg").over(w)).alias("same_as_prev"),
+        )
+        .orderBy("rn")
+    )
