@@ -342,3 +342,69 @@ def q_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension build: turn a keyed change log into validity intervals
+# (key, attrs, valid_from, valid_to) — the slowly-changing-dimension type 2
+# shape every warehouse keeps history in, and the other half of the CDC
+# story (merge_upsert applies changes; this PRESERVES them as history).
+#
+# Shape: one window per key ordered by change time — valid_to is simply
+# lead(valid_from); the open (current) version has NULL valid_to. One
+# shuffle on the key, O(1) state per row; at 100 TB the window partitions
+# by key so no task ever sees more than one key's history. Point-in-time
+# enrichment against the result is the as-of join (operators/joins.py) or
+# the bucketed range join.
+# --------------------------------------------------------------------------
+
+
+def scd2_build(
+    changes: DataFrame, key: str, ts_col: str, attr_cols: list[str]
+) -> DataFrame:
+    """Change log -> SCD2 intervals [valid_from, valid_to); NULL = open."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col)
+    return changes.select(
+        key,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "q_scd2_build",
+    """
+    WITH chg AS (
+      SELECT user_id, value, ts FROM events WHERE event_type = 'signup'
+    )
+    SELECT user_id,
+           CAST(value AS DOUBLE) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current
+    FROM chg
+    ORDER BY user_id, valid_from
+    """,
+    doc="SCD2 dimension build: the signup change log becomes per-user "
+    "validity intervals via one key-partitioned lead() window — valid_to "
+    "= next change's ts, NULL marks the open (current) version.",
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .select("user_id", "value", "ts")
+    )
+    iv = scd2_build(ev, "user_id", "ts", ["value"])
+    return iv.select(
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from")

@@ -372,3 +372,33 @@ class TestRetentionPrune:
         assert dropped == ["dt=2024-01-05"]
         kept = sorted(r["id"] for r in spark.read.parquet(base).collect())
         assert kept == [2, 3]  # cutoff day itself survives (>= semantics)
+
+
+class TestScd2Build:
+    def test_intervals_chain_and_current_is_open(self, spark):
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            scd2_build,
+        )
+
+        chg = spark.createDataFrame(
+            [
+                (1, 10.0, dt.datetime(2024, 1, 1)),
+                (1, 20.0, dt.datetime(2024, 1, 5)),
+                (1, 30.0, dt.datetime(2024, 1, 9)),
+                (2, 99.0, dt.datetime(2024, 1, 3)),
+            ],
+            "user_id long, value double, ts timestamp",
+        )
+        rows = sorted(
+            scd2_build(chg, "user_id", "ts", ["value"]).collect(),
+            key=lambda r: (r["user_id"], r["valid_from"]),
+        )
+        u1 = [r for r in rows if r["user_id"] == 1]
+        # intervals chain: each valid_to equals the next valid_from
+        assert [r["valid_to"] for r in u1[:-1]] == [r["valid_from"] for r in u1[1:]]
+        # exactly one open version per key
+        assert [r["valid_to"] is None for r in u1] == [False, False, True]
+        u2 = [r for r in rows if r["user_id"] == 2]
+        assert len(u2) == 1 and u2[0]["valid_to"] is None
