@@ -190,3 +190,86 @@ class TestCrossEnginePortability:
             ).fetchall()
         )
         assert got == exp
+
+
+class TestLateRound5Laws:
+    def test_runtime_filter_join_equals_plain_join_on_random_frames(self, spark):
+        """Transparency law: the bitmap pre-filter may never change the
+        join result, whatever the key distribution (incl. collisions in
+        the 65536-bucket space, forced here with huge sparse keys)."""
+        import random
+
+        from pyspark.sql import functions as F
+        from spark_sql_custom_mq_datasource_spark.operators.joins import (
+            runtime_filter_join,
+        )
+
+        rng = random.Random(42)
+        fact_keys = [rng.randrange(0, 1 << 40) for _ in range(500)]
+        dim_keys = rng.sample(fact_keys, 30) + [
+            rng.randrange(0, 1 << 40) for _ in range(30)
+        ]
+        fact = spark.createDataFrame([(k,) for k in fact_keys], "fk long")
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in set(dim_keys)], "dk long, name string"
+        )
+        got = sorted(
+            (r["fk"], r["name"])
+            for r in runtime_filter_join(fact, dim, "fk", "dk").collect()
+        )
+        want = sorted(
+            (r["fk"], r["name"]) for r in fact.join(dim, fact.fk == dim.dk).collect()
+        )
+        assert got == want and len(want) >= 30
+
+    def test_chunking_total_coverage_law(self, spark):
+        """stride == window (no overlap): chunk sizes partition each doc's
+        tokens exactly, for arbitrary doc lengths incl. 1 and multiples of
+        the stride."""
+        from pyspark.sql import functions as F
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            chunk_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(n, " ".join(f"w{i}" for i in range(n))) for n in (1, 7, 8, 9, 16, 33)],
+            "doc_id long, text string",
+        )
+        per_doc = {
+            r["doc_id"]: r["s"]
+            for r in chunk_documents(docs, window=8, stride=8)
+            .groupBy("doc_id")
+            .agg(F.sum("chunk_tokens").alias("s"))
+            .collect()
+        }
+        assert per_doc == {n: n for n in (1, 7, 8, 9, 16, 33)}
+
+    def test_scd2_versions_partition_time(self, spark):
+        """For every key: intervals are disjoint, chained, and exactly one
+        is open — under a shuffled insert order (order independence)."""
+        import datetime as dt
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            scd2_build,
+        )
+
+        rng = random.Random(7)
+        rows = []
+        for key in range(5):
+            days = rng.sample(range(1, 28), rng.randint(1, 6))
+            rows += [
+                (key, float(d), dt.datetime(2024, 1, d)) for d in days
+            ]
+        rng.shuffle(rows)
+        chg = spark.createDataFrame(rows, "user_id long, value double, ts timestamp")
+        out = scd2_build(chg, "user_id", "ts", ["value"]).collect()
+        by_key: dict = {}
+        for r in out:
+            by_key.setdefault(r["user_id"], []).append(r)
+        for key, ivs in by_key.items():
+            ivs.sort(key=lambda r: r["valid_from"])
+            opens = [r for r in ivs if r["valid_to"] is None]
+            assert len(opens) == 1 and opens[0] is ivs[-1]
+            for a, b in zip(ivs, ivs[1:]):
+                assert a["valid_to"] == b["valid_from"]
