@@ -408,3 +408,57 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from")
+
+
+@register(
+    "q_scd2_pointintime",
+    """
+    WITH chg AS (
+      SELECT user_id, value, ts FROM events WHERE event_type = 'signup'
+    ),
+    iv AS (
+      SELECT user_id, value AS signup_value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM chg
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(iv.signup_value AS DOUBLE) AS signup_value
+    FROM clicks c
+    LEFT JOIN iv ON iv.user_id = c.user_id
+                AND iv.valid_from <= c.ts
+                AND (iv.valid_to IS NULL OR c.ts < iv.valid_to)
+    ORDER BY c.event_id
+    """,
+    doc="point-in-time enrichment against the SCD2 dimension: each click "
+    "gets the signup-value version valid AT its event time. The Spark "
+    "side is the as-of join operator (union+window, ONE shuffle+sort, no "
+    "interval theta join); the oracle is the interval join the versions "
+    "were built to satisfy — proving interval semantics and as-of "
+    "semantics coincide.",
+)
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    chg = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("value").alias("signup_value"), "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        chg,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["signup_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("signup_value").cast("double").alias("signup_value"),
+    ).orderBy("event_id")

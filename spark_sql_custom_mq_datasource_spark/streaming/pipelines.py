@@ -1235,3 +1235,28 @@ def _register_stream_pii_redact() -> None:
 
 
 _register_stream_pii_redact()
+
+
+def _register_stream_chunk() -> None:
+    from ..operators.curation import _SQL_CHUNK, chunk_documents
+
+    @register(
+        "q_stream_chunk_documents",
+        _SQL_CHUNK,
+        doc="STREAMING chunking: the context-window 1->N split applied to "
+        "the doc firehose — a stateless append-mode flatMap (explode "
+        "fan-out bounded per row, no state store, no watermark): the "
+        "chunk-and-ship ingestion shape. Oracle = the batch chunking.",
+    )
+    def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = (
+            spark.readStream.schema(docs_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        chunks = chunk_documents(stream.select("doc_id", "text"))
+        return run_to_table(spark, chunks, "append").orderBy("doc_id", "chunk_id")
+
+
+_register_stream_chunk()

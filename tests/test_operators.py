@@ -402,3 +402,23 @@ class TestScd2Build:
         assert [r["valid_to"] is None for r in u1] == [False, False, True]
         u2 = [r for r in rows if r["user_id"] == 2]
         assert len(u2) == 1 and u2[0]["valid_to"] is None
+
+
+class TestJsonlCorruptRecords:
+    def test_permissive_capture(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        p = tmp_path / "in.jsonl"
+        p.write_text('{"id": 1, "text": "ok"}\nnot json at all\n{"id": 2, "text": "also ok"}\n')
+        schema = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("text", StringType()),
+                StructField("_corrupt_record", StringType()),
+            ]
+        )
+        rows = spark.read.schema(schema).json(str(tmp_path)).collect()
+        good = sorted(r["id"] for r in rows if r["_corrupt_record"] is None)
+        bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+        assert good == [1, 2]
+        assert bad == ["not json at all"]  # captured, not job-fatal
