@@ -72,6 +72,14 @@ def register(
 # (q_semi_join_priority, q_distinct_parts_per_flag, q_array_functions,
 # q_events_global_stats, q_window_order_gaps, q_cube_orders — each
 # locally re-verified via tools/check_oracles.py this round).
+#
+# ROUND-6 ROTATION PLAN: the 11 queries added after this prefix froze are
+# first in line (never driver-checked; all pass the local mirror at
+# sf0.001 + sf0.01 + CHECK_VANILLA): q_rolling_dau_wau, q_funnel_stages,
+# q_cohort_retention, q_retention_prune, q_approx_percentile_bounds,
+# q_window_time_range_avg, q_unpivot_daily, q_null_semantics,
+# q_scd2_build, q_scd2_pointintime, q_stream_chunk_documents. Next: the
+# 10 r01-greens displaced this round, then r04 greens on schedule.
 _PRIORITY: tuple[str, ...] = (
     # -- changed this round: must be driver-re-checked -------------------
     "q_stream_mq_wordcount",
