@@ -190,6 +190,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF (sklearn convention:
     idf = ln((1+N)/(1+df)) + 1). Returns (doc_id, rank, term, tfidf_q20).
 
+    Float portability: tf*idf passes through the same floor(x*2^20+0.5)
+    quantization as BM25 (module doc) — a JVM-vs-libm ln() ulp would have
+    to land within ~1e-10 of a boundary to flip a value; accepted
+    repo-wide and fuzz-pinned for the shared kernels in
+    tests/test_properties.py.
+
     Scale shape: tf is the ONE corpus shuffle (groupBy doc,term); df
     aggregates the already-collapsed postings table (far smaller than the
     corpus) and joins back on term UNHINTED — at fixture scale AQE turns it

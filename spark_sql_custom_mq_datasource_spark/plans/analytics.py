@@ -205,6 +205,21 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _daily_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, click, error, purchase, signup, view) wide counts — pivot
+    leaves NULL for absent combos, coalesced to 0 to match the oracle's
+    FILTER semantics. Shared by the pivot query and its unpivot inverse."""
+    ev = t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES]
+    )
+
+
 @register(
     "q_events_pivot_daily",
     """
@@ -221,17 +236,7 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     doc="pivot on a bounded category set (conditional agg at scale).",
 )
 def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    out = (
-        ev.groupBy(F.col("ts").cast("date").alias("day"))
-        .pivot("event_type", _EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
-        .orderBy("day")
-    )
-    # pivot leaves NULL for absent combos; oracle's FILTER yields 0.
-    return out.select(
-        "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES]
-    )
+    return _daily_wide_pivot(spark, sf_dir).orderBy("day")
 
 
 # --------------------------------------------------------------------------
@@ -605,9 +610,14 @@ def q_window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_unpivot_daily",
-    """
+    # the type grid is the SAME pinned _EVENT_TYPES list the Spark pivot
+    # uses — deriving it from the data (SELECT DISTINCT) would make the
+    # two sides equal only by fixture accident (code-review finding: a
+    # slice missing one type would zero-fill on the Spark side only)
+    f"""
     WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
-    types AS (SELECT DISTINCT event_type FROM events),
+    types AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _EVENT_TYPES)})
+              AS v(event_type)),
     counts AS (
       SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
       FROM events GROUP BY 1, 2
@@ -624,15 +634,7 @@ def q_window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle rebuilds the grid relationally.",
 )
 def q_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    wide = (
-        ev.groupBy(F.col("ts").cast("date").alias("day"))
-        .pivot("event_type", _EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
-    )
-    wide = wide.select(
-        "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES]
-    )
+    wide = _daily_wide_pivot(spark, sf_dir)
     return (
         wide.unpivot(
             ids=["day"],
