@@ -53,6 +53,29 @@ BM25_QUERIES: tuple[tuple[int, str], ...] = (
 )
 
 
+def build_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) for a docs corpus: postings = (doc_id, dl, t, tf),
+    stats = one row (n_docs, avgdl).
+
+    Doc length is a PER-ROW projection (size of the token array), not an
+    aggregate: computing it before the explode and carrying it through
+    the tf groupBy gets it into every posting for free. The alternative
+    (groupBy(doc_id) then join back) would shuffle the whole corpus by
+    doc_id a second time at scale. The tf groupBy is the ONE corpus
+    shuffle (dl rides along in the key's functional closure — constant
+    per doc_id, grouped at no cost)."""
+    words = docs.select(
+        "doc_id",
+        F.split(F.trim("text"), " ").alias("ws"),
+    ).select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
+    toks = words.select("doc_id", "dl", F.explode("ws").alias("t"))
+    tf = toks.groupBy("doc_id", "dl", "t").agg(F.count("*").alias("tf"))
+    # corpus-level scalars from the per-row projection (no shuffle beyond
+    # a partial+final agg): N and avgdl, single tiny row, broadcast
+    stats = words.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    return tf, stats
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -65,22 +88,21 @@ def bm25_topk(
     docs: (doc_id, text); queries: (qid, qtext).
     Returns (qid, rank, doc_id, score_q20) — score in 2^-20 units.
     """
-    # Doc length is a PER-ROW projection (size of the token array), not an
-    # aggregate: computing it before the explode and carrying it through
-    # the tf groupBy gets it into every posting for free. The alternative
-    # (groupBy(doc_id) then join back) would shuffle the whole corpus by
-    # doc_id a second time at scale.
-    words = docs.select(
-        "doc_id",
-        F.split(F.trim("text"), " ").alias("ws"),
-    ).select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
-    toks = words.select("doc_id", "dl", F.explode("ws").alias("t"))
-    # inverted index: the ONE corpus shuffle (dl rides along in the key's
-    # functional closure — it's constant per doc_id, grouped at no cost)
-    tf = toks.groupBy("doc_id", "dl", "t").agg(F.count("*").alias("tf"))
-    # corpus-level scalars from the per-row projection (no shuffle beyond
-    # a partial+final agg): N and avgdl, single tiny row, broadcast
-    stats = words.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf, stats = build_postings(docs)
+    return score_postings(tf, stats, queries, k=k, k1=k1, b=b)
+
+
+def score_postings(
+    tf: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25-score a postings table against queries — shared by the inline
+    path (postings just built) and the persisted-index path (postings read
+    back bucket-pruned). Identical results by construction."""
     qterms = queries.select(
         "qid", F.explode(F.split(F.trim("qtext"), " ")).alias("t")
     ).distinct()
@@ -267,3 +289,86 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.where(F.col("doc_id") % TFIDF_DOC_MOD == 0)
         .orderBy("doc_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted BM25 index: the inverted index as a durable, term-bucketed
+# parquet artifact — the lexical twin of the persisted LSH ANN index.
+# Build cost (the corpus shuffle) is paid ONCE and amortized over every
+# probe; probes read only the buckets containing their query terms
+# (directory-level pruning on the bkt= partition column), so probe I/O is
+# O(query-term postings), not O(index).
+# --------------------------------------------------------------------------
+
+BM25_INDEX_BUCKETS = 64
+
+
+def write_bm25_index(docs: DataFrame, path: str) -> None:
+    """Materialize (postings partitioned by term-hash bucket, stats)."""
+    import os
+
+    tf, stats = build_postings(docs)
+    tf.withColumn(
+        "bkt", F.pmod(F.hash("t"), F.lit(BM25_INDEX_BUCKETS))
+    ).write.mode("overwrite").partitionBy("bkt").parquet(
+        os.path.join(path, "postings")
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Probe a persisted index. The query terms' bucket ids are computed
+    with the SAME hash the writer used and pushed as a partition filter —
+    a driver collect of <= |query terms| ints (contractually tiny, the
+    same bounded-collect shape as the ANN query matrix)."""
+    import os
+
+    qterms = queries.select(
+        F.explode(F.split(F.trim("qtext"), " ")).alias("t")
+    ).distinct()
+    bkts = [
+        r["bkt"]
+        for r in qterms.select(
+            F.pmod(F.hash("t"), F.lit(BM25_INDEX_BUCKETS)).alias("bkt")
+        )
+        .distinct()
+        .collect()
+    ]
+    tf = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("bkt").isin(bkts))
+        .select("doc_id", "dl", "t", "tf")
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    return score_postings(tf, stats, queries, k=k, k1=k1, b=b)
+
+
+@register(
+    "q_bm25_persisted",
+    _SQL_BM25,
+    doc="persisted BM25 index: postings written as term-bucketed parquet "
+    "(build paid once), probed with a bucket partition filter so probe "
+    "I/O is O(query-term postings); must return exactly the inline BM25 "
+    "result (same oracle).",
+)
+def q_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = tp(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(list(BM25_QUERIES), "qid int, qtext string")
+    path = tempfile.mkdtemp(prefix="bm25_idx_")
+    write_bm25_index(docs, path)
+    out = bm25_topk_from_index(spark, path, queries)
+    return out.select(
+        F.col("qid").cast("int").alias("qid"),
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.col("score_q20").cast("bigint").alias("score_q20"),
+    ).orderBy("qid", "rank")

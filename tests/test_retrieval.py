@@ -356,3 +356,36 @@ class TestTfidf:
             for rank, (t, s) in enumerate(top, 1):
                 expected[(d, t)] = (rank, s)
         assert got == expected
+
+
+class TestPersistedBm25Index:
+    def test_probe_prunes_buckets_and_matches_inline(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from spark_sql_custom_mq_datasource_spark.operators.retrieval import (
+            BM25_INDEX_BUCKETS,
+            bm25_topk,
+            bm25_topk_from_index,
+            write_bm25_index,
+        )
+
+        corpus = [
+            (i, f"apple banana w{i} cherry") for i in range(40)
+        ] + [(100, "durian elderberry")]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            [(0, "apple durian")], "qid int, qtext string"
+        )
+        path = str(tmp_path / "idx")
+        write_bm25_index(docs, path)
+
+        got = sorted(
+            map(tuple, bm25_topk_from_index(spark, path, queries).collect())
+        )
+        want = sorted(map(tuple, bm25_topk(docs, queries).collect()))
+        assert got == want and len(want) > 0
+
+        # the probe's scan must carry a partition filter on bkt (directory
+        # pruning — probe I/O is O(query buckets), not O(index))
+        probe = bm25_topk_from_index(spark, path, queries)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bkt" in plan
