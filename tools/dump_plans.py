@@ -163,6 +163,13 @@ SHOWCASE = [
         "7-day contribution explode + distinct — one fan-out, one shuffle, "
         "never a 7-way self-join of the fact table.",
     ),
+    (
+        "q_bm25_persisted",
+        "Persisted BM25 index probe: the postings scan carries "
+        "PartitionFilters on the term-hash bucket (directory pruning — "
+        "probe I/O is O(query-term postings), not O(index)); scoring is "
+        "the same broadcast-join pipeline as the inline path.",
+    ),
 ]
 
 

@@ -34,6 +34,9 @@ DEFAULT = [
     "q_ann_bruteforce_topk",    # Arrow mapInPandas matmul
     "q_chunk_documents",        # 1->N explode projection
     "q_pii_redact",             # pure regex projection
+    "q_bm25_topk",              # inverted-index build + broadcast scoring
+    "q_rolling_dau_wau",        # bounded explode + distinct
+    "q_scd2_pointintime",       # as-of join (union + one window sort)
 ]
 # growth threshold for the 0.01 -> 0.1 step (10x data): linear-with-
 # overhead lands well below 10; anything above it is super-linear.
