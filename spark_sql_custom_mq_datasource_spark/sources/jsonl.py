@@ -70,3 +70,61 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.md5("text").alias("text_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# CSV interchange — same contract as JSONL (declared schema, sharded
+# write, PERMISSIVE corrupt capture), for the other edge format legacy
+# pipelines exchange. Quoting/escaping is the writer's job; the
+# registered roundtrip proves losslessness per row including text fields.
+# --------------------------------------------------------------------------
+
+
+def write_csv(df: DataFrame, path: str, shards: int | None = None) -> None:
+    out = df
+    if shards is not None and df.rdd.getNumPartitions() > shards:
+        out = df.coalesce(shards)
+    out.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    # multiLine: quoted embedded newlines parse correctly — the price is
+    # that a file stops being line-splittable across tasks (each file =
+    # one task). That is CSV's structural scale penalty vs JSONL (always
+    # line-splittable); at 100 TB keep shards small or use JSONL. The
+    # other documented corner: CSV cannot represent the empty-string /
+    # NULL distinction (both read back NULL under the default nullValue).
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
+
+
+@register(
+    "q_csv_roundtrip",
+    """
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents ORDER BY doc_id
+    """,
+    doc="CSV interchange roundtrip: documents written as quoted/escaped "
+    "sharded CSV with header and read back under a declared schema; "
+    "oracle is the original table (lossless per-row md5 check).",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="csv_rt_")
+    write_csv(docs, path, shards=4)
+    back = read_csv(spark, path, docs.schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")

@@ -422,3 +422,27 @@ class TestJsonlCorruptRecords:
         bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
         assert good == [1, 2]
         assert bad == ["not json at all"]  # captured, not job-fatal
+
+
+class TestCsvRoundtrip:
+    def test_lossless_on_hostile_strings(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.jsonl import (
+            read_csv,
+            write_csv,
+        )
+
+        rows = [
+            (1, 'comma, quote " and ""double"" quotes'),
+            (2, "newline\ninside and unicode 中文"),
+            (3, ""),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        path = str(tmp_path / "c")
+        write_csv(df, path, shards=1)
+        back = read_csv(spark, path, df.schema)
+        got = sorted((r["id"], r["text"]) for r in back.collect())
+        # CSV cannot distinguish empty string from NULL (both unquoted
+        # empty field by default) — the one documented lossy corner
+        want = sorted([(1, rows[0][1]), (2, rows[1][1]), (3, None), (4, None)])
+        assert got == want
