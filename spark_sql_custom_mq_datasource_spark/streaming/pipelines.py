@@ -1260,3 +1260,78 @@ def _register_stream_chunk() -> None:
 
 
 _register_stream_chunk()
+
+
+def _register_stream_scd2_enrich() -> None:
+    @register(
+        "q_stream_scd2_enrich",
+        """
+        WITH chg AS (
+          SELECT user_id, value, ts FROM events WHERE event_type = 'signup'
+        ),
+        iv AS (
+          SELECT user_id, value AS signup_value, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+          FROM chg
+        ),
+        clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT c.event_id, c.user_id,
+               CAST(iv.signup_value AS DOUBLE) AS signup_value
+        FROM clicks c
+        LEFT JOIN iv ON iv.user_id = c.user_id
+                    AND iv.valid_from <= c.ts
+                    AND (iv.valid_to IS NULL OR c.ts < iv.valid_to)
+        ORDER BY c.event_id
+        """,
+        doc="STREAMING SCD2 enrichment: the click firehose LEFT-joined "
+        "against the STATIC SCD2 interval dimension on a non-equi "
+        "(key + interval containment) condition — stream-static joins "
+        "are stateless per micro-batch (the dimension is re-read, no "
+        "state store), so the at-scale cost is the dim lookup per batch, "
+        "not unbounded join state. Oracle = the batch interval join.",
+    )
+    def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..plans.util import _normalize_events_ts
+        from ..sources.maintenance import scd2_build
+
+        ev = t(spark, sf_dir, "events")
+        iv = scd2_build(
+            ev.where(F.col("event_type") == "signup").select(
+                "user_id", F.col("value").alias("signup_value"), "ts"
+            ),
+            "user_id",
+            "ts",
+            ["signup_value"],
+        ).select(
+            F.col("user_id").alias("iv_user"),
+            "signup_value",
+            "valid_from",
+            "valid_to",
+        )
+
+        file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = _normalize_events_ts(
+            spark.readStream.schema(file_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        clicks = stream.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        joined = clicks.join(
+            iv,
+            (F.col("user_id") == F.col("iv_user"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+            "left",
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("signup_value").cast("double").alias("signup_value"),
+        )
+        return run_to_table(spark, joined, "append").orderBy("event_id")
+
+
+_register_stream_scd2_enrich()
