@@ -776,3 +776,58 @@ _SQL_CHUNK = f"""
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs).orderBy("doc_id", "chunk_id")
+
+
+# --------------------------------------------------------------------------
+# Decontamination APPLY: drop the flagged training docs and report the
+# surviving corpus per source — the verdict-to-action half (the detection
+# half is q_decontaminate_ngram). At scale: the flagged set is bounded by
+# actual benchmark overlap (tiny), so the removal is a broadcast-able
+# LEFT ANTI join against it; eval-member docs themselves are excluded
+# from the training corpus too (they ARE the benchmark).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_decontaminate_apply",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    m AS (SELECT t.doc_id, COUNT(*) AS common, ANY_VALUE(sz.n) AS n
+          FROM sh t JOIN sh e ON t.s = e.s
+          JOIN sz ON t.doc_id = sz.doc_id
+          WHERE e.doc_id % {DECONTAM_EVAL_MOD} = 0 AND t.doc_id <> e.doc_id
+          GROUP BY t.doc_id, e.doc_id),
+    flagged AS (SELECT DISTINCT doc_id FROM m
+                WHERE CAST(common AS DOUBLE) / n >= {DECONTAM_THRESHOLD}),
+    clean AS (
+      SELECT d.source FROM documents d
+      WHERE d.doc_id % {DECONTAM_EVAL_MOD} <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    )
+    SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source ORDER BY source
+    """,
+    doc="decontamination apply: corpus minus benchmark members minus "
+    "flagged-overlap docs via LEFT ANTI against the (tiny, broadcast) "
+    "flagged set; per-source surviving counts.",
+)
+def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import t
+    from .dedup import shingle_sets_cached
+
+    sets = shingle_sets_cached(spark, sf_dir)
+    eval_sets = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    flagged = decontaminate_pairs(sets, eval_sets).select("doc_id").distinct()
+    docs = t(spark, sf_dir, "documents")
+    clean = (
+        docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+    )
+    return (
+        clean.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
+    )
