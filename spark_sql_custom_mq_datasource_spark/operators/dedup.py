@@ -1046,3 +1046,52 @@ _SQL_SUBSTRING = f"""
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tp(spark, sf_dir, "documents")
     return substring_dup_spans(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Near-dup apply: keep one doc per cluster (the representative), drop the
+# rest — the action step the cluster computation exists for. The drop set
+# is |cluster members - clusters| rows (bounded by actual duplication, not
+# corpus size), so the removal is a broadcast-able LEFT ANTI join.
+# --------------------------------------------------------------------------
+
+_SQL_APPLY_CLUSTERS = _SQL_CLUSTERS.replace(
+    """  SELECT rep, COUNT(*) AS cluster_size,
+         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+  FROM comp GROUP BY rep ORDER BY rep""",
+    """  dropd AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+  clean AS (SELECT d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM dropd))
+  SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source ORDER BY source""",
+)
+# the comp CTE chain ends without a trailing comma, so the replacement's
+# first CTE must attach with one
+_SQL_APPLY_CLUSTERS = _SQL_APPLY_CLUSTERS.replace(
+    "GROUP BY id)\n  dropd AS", "GROUP BY id),\n  dropd AS"
+)
+assert ",\n  dropd AS" in _SQL_APPLY_CLUSTERS  # both replaces must have matched
+
+
+@register(
+    "q_dedup_apply_clusters",
+    _SQL_APPLY_CLUSTERS,
+    doc="near-dup apply: one survivor per cluster (the min-id "
+    "representative), all other members removed via broadcast LEFT ANTI; "
+    "per-source surviving counts. Shares pair/cluster semantics with "
+    "q_dedup_clusters by construction (same SQL prefix, same Spark path).",
+)
+def q_dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import t
+
+    pairs = jaccard_pairs_from_sets(
+        shingle_sets_cached(spark, sf_dir), max_shingle_df=STOP_SHINGLE_MAX_DF
+    ).select("da", "db")
+    comp = connected_components(pairs)
+    dropd = comp.where(F.col("id") != F.col("rep")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = t(spark, sf_dir, "documents")
+    clean = docs.join(F.broadcast(dropd), "doc_id", "left_anti")
+    return (
+        clean.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
+    )
