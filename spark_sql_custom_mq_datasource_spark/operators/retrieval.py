@@ -304,14 +304,29 @@ BM25_INDEX_BUCKETS = 64
 
 
 def write_bm25_index(docs: DataFrame, path: str) -> None:
-    """Materialize (postings partitioned by term-hash bucket, stats)."""
+    """Materialize (postings partitioned by term-hash bucket, stats).
+
+    Stats persist the EXACT dl sum alongside (n_docs, avgdl): incremental
+    appends fold sums, and reconstructing the sum from avgdl * n_docs
+    would reintroduce the division rounding — the folded avgdl must be
+    bit-identical to the full-corpus avg (same exact-int sum, same single
+    division) or quantized scores can flip at a boundary."""
     import os
 
-    tf, stats = build_postings(docs)
+    tf, _ = build_postings(docs)
     tf.withColumn(
         "bkt", F.pmod(F.hash("t"), F.lit(BM25_INDEX_BUCKETS))
     ).write.mode("overwrite").partitionBy("bkt").parquet(
         os.path.join(path, "postings")
+    )
+    words = docs.select(F.split(F.trim("text"), " ").alias("ws"))
+    stats = words.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("ws").cast("bigint")).alias("dlsum"),
+    ).select(
+        "n_docs",
+        (F.col("dlsum").cast("double") / F.col("n_docs")).alias("avgdl"),
+        "dlsum",
     )
     stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
 
@@ -365,6 +380,78 @@ def q_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(list(BM25_QUERIES), "qid int, qtext string")
     path = tempfile.mkdtemp(prefix="bm25_idx_")
     write_bm25_index(docs, path)
+    out = bm25_topk_from_index(spark, path, queries)
+    return out.select(
+        F.col("qid").cast("int").alias("qid"),
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.col("score_q20").cast("bigint").alias("score_q20"),
+    ).orderBy("qid", "rank")
+
+
+def append_bm25_index(docs_batch: DataFrame, path: str) -> None:
+    """Fold a NEW batch of docs into an existing index without rebuilding:
+    postings append into their bucket partitions (append-mode partitioned
+    write — existing buckets gain files, nothing is rewritten), and the
+    1-row stats fold incrementally (counts and length-sums are additive;
+    avgdl is recomputed from the folded sums, not averaged averages).
+    This is the index-maintenance shape at 100 TB: per-batch cost is
+    O(batch), never O(corpus). Compact bucket partitions periodically
+    with sources/maintenance.compact_parquet if batches are small."""
+    import os
+
+    spark = docs_batch.sparkSession
+    tf, _ = build_postings(docs_batch)
+    tf.withColumn(
+        "bkt", F.pmod(F.hash("t"), F.lit(BM25_INDEX_BUCKETS))
+    ).write.mode("append").partitionBy("bkt").parquet(
+        os.path.join(path, "postings")
+    )
+    # incremental stats fold over the EXACT persisted sums (n and dlsum
+    # are integers — addition is exact; avgdl is ONE double division of
+    # the folded ints, bit-identical to a full-corpus recompute). All
+    # 1-row arithmetic.
+    batch_stats = docs_batch.select(
+        F.split(F.trim("text"), " ").alias("ws")
+    ).agg(
+        F.count("*").alias("bn"),
+        F.sum(F.size("ws").cast("bigint")).alias("bsum"),
+    )
+    old = spark.read.parquet(os.path.join(path, "stats")).select(
+        "n_docs", "dlsum"
+    )
+    folded = old.crossJoin(F.broadcast(batch_stats)).select(
+        (F.col("n_docs") + F.col("bn")).alias("n_docs"),
+        (
+            (F.col("dlsum") + F.col("bsum")).cast("double")
+            / (F.col("n_docs") + F.col("bn"))
+        ).alias("avgdl"),
+        (F.col("dlsum") + F.col("bsum")).alias("dlsum"),
+    )
+    # materialize before overwriting the directory being read
+    rows = folded.collect()
+    spark.createDataFrame(rows, "n_docs long, avgdl double, dlsum long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "stats"))
+
+
+@register(
+    "q_bm25_index_update",
+    _SQL_BM25,
+    doc="incremental BM25 index maintenance: the index is built from the "
+    "odd-doc_id half of the corpus, then the even half is APPENDED "
+    "(bucket-partitioned append write + 1-row incremental stats fold); "
+    "the probe must equal the full-corpus BM25 result exactly (same "
+    "oracle as the inline path).",
+)
+def q_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = tp(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(list(BM25_QUERIES), "qid int, qtext string")
+    path = tempfile.mkdtemp(prefix="bm25_incr_")
+    write_bm25_index(docs.where(F.col("doc_id") % 2 == 1), path)
+    append_bm25_index(docs.where(F.col("doc_id") % 2 == 0), path)
     out = bm25_topk_from_index(spark, path, queries)
     return out.select(
         F.col("qid").cast("int").alias("qid"),
