@@ -187,3 +187,87 @@ class TestRocksDBRecovery:
         q.awaitTermination()
         # restart resumed from checkpointed state: totals never regress
         assert total("rdb_wc") >= t1
+
+
+class TestLateDataAccounting:
+    def test_watermark_drops_two_batch_late_rows_and_reports_them(
+        self, spark, tmp_path
+    ):
+        """Late-data contract, observed end to end. Spark >= 3.4 splits the
+        watermark: late-event FILTERING uses the previous batch's value
+        while EVICTION uses the current one, so a just-late row in the
+        very next micro-batch is still admitted (and emitted once) — only
+        a row arriving >= 2 batches behind is dropped, and that drop is
+        what numRowsDroppedByWatermark accounts (the metric an operator
+        alarms on at 100 TB/day)."""
+        import datetime as dt
+        import os
+        import tempfile
+        import uuid
+
+        from pyspark.sql import functions as F
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            configure_state_store,
+        )
+
+        src = str(tmp_path / "src")
+        files = [
+            # batch 0: on-time rows advance the watermark to 11:00
+            ("a", [(i, dt.datetime(2024, 1, 1, 10 + i)) for i in range(3)]),
+            # batch 1: benign row; watermark moves to 11:30 after it
+            ("b", [(50, dt.datetime(2024, 1, 1, 12, 30))]),
+            # batch 2: straggler 11 h behind the filtering watermark -> drop
+            ("c", [(99, dt.datetime(2024, 1, 1, 0, 30))]),
+        ]
+        schema = "id long, ts timestamp"
+        now = 1_700_000_000
+        for i, (nm, rows) in enumerate(files):
+            d = os.path.join(src, nm)
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+            # file order == batch order under maxFilesPerTrigger=1 (sorted
+            # by mtime): pin mtimes so batches replay in list order
+            for root, _, fs in os.walk(d):
+                for f in fs:
+                    os.utime(os.path.join(root, f), (now + i * 1000, now + i * 1000))
+
+        configure_state_store(spark)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        name = "late_" + uuid.uuid4().hex[:8]
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_late_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert [p["numInputRows"] for p in progresses] == [3, 1, 1]
+        dropped = [
+            so["numRowsDroppedByWatermark"]
+            for p in progresses
+            for so in p["stateOperators"]
+        ]
+        assert dropped == [0, 0, 1]  # only the 2-batch-late straggler
+        rows = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+        # the closed 10:00 window emitted exactly the on-time row; the
+        # dropped straggler's 00:00 window never appears
+        assert rows.get(dt.datetime(2024, 1, 1, 10, 0)) == 1
+        assert dt.datetime(2024, 1, 1, 0, 0) not in rows
