@@ -699,3 +699,98 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation: collect_list is NOT order-stable under
+# parallel aggregation, so the portable pattern is collect structs ->
+# sort_array -> slice -> join (deterministic regardless of partial-agg
+# arrival order). DuckDB's string_agg(... ORDER BY) is the same contract.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ordered_string_agg",
+    """
+    WITH ranked AS (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_name) AS rk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS top3
+    FROM ranked WHERE rk <= 3
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="ordered string aggregation: per-nation CSV of the top-3 customers "
+    "by balance — collect structs, sort_array, array_join (order-stable "
+    "under parallel partial aggregation, unlike bare collect_list).",
+)
+def q_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_name")
+    ranked = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+    ordered = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.struct((-F.col("c_acctbal")).alias("negbal"), F.col("c_name").alias("nm")).alias("k"), F.col("c_name").alias("v")))
+            ),
+            lambda s: s["v"],
+        ),
+        ",",
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(ordered.alias("top3"))
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram binning via width_bucket — the bounded-cardinality summary
+# every profiling pass runs: one scan, partial-aggregated counts over a
+# fixed bucket domain.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_histogram_totalprice",
+    # DuckDB has no width_bucket; the oracle spells out the same
+    # fixed-domain bucket arithmetic (0 = underflow, 11 = overflow)
+    """
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 500000 THEN 11
+                     ELSE 1 + CAST(floor(o_totalprice / 50000.0) AS INTEGER)
+                END AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="value histogram: width_bucket(o_totalprice, 0, 500000, 10) counts "
+    "with per-bucket min/max — fixed bucket domain, one scan, map-side "
+    "partial aggregation; oracle spells the bucket arithmetic out.",
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(10))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
