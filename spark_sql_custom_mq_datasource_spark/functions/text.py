@@ -514,7 +514,8 @@ def heavy_hitters(grams: DataFrame, top: int = HH_TOP, k: int = MG_K) -> DataFra
 
 @register(
     "q_heavy_hitters_2gram",
-    f"""
+    headline=True,
+    oracle=f"""
     WITH g AS (
       SELECT unnest(list_transform(
                generate_series(1, len(string_split(trim(text), ' ')) - 1),

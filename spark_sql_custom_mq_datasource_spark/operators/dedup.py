@@ -982,8 +982,19 @@ def substring_window_hashes(docs: DataFrame, k: int = SUBSTRING_K) -> DataFrame:
 
 def substring_dup_spans(docs: DataFrame, k: int = SUBSTRING_K) -> DataFrame:
     """(doc_id, n_windows, n_dup_windows, dup_frac_q20) for docs with at
-    least one span shared verbatim with another doc."""
-    win = substring_window_hashes(docs, k)
+    least one span shared verbatim with another doc.
+
+    The window-hash table feeds THREE consumers (doc-frequency, the dup
+    re-join, per-doc totals); without a persist the per-token md5 window
+    hashing — the expensive part — re-runs per consumer, i.e. three full
+    tokenize+hash passes over the corpus at 100 TB (VERDICT r05 item 1).
+    DISK_ONLY like the module's other self-join-shared subtrees: the rows
+    are just (i64, i64, i64), cheap to re-read, and off-heap so they don't
+    tax unrelated operators with GC pressure. Released via
+    clear_dedup_caches() -> spark.catalog.clearCache()."""
+    from pyspark.storagelevel import StorageLevel
+
+    win = substring_window_hashes(docs, k).persist(StorageLevel.DISK_ONLY)
     shared = (
         win.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("d"))
@@ -1039,6 +1050,7 @@ _SQL_SUBSTRING = f"""
 @register(
     "q_dedup_substring_spans",
     _SQL_SUBSTRING,
+    headline=True,
     doc="exact substring-span dedup: stride-1 16-token window hashes, one "
     "shuffle on the hash, per-doc duplicated-span fraction (the scalable "
     "stand-in for suffix-array substring dedup).",

@@ -42,7 +42,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from ..plans.registry import register
-from ..plans.util import t, tp
+from ..plans.util import t, tp, work_dir
 
 TOPK = 5
 N_QUERIES = 5  # fixture queries: vec_id < 5
@@ -645,14 +645,16 @@ _lsh_index_paths: dict[tuple[int, str], str] = {}
 
 def lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per session+fixture) the persisted LSH index; return its
-    path. Layout: parquet partitioned by `bucket`, rows (vec_id, ue)."""
-    import tempfile
+    path. Layout: parquet partitioned by `bucket`, rows (vec_id, ue).
+    The work_dir name embeds the fixture tag so two fixtures in one
+    session get distinct paths (work_dir clears on entry)."""
+    import re
 
     from .dedup import normalized
 
     key = (id(spark), sf_dir)
     if key not in _lsh_index_paths:
-        path = tempfile.mkdtemp(prefix="lsh_index_")
+        path = work_dir("lsh_index_" + re.sub(r"\W+", "_", sf_dir))
         (
             lsh_bucket(tp(spark, sf_dir, "embeddings"), 64)
             .select("vec_id", normalized(F.col("embedding")).alias("ue"), "bucket")

@@ -398,12 +398,12 @@ def q_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mqlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..session import register_mq_source
+    from .util import work_dir
 
     register_mq_source(spark)
-    topic = os.path.join(tempfile.mkdtemp(), "orders-topic")
+    topic = os.path.join(work_dir("mqlog_rt"), "orders-topic")
     (
         t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -516,13 +516,18 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_approx_percentile_bounds",
     """
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.50) AS exact_p50,
+           CAST(floor(quantile_cont(l_extendedprice, 0.50) * 1048576.0 + 0.5)
+                AS BIGINT) AS exact_p50_q20,
            TRUE AS within_2pct
     FROM lineitem GROUP BY 1 ORDER BY 1
     """,
     doc="percentile_approx (accuracy 10000) per group, checked against the "
     "exact interpolated median computed alongside; the 2% bound rides in "
-    "the result row so the sketch's correctness is hash-verified.",
+    "the result row so the sketch's correctness is hash-verified. The "
+    "exact median is exported through the repo's Q20 quantization "
+    "(floor(x*2^20+0.5)) so a last-ulp interpolation difference between "
+    "Spark's percentile and DuckDB's quantile_cont cannot flip the hash "
+    "(ADVICE r05 item 1).",
 )
 def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -536,7 +541,9 @@ def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
-            "exact_p50",
+            F.floor(F.col("exact_p50") * F.lit(1048576.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("exact_p50_q20"),
             (
                 F.abs(F.col("_approx") - F.col("exact_p50")) / F.col("exact_p50")
                 < F.lit(0.02)

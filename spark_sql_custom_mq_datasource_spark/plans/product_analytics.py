@@ -45,7 +45,8 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rolling_dau_wau",
-    """
+    headline=True,
+    oracle="""
     WITH daily AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
     ),

@@ -73,73 +73,80 @@ def register(
 # q_events_global_stats, q_window_order_gaps, q_cube_orders — each
 # locally re-verified via tools/check_oracles.py this round).
 #
-# ROUND-6 ROTATION PLAN: the 11 queries added after this prefix froze are
-# first in line (never driver-checked; all pass the local mirror at
-# sf0.001 + sf0.01 + CHECK_VANILLA): q_rolling_dau_wau, q_funnel_stages,
-# q_cohort_retention, q_retention_prune, q_approx_percentile_bounds,
-# q_window_time_range_avg, q_unpivot_daily, q_null_semantics,
-# q_scd2_build, q_scd2_pointintime, q_stream_chunk_documents. Next: the
-# 10 r01-greens displaced this round, then r04 greens on schedule.
+# ROUND-6 prefix (executes VERDICT r05 item 1 / the round-5 ROTATION
+# PLAN): the 23 queries with NO driver record in any round go first —
+# after this round's driver run, union driver coverage reaches 144/144.
+# Next: the 3 queries whose code changed this round and therefore must be
+# driver-RE-checked even though they were green in r05 (substring spans
+# gained the DISK_ONLY window-hash persist; compaction the self-sizing
+# default; jsonl the fixed work_dir). Then the 10 r01-stale greens that
+# stepped aside in round 5, then the 13 r03-stale queries (the oldest
+# remaining records), then 1 r04 green to fill 50. Everything displaced
+# (the whole r05-checked block) stays green in CORRECTNESS_r05.json.
+#
+# ROUND-7 ROTATION PLAN: the 48 r04-stale queries are next (dedup/ANN/
+# streaming/UDF families, last driver-checked in round 4), oldest first;
+# plus anything round 6 adds or edits.
 _PRIORITY: tuple[str, ...] = (
-    # -- changed this round: must be driver-re-checked -------------------
-    "q_stream_mq_wordcount",
-    "q_approx_distinct_parts",
-    "q_stream_decontaminate",
-    # -- only driver record is an r01 hash-FAIL (fixed in ccb80c6) -------
-    "q12_priority_by_class",
-    # -- TPC-H family, last checked r01 ----------------------------------
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_heavy_promo_shippers",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    # -- join variants, last checked r01 ---------------------------------
-    "q_anti_join_idle_customers",
-    "q_outer_join_nation_customers",
-    "q_full_outer_join_balance",
-    "q_subquery_above_avg",
-    # -- agg/rollup/set-op families, last checked r01 --------------------
-    "q_rollup_returns",
-    "q_grouping_sets_sql",
-    "q_setops_active_customers",
-    # -- window family, last checked r01 ---------------------------------
-    "q_window_top_parts_per_brand",
-    "q_window_rank_dense_ntile",
-    # -- scalar/array/date/percentile families, last checked r01 ---------
-    "q_scalar_functions",
-    "q_date_functions",
-    "q_percentiles_price",
-    # -- new this round: never driver-checked, highest rotation priority --
-    "q_bm25_topk",
-    "q_quality_gopher",
-    "q_dsir_importance",
-    "q_stream_quality_gate",
+    # -- never driver-checked: event analytics ---------------------------
+    "q_rolling_dau_wau",
+    "q_funnel_stages",
+    "q_cohort_retention",
+    # -- never driver-checked: storage maintenance / SCD2 ----------------
+    "q_backfill_day_partition",
+    "q_merge_upsert_customers",
+    "q_schema_evolution_merge",
+    "q_retention_prune",
+    "q_scd2_build",
+    "q_scd2_pointintime",
+    "q_stream_scd2_enrich",
+    # -- never driver-checked: persisted indexes / interchange -----------
+    "q_bm25_persisted",
+    "q_bm25_index_update",
+    "q_ann_lsh_persisted",
+    "q_csv_roundtrip",
+    # -- never driver-checked: dedup/decontamination apply steps ---------
+    "q_dedup_apply_clusters",
+    "q_decontaminate_apply",
+    "q_stream_chunk_documents",
+    # -- never driver-checked: late round-5 analytics --------------------
+    "q_approx_percentile_bounds",
+    "q_window_time_range_avg",
+    "q_unpivot_daily",
+    "q_null_semantics",
+    "q_ordered_string_agg",
+    "q_histogram_totalprice",
+    # -- code changed this round: re-check despite r05 green -------------
     "q_dedup_substring_spans",
-    "q_heavy_hitters_2gram",
     "q_compact_small_files",
-    # -- late-round-5 additions: never driver-checked -------------------
-    "q_pii_redact",
-    "q_stream_pii_redact",
-    "q_runtime_filter_join",
-    "q_tfidf_topterms",
-    "q_chunk_documents",
     "q_jsonl_roundtrip",
+    # -- r01-stale greens displaced in round 5 ---------------------------
+    "q_array_functions",
+    "q_events_global_stats",
+    "q_top_customers",
+    "q_semi_join_priority",
+    "q_cube_orders",
+    "q_distinct_parts_per_flag",
+    "q_union_high_value",
+    "q_window_running_total",
+    "q_window_order_gaps",
+    "q_right_join_order_coverage",
+    # -- r03-stale: text/curation/UDF/multimodal/join families -----------
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_bpeish_tokens",
+    "q_text_lang_agg",
+    "q_text_normalize",
+    "q_mix_upsample",
+    "q_pack_sequences",
+    "q_udf_scalar_tokens",
+    "q_multimodal_binary_meta",
+    "q_multimodal_frame_sample",
+    "q_range_join_acctbal",
+    "q_bucketed_join_revenue",
+    # -- r04 backfill (oldest-first schedule resumes round 7) ------------
+    "q_dedup_exact",
 )
 
 

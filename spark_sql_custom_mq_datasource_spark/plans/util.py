@@ -11,6 +11,8 @@ tz-awareness differences between engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401 (used throughout)
 
@@ -80,6 +82,26 @@ def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.repartition(target)
         _cache[key] = df
     return _cache[key]
+
+
+def work_dir(name: str) -> str:
+    """Fixed scratch directory for queries that persist intermediate data
+    (index builds, roundtrips, partitioned-table fixtures).
+
+    A fresh ``mkdtemp`` per invocation leaks a full dataset copy into /tmp
+    on every bench/correctness run (ADVICE r05 item 4). A FIXED per-query
+    path with clear-on-entry semantics makes repeated runs reuse the same
+    footprint: the previous run's output (already consumed — the returned
+    DataFrame is collected before the query can run again) is deleted and
+    rewritten. Callers that append (e.g. the BM25 incremental index) rely
+    on the clear to start from an empty directory."""
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_work", name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:

@@ -23,13 +23,11 @@ the LLM-data-pipeline brief (SURVEY.md §2.4).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..plans.util import t
+from ..plans.util import t, work_dir
 
 
 def write_jsonl(df: DataFrame, path: str, shards: int | None = None) -> None:
@@ -60,7 +58,7 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
 )
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="jsonl_rt_")
+    path = work_dir("jsonl_rt")
     write_jsonl(docs, path, shards=4)
     back = read_jsonl(spark, path, docs.schema)
     return back.select(
@@ -118,7 +116,7 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
 )
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="csv_rt_")
+    path = work_dir("csv_rt")
     write_csv(docs, path, shards=4)
     back = read_csv(spark, path, docs.schema)
     return back.select(

@@ -23,25 +23,39 @@ is part of the batch-analytics surface BASELINE.json mandates.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..plans.util import t
+from ..plans.util import t, work_dir
 
 COMPACT_SHATTER_FILES = 32  # the "badly written" input layout
-COMPACT_TARGET_FILES = 4  # fixture-sized stand-in for bytes/128MiB
+COMPACT_TARGET_FILES = 4  # fixture-sized override (bytes/128MiB would be 1)
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # matches maxPartitionBytes
+
+
+def sized_target_files(in_dir: str, target_bytes: int = COMPACT_TARGET_BYTES) -> int:
+    """ceil(total parquet bytes / target_bytes), never 0 — the self-sizing
+    rule a compaction job applies per directory (VERDICT r05 item 6). Uses
+    the same file listing the job already has; no data read."""
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(in_dir)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    return max(1, -(-total // target_bytes))
 
 
 def compact_parquet(
-    spark: SparkSession, in_dir: str, out_dir: str, target_files: int
+    spark: SparkSession, in_dir: str, out_dir: str, target_files: int | None = None
 ) -> None:
-    """Rewrite a parquet directory into `target_files` files.
-
-    At scale, derive target_files = ceil(input_bytes / 128 MiB) from the
-    file listing; a fixture-sized corpus pins it explicitly instead."""
+    """Rewrite a parquet directory into `target_files` files (default:
+    self-sized to ceil(input_bytes / 128 MiB) from the file listing, the
+    scan-friendly size maxPartitionBytes assumes). A fixture-sized corpus
+    may pin target_files explicitly to demonstrate a multi-file layout."""
+    if target_files is None:
+        target_files = sized_target_files(in_dir)
     df = spark.read.parquet(in_dir)
     df.repartition(target_files).write.mode("overwrite").parquet(out_dir)
 
@@ -65,7 +79,7 @@ def _parquet_files(path: str) -> list[str]:
     "content checksums (rows, id sum, token sum) are preserved.",
 )
 def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="compact_")
+    base = work_dir("compact")
     shattered = os.path.join(base, "shattered")
     compacted = os.path.join(base, "compacted")
 
@@ -122,7 +136,7 @@ BACKFILL_DAY = "2024-01-15"  # present at every fixture SF
     "count is unchanged — i.e. no other partition was touched.",
 )
 def q_backfill_day_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="backfill_")
+    base = work_dir("backfill")
     ev = t(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
     ev.write.mode("overwrite").partitionBy("dt").parquet(base)
 
@@ -262,7 +276,7 @@ def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Oracle recomputes the per-lang null accounting relationally.",
 )
 def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="evolve_")
+    base = work_dir("evolve")
     docs = t(spark, sf_dir, "documents")
     # v1 vintage: the original schema
     docs.where(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
@@ -302,16 +316,44 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETENTION_CUTOFF = "2024-01-08"  # keep dt >= cutoff (expire the first week)
 
 
-def prune_partitions_before(base: str, cutoff: str) -> list[str]:
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def prune_partitions_before(
+    base: str, cutoff: str, drop_null_partition: bool = False
+) -> list[str]:
     """Delete dt=<day> partition dirs with day < cutoff; return what was
-    dropped. Pure directory surgery — no Spark job at all."""
+    dropped. Pure directory surgery — no Spark job at all.
+
+    NULL partition keys land in ``dt=__HIVE_DEFAULT_PARTITION__``, which a
+    lexicographic day comparison must never treat as a date: it is neither
+    older nor newer than the cutoff. It is kept unless the caller opts in
+    with drop_null_partition (a retention policy decision, not a date
+    comparison) — ADVICE r05 item 3.
+
+    Concurrency caveat (100 TB reality): unlinking directories one by one
+    is NOT atomic — a reader listing files mid-prune can hit a vanished
+    file or see a torn table. On a real lake retention must be a METADATA
+    swap: write a new manifest/snapshot that omits the expired partitions
+    (what Iceberg/Delta/Hive-metastore DROP PARTITION do), commit it
+    atomically, and garbage-collect the unreferenced files after the last
+    reader of the old snapshot drains. The directory unlink here is the
+    fixture-scale stand-in for the post-commit GC step only; SCALING.md
+    documents the manifest-swap requirement."""
     import shutil
 
     dropped = []
     for d in sorted(os.listdir(base)):
-        if d.startswith("dt=") and d[3:] < cutoff:
-            shutil.rmtree(os.path.join(base, d))
-            dropped.append(d)
+        if not d.startswith("dt="):
+            continue
+        day = d[3:]
+        if day == HIVE_DEFAULT_PARTITION:
+            if not drop_null_partition:
+                continue
+        elif not (day < cutoff):
+            continue
+        shutil.rmtree(os.path.join(base, d))
+        dropped.append(d)
     return dropped
 
 
@@ -329,12 +371,27 @@ def prune_partitions_before(base: str, cutoff: str) -> list[str]:
     "the retention window — surviving partitions untouched.",
 )
 def q_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="retain_")
+    base = work_dir("retain")
     ev = t(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
     ev.write.mode("overwrite").partitionBy("dt").parquet(base)
 
+    # Raised exceptions, not bare asserts (stripped under python -O,
+    # ADVICE r05 item 3). The null-partition check pins the fixture
+    # invariant the oracle relies on: its CAST(ts AS DATE) >= cutoff
+    # filter silently drops NULL-ts rows, while the pruner deliberately
+    # KEEPS dt=__HIVE_DEFAULT_PARTITION__ (null keys are a policy call,
+    # not a date) — the two only agree when no such partition exists.
+    if any(
+        d == f"dt={HIVE_DEFAULT_PARTITION}" for d in os.listdir(base)
+    ):
+        raise RuntimeError(
+            "events.ts contains NULLs: the retention oracle and the pruner "
+            "diverge on the null partition; extend the oracle before "
+            "re-enabling this query on such a fixture"
+        )
     dropped = prune_partitions_before(base, RETENTION_CUTOFF)
-    assert dropped, "fixture spans January; the first week must expire"
+    if not dropped:
+        raise RuntimeError("fixture spans January; the first week must expire")
 
     out = spark.read.parquet(base)
     return (
@@ -360,12 +417,22 @@ def q_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scd2_build(
-    changes: DataFrame, key: str, ts_col: str, attr_cols: list[str]
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Change log -> SCD2 intervals [valid_from, valid_to); NULL = open."""
+    """Change log -> SCD2 intervals [valid_from, valid_to); NULL = open.
+
+    tiebreak_cols extend the window's orderBy past ts_col: two change rows
+    with identical (key, ts) would otherwise get engine-dependent lead()
+    ordering (ADVICE r05 item 2). Pass a unique column (an event id, a
+    log sequence number) whenever the change log can carry same-timestamp
+    rows — CDC logs routinely do."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key).orderBy(ts_col)
+    w = Window.partitionBy(key).orderBy(ts_col, *(tiebreak_cols or []))
     return changes.select(
         key,
         *attr_cols,
@@ -376,31 +443,36 @@ def scd2_build(
 
 @register(
     "q_scd2_build",
-    """
+    headline=True,
+    oracle="""
     WITH chg AS (
-      SELECT user_id, value, ts FROM events WHERE event_type = 'signup'
+      SELECT event_id, user_id, value, ts FROM events
+      WHERE event_type = 'signup'
     )
     SELECT user_id,
            CAST(value AS DOUBLE) AS value,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                     '%Y-%m-%d %H:%M:%S') AS valid_to,
-           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
              AS is_current
     FROM chg
     ORDER BY user_id, valid_from
     """,
     doc="SCD2 dimension build: the signup change log becomes per-user "
     "validity intervals via one key-partitioned lead() window — valid_to "
-    "= next change's ts, NULL marks the open (current) version.",
+    "= next change's ts, NULL marks the open (current) version. event_id "
+    "tiebreaks same-timestamp change rows deterministically on both "
+    "engines (ADVICE r05 item 2; the fixture is tie-free, the contract "
+    "is not allowed to depend on that).",
 )
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         t(spark, sf_dir, "events")
         .where(F.col("event_type") == "signup")
-        .select("user_id", "value", "ts")
+        .select("event_id", "user_id", "value", "ts")
     )
-    iv = scd2_build(ev, "user_id", "ts", ["value"])
+    iv = scd2_build(ev, "user_id", "ts", ["value"], tiebreak_cols=["event_id"])
     return iv.select(
         "user_id",
         F.col("value").cast("double").alias("value"),

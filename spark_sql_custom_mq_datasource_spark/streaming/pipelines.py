@@ -42,7 +42,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from ..plans.registry import register
-from ..plans.util import t
+from ..plans.util import t, work_dir
 
 # --------------------------------------------------------------------------
 # Plumbing
@@ -666,7 +666,7 @@ def q_stream_mq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_foreachbatch_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    out_dir = work_dir("fb_sink")
 
     def land(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
@@ -1015,7 +1015,7 @@ def _register_stream_decontaminate() -> None:
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
-        out_dir = tempfile.mkdtemp(prefix="decon_sink_")
+        out_dir = work_dir("decon_sink")
 
         def probe(bdf: DataFrame, batch_id: int) -> None:
             # Batch-local probe: broadcast the (small) eval index, aggregate
@@ -1267,11 +1267,13 @@ def _register_stream_scd2_enrich() -> None:
         "q_stream_scd2_enrich",
         """
         WITH chg AS (
-          SELECT user_id, value, ts FROM events WHERE event_type = 'signup'
+          SELECT event_id, user_id, value, ts FROM events
+          WHERE event_type = 'signup'
         ),
         iv AS (
           SELECT user_id, value AS signup_value, ts AS valid_from,
-                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
           FROM chg
         ),
         clicks AS (
@@ -1299,11 +1301,12 @@ def _register_stream_scd2_enrich() -> None:
         ev = t(spark, sf_dir, "events")
         iv = scd2_build(
             ev.where(F.col("event_type") == "signup").select(
-                "user_id", F.col("value").alias("signup_value"), "ts"
+                "event_id", "user_id", F.col("value").alias("signup_value"), "ts"
             ),
             "user_id",
             "ts",
             ["signup_value"],
+            tiebreak_cols=["event_id"],
         ).select(
             F.col("user_id").alias("iv_user"),
             "signup_value",

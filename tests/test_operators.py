@@ -373,6 +373,65 @@ class TestRetentionPrune:
         kept = sorted(r["id"] for r in spark.read.parquet(base).collect())
         assert kept == [2, 3]  # cutoff day itself survives (>= semantics)
 
+    def test_null_partition_is_kept_unless_opted_in(self, tmp_path):
+        # dt=__HIVE_DEFAULT_PARTITION__ (NULL keys) is not a date: the
+        # lexicographic day comparison must never expire it implicitly
+        # (ADVICE r05 item 3); dropping it is an explicit policy flag.
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            HIVE_DEFAULT_PARTITION,
+            prune_partitions_before,
+        )
+
+        base = tmp_path / "tbl"
+        for d in ("dt=2024-01-05", f"dt={HIVE_DEFAULT_PARTITION}", "dt=2024-01-20"):
+            (base / d).mkdir(parents=True)
+        dropped = prune_partitions_before(str(base), "2024-01-08")
+        assert dropped == ["dt=2024-01-05"]
+        assert sorted(os.listdir(base)) == [
+            "dt=2024-01-20",
+            f"dt={HIVE_DEFAULT_PARTITION}",
+        ]
+        dropped = prune_partitions_before(
+            str(base), "2024-01-08", drop_null_partition=True
+        )
+        assert dropped == [f"dt={HIVE_DEFAULT_PARTITION}"]
+
+
+class TestCompactionSelfSizing:
+    def test_target_files_from_byte_listing(self, tmp_path):
+        # ceil(total parquet bytes / target) from the listing, never 0;
+        # non-parquet files (_SUCCESS, CRCs) excluded (VERDICT r05 item 6).
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            sized_target_files,
+        )
+
+        d = tmp_path / "in"
+        d.mkdir()
+        for i, size in enumerate((600, 600, 300)):
+            (d / f"part-{i}.parquet").write_bytes(b"x" * size)
+        (d / "_SUCCESS").write_bytes(b"y" * 10_000)  # must not count
+        assert sized_target_files(str(d), target_bytes=1000) == 2  # ceil(1500/1000)
+        assert sized_target_files(str(d), target_bytes=10_000) == 1
+        (d / "part-0.parquet").unlink()
+        (d / "part-1.parquet").unlink()
+        (d / "part-2.parquet").unlink()
+        assert sized_target_files(str(d), target_bytes=1000) == 1  # never 0
+
+    def test_compact_defaults_to_self_sizing(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            compact_parquet,
+        )
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        spark.range(1000).repartition(8).write.parquet(src)
+        compact_parquet(spark, src, out)  # tiny input -> self-sizes to 1 file
+        files = [f for f in __import__("os").listdir(out) if f.endswith(".parquet")]
+        assert len(files) == 1
+        assert spark.read.parquet(out).count() == 1000
+
 
 class TestScd2Build:
     def test_intervals_chain_and_current_is_open(self, spark):
@@ -402,6 +461,34 @@ class TestScd2Build:
         assert [r["valid_to"] is None for r in u1] == [False, False, True]
         u2 = [r for r in rows if r["user_id"] == 2]
         assert len(u2) == 1 and u2[0]["valid_to"] is None
+
+    def test_same_timestamp_changes_tiebreak_deterministically(self, spark):
+        # two change rows at the SAME (key, ts): tiebreak_cols pins the
+        # lead() order so the interval chain is deterministic rather than
+        # engine/partitioning-dependent (ADVICE r05 item 2)
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            scd2_build,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        t1 = dt.datetime(2024, 1, 5)
+        chg = spark.createDataFrame(
+            [(2, 1, 10.0, t0), (1, 1, 5.0, t0), (3, 1, 30.0, t1)],
+            "seq long, user_id long, value double, ts timestamp",
+        )
+        rows = sorted(
+            scd2_build(
+                chg, "user_id", "ts", ["seq", "value"], tiebreak_cols=["seq"]
+            ).collect(),
+            key=lambda r: (r["valid_from"], r["seq"]),
+        )
+        # seq order breaks the t0 tie: 1 -> 2 -> 3
+        assert [r["seq"] for r in rows] == [1, 2, 3]
+        assert rows[0]["valid_to"] == t0  # zero-length interval, still chained
+        assert rows[1]["valid_to"] == t1
+        assert rows[2]["valid_to"] is None
 
 
 class TestJsonlCorruptRecords:

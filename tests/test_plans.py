@@ -183,3 +183,18 @@ class TestLateRound5Ops:
         p = plan(spark, sf_dir, "q_rolling_dau_wau")
         assert "Generate" in p  # contribution explode, not a 7-way self-join
         assert "CartesianProduct" not in p
+
+    def test_substring_spans_single_tokenize_pass(self, spark, sf_dir):
+        # The window-hash table feeds three consumers (doc-frequency, the
+        # dup re-join, per-doc totals); the DISK_ONLY persist must make the
+        # expensive tokenize+md5 pass run ONCE — the plan's scans are reads
+        # of the InMemoryRelation, not three parquet re-scans of documents
+        # (VERDICT r05 item 1).
+        import re
+
+        p = plan(spark, sf_dir, "q_dedup_substring_spans")
+        # all three consumers read the cache...
+        assert p.count("InMemoryTableScan") >= 3
+        # ...and the only parquet scan is the ONE node inside the cached
+        # relation's build plan (same node id each time it is printed)
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
