@@ -1,0 +1,227 @@
+"""Perplexity-style quality scoring via a corpus-trained hashed bigram LM.
+
+The CCNet/Gopher-era quality signal the gate rules in functions/text.py
+cannot express: score each document by how (un)predictable its token
+transitions are under a language model trained on the corpus itself.
+CCNet uses a KenLM 5-gram; the Spark-scalable, dependency-free analogue
+is a hashed bigram model with Laplace smoothing — the same shape DSIR
+(operators/curation.py) uses for importance weighting, applied here to
+per-transition negative log-likelihood.
+
+Model
+  C1[h(w1)]      — count of transitions starting at w1 (hashed, B buckets)
+  C2[h(w1,w2)]   — count of transitions (w1,w2)       (hashed, B buckets)
+  P(w2|w1)     ≈ (C2 + 1) / (C1 + B)   (Laplace over the hashed vocab;
+                                         defined for unseen transitions)
+  doc NLL       = Σ −ln P over the doc's transitions; avg = NLL / n.
+
+Hash collisions make this a heuristic score, not a normalized LM — the
+standard trade (hashing trick) that bounds the model at B rows per table
+regardless of vocabulary, so it BROADCASTS at any corpus size.
+
+Scale design (100 TB corpus, 1000 executors)
+  * Training is ONE pass over the corpus: per-doc transition-hash arrays
+    (a projection), exploded once, aggregated twice (C1, C2) — two
+    shuffles over (int64, count) pairs, output ≤ B rows each.
+  * Scoring is a second scan whose model joins are broadcasts (≤ B rows);
+    per-transition contributions are Q20-quantized and SUMMED AS INT64
+    (the repo convention: integer addition is associative, so Spark's and
+    DuckDB's aggregation orders cannot diverge; an ln() ulp would have to
+    land within ~1e-10 of a quantization boundary to flip a value).
+  * Word hashes are md5-derived (functions/text.word_hash), identical in
+    Spark and DuckDB — the oracle retrains the same model in SQL.
+
+Reference parity note: the reference repo is a source-only mock MQ
+(/root/reference/src/main/java/org/example/); this module is part of the
+LLM-data-pipeline brief (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..plans.util import t, tp
+
+LM_BUCKETS = 65536  # hashed-vocab size B: model tables bounded at B rows
+LM_DOC_MOD = 25  # registered query reports this deterministic doc slice
+Q20 = 1048576.0
+
+
+def _words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), " ")
+
+
+def _bucket(col: Column) -> Column:
+    """md5-derived 60-bit hash -> non-negative bucket id < LM_BUCKETS."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint"),
+        F.lit(LM_BUCKETS),
+    )
+
+
+def transition_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_trans, u, b) — one row per token transition: u = bucket
+    of the first word, b = bucket of the joined bigram. Built as a per-row
+    array projection (no shuffle); the explode is the corpus fan-out.
+
+    Shape note: the token pairing is slice+zip_with (the lambda only
+    builds a struct from already-computed elements) and the md5 hashing
+    happens AFTER the explode on scalar string columns — putting
+    element_at(split(text), i) inside an array lambda re-splits the whole
+    text once per transition through projection collapse (the documented
+    HOF re-inline trap; measured 10 s -> ~1 s at sf0.01)."""
+    ws = _words("text")
+    n = F.size(ws)
+    pairs = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.where(n >= 2)
+        .select("doc_id", (n - 1).cast("bigint").alias("n_trans"), pairs.alias("ps"))
+        .select("doc_id", "n_trans", F.explode("ps").alias("p"))
+        .select(
+            "doc_id",
+            "n_trans",
+            _bucket(F.col("p.w1")).alias("u"),
+            _bucket(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))).alias("b"),
+        )
+    )
+
+
+def train_bigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(c1, c2): prefix counts keyed by u, transition counts keyed by b.
+    Both bounded at LM_BUCKETS rows — broadcastable at any corpus size."""
+    trans = transition_hashes(docs)
+    c1 = trans.groupBy("u").agg(F.count("*").alias("c1"))
+    c2 = trans.groupBy("b").agg(F.count("*").alias("c2"))
+    return c1, c2
+
+
+def score_perplexity(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_trans, nll_q20, avg_nll) per doc with >= 2 tokens:
+    corpus-self-trained bigram NLL. nll_q20 is the exact int64 sum of
+    Q20-quantized per-transition −ln P; avg_nll is ONE double division
+    of identical ints on both engines."""
+    trans = transition_hashes(docs)
+    # DISK_ONLY: the transition table feeds training (twice) and scoring;
+    # without a persist the tokenize+md5 projection re-runs per consumer
+    # (the substring-span lesson, VERDICT r05 item 1).
+    from pyspark.storagelevel import StorageLevel
+
+    trans = trans.persist(StorageLevel.DISK_ONLY)
+    c1 = trans.groupBy("u").agg(F.count("*").alias("c1"))
+    c2 = trans.groupBy("b").agg(F.count("*").alias("c2"))
+    nll = -F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(LM_BUCKETS)))
+    )
+    per_trans = (
+        trans.join(F.broadcast(c1), "u")
+        .join(F.broadcast(c2), "b")
+        .select(
+            "doc_id",
+            "n_trans",
+            F.floor(nll * F.lit(Q20) + F.lit(0.5)).cast("bigint").alias("q"),
+        )
+    )
+    return per_trans.groupBy("doc_id", "n_trans").agg(
+        F.sum("q").alias("nll_q20"),
+        (F.sum("q").cast("double") / F.lit(Q20) / F.col("n_trans")).alias("avg_nll"),
+    )
+
+
+_SQL_PERPLEXITY = f"""
+  WITH w AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+  ),
+  trans AS (
+    SELECT doc_id, CAST(len(ws) - 1 AS BIGINT) AS n_trans,
+           CAST(('0x' || substr(md5(ws[i]), 1, 15)) AS BIGINT)
+             % {LM_BUCKETS} AS u,
+           CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 15)) AS BIGINT)
+             % {LM_BUCKETS} AS b
+    FROM w, unnest(generate_series(1, len(ws) - 1)) AS s(i)
+    WHERE len(ws) >= 2
+  ),
+  c1 AS (SELECT u, COUNT(*) AS c1 FROM trans GROUP BY u),
+  c2 AS (SELECT b, COUNT(*) AS c2 FROM trans GROUP BY b),
+  q AS (
+    SELECT t.doc_id, t.n_trans,
+           CAST(floor(-ln((c2.c2 + 1.0) / (c1.c1 + {LM_BUCKETS}.0))
+                      * {Q20} + 0.5) AS BIGINT) AS q
+    FROM trans t JOIN c1 ON t.u = c1.u JOIN c2 ON t.b = c2.b
+  )
+  SELECT doc_id, n_trans, CAST(SUM(q) AS BIGINT) AS nll_q20,
+         CAST(SUM(q) AS DOUBLE) / {Q20} / n_trans AS avg_nll
+  FROM q
+  WHERE doc_id % {LM_DOC_MOD} = 0
+  GROUP BY doc_id, n_trans
+  ORDER BY doc_id
+"""
+
+
+@register(
+    "q_lm_perplexity",
+    _SQL_PERPLEXITY,
+    doc="bigram-LM perplexity quality score (CCNet-style, hashed model): "
+    "train Laplace-smoothed hashed bigram counts on the corpus (one "
+    "pass, two bounded aggregates), score every doc's transition NLL "
+    "via broadcast joins; reports the deterministic doc_id%25 slice.",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    return (
+        score_perplexity(docs)
+        .where(F.col("doc_id") % LM_DOC_MOD == 0)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group bottom-k sampling: the "cap every source at k
+# docs" curation step. Hash-ranked (md5 of the id), so the sample is
+# uniform-ish, reproducible under reprocessing/backfill (no RNG state to
+# coordinate across 1000 executors), and stable when rows are appended
+# outside the winning set. One shuffle on the group key; per-group top-k
+# via window (never a global sort).
+# --------------------------------------------------------------------------
+
+SAMPLE_K = 20
+
+
+@register(
+    "q_sample_per_source_bottomk",
+    f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+    FROM ranked WHERE rk <= {SAMPLE_K}
+    ORDER BY source, rk
+    """,
+    doc="deterministic per-source bottom-k sample: rank docs inside each "
+    "source by md5(doc_id) (uniform, RNG-free, reproducible), keep k — "
+    "the per-source cap step of corpus mixing; one shuffle, windowed "
+    "top-k, no global sort.",
+)
+def q_sample_per_source_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= SAMPLE_K)
+        .select("source", F.col("rk").cast("int").alias("rk"), "doc_id")
+        .orderBy("source", "rk")
+    )

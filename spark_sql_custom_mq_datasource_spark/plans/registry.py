@@ -84,9 +84,11 @@ def register(
 # remaining records), then 1 r04 green to fill 50. Everything displaced
 # (the whole r05-checked block) stays green in CORRECTNESS_r05.json.
 #
-# ROUND-7 ROTATION PLAN: the 48 r04-stale queries are next (dedup/ANN/
-# streaming/UDF families, last driver-checked in round 4), oldest first;
-# plus anything round 6 adds or edits.
+# ROUND-7 ROTATION PLAN: first the 2 r03-stale queries displaced late in
+# round 6 (q_range_join_acctbal, q_bucketed_join_revenue — green in
+# CORRECTNESS_r03.json and under the local mirror), then the 48 r04-stale
+# queries (dedup/ANN/streaming/UDF families), plus anything round 7 adds
+# or edits.
 _PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: event analytics ---------------------------
     "q_rolling_dau_wau",
@@ -143,8 +145,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_udf_scalar_tokens",
     "q_multimodal_binary_meta",
     "q_multimodal_frame_sample",
-    "q_range_join_acctbal",
-    "q_bucketed_join_revenue",
+    # -- ADDED this round: never driver-checked, highest priority --------
+    "q_lm_perplexity",
+    "q_sample_per_source_bottomk",
     # -- r04 backfill (oldest-first schedule resumes round 7) ------------
     "q_dedup_exact",
 )
@@ -154,6 +157,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent), then pin
     the harness-checked prefix to _PRIORITY order."""
     from ..operators import dedup  # noqa: F401
+    from ..operators import lm  # noqa: F401
     from ..operators import retrieval  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..functions import text  # noqa: F401

@@ -533,3 +533,73 @@ class TestCsvRoundtrip:
         # empty field by default) — the one documented lossy corner
         want = sorted([(1, rows[0][1]), (2, rows[1][1]), (3, None), (4, None)])
         assert got == want
+
+
+class TestBigramLm:
+    def test_transitions_and_laplace_nll(self, spark):
+        import math
+
+        from spark_sql_custom_mq_datasource_spark.operators.lm import (
+            LM_BUCKETS,
+            Q20,
+            score_perplexity,
+            transition_hashes,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x")],  # doc 3: too short
+            "doc_id long, text string",
+        )
+        trans = transition_hashes(docs).collect()
+        # doc1: (a,b)(b,a)(a,b) = 3 transitions; doc2: (a,b)(b,c) = 2
+        per_doc = {}
+        for r in trans:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert {d: len(v) for d, v in per_doc.items()} == {1: 3, 2: 2}
+        assert all(r["n_trans"] == len(per_doc[r["doc_id"]]) for r in trans)
+
+        # hand-check doc 2's NLL: corpus counts C1[a]=3 C1[b]=2, C2[ab]=3
+        # C2[bc]=1 (no bucket collisions at this size w.h.p.)
+        out = {r["doc_id"]: r for r in score_perplexity(docs).collect()}
+        q_ab = math.floor(-math.log((3 + 1.0) / (3 + LM_BUCKETS)) * Q20 + 0.5)
+        q_bc = math.floor(-math.log((1 + 1.0) / (2 + LM_BUCKETS)) * Q20 + 0.5)
+        assert out[2]["nll_q20"] == q_ab + q_bc
+        assert abs(out[2]["avg_nll"] - (q_ab + q_bc) / Q20 / 2) < 1e-12
+        assert 3 not in out  # sub-2-token docs are out of scope
+
+    def test_rarer_transitions_score_higher(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.lm import (
+            score_perplexity,
+        )
+
+        # doc 1 repeats the corpus-dominant transition; doc 2 is one-off
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b a b"), (2, "q r s t"), (3, "a b a b")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["avg_nll"] for r in score_perplexity(docs).collect()}
+        assert out[2] > out[1]
+
+
+class TestBottomKSample:
+    def test_deterministic_per_group_cap(self, spark):
+        import hashlib
+
+        from spark_sql_custom_mq_datasource_spark.operators.lm import (
+            q_sample_per_source_bottomk,
+        )
+        from spark_sql_custom_mq_datasource_spark.operators.lm import SAMPLE_K
+
+        rows = q_sample_per_source_bottomk(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        assert by_src  # fixture has sources
+        for src, rs in by_src.items():
+            assert len(rs) <= SAMPLE_K
+            assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+            # hash-ranked: rank order == md5 order (reproducible sample)
+            hashes = [hashlib.md5(str(r["doc_id"]).encode()).hexdigest() for r in rs]
+            assert hashes == sorted(hashes)
