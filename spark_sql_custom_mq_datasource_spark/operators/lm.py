@@ -182,6 +182,82 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Persisted model: train once, score many. The deployment shape of a
+# quality model at 100 TB is NOT self-scoring a corpus in one job — it is
+# a reference model trained on a trusted corpus, persisted, and applied
+# to every incoming batch (the streaming twin in streaming/pipelines.py
+# scores micro-batches against exactly this artifact). The model is two
+# bounded tables, so "persist" is two tiny parquet writes and "load" is
+# two broadcastable reads.
+# --------------------------------------------------------------------------
+
+
+def write_bigram_lm(docs: DataFrame, path: str) -> None:
+    """Persist the trained model: c1/ and c2/ parquet (≤ LM_BUCKETS rows
+    each) under `path`."""
+    import os
+
+    c1, c2 = train_bigram_lm(docs)
+    c1.write.mode("overwrite").parquet(os.path.join(path, "c1"))
+    c2.write.mode("overwrite").parquet(os.path.join(path, "c2"))
+
+
+def score_with_lm(docs: DataFrame, c1: DataFrame, c2: DataFrame) -> DataFrame:
+    """Score docs against an EXTERNAL model (loaded or just-trained) —
+    the shared kernel of the persisted and streaming paths. Transitions
+    absent from the model (unseen prefix bucket) fall back to the
+    Laplace floor: c1 = 0, c2 = 0 via left joins + coalesce."""
+    trans = transition_hashes(docs)
+    nll = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(LM_BUCKETS)))
+    )
+    per_trans = (
+        trans.join(F.broadcast(c1), "u", "left")
+        .join(F.broadcast(c2), "b", "left")
+        .select(
+            "doc_id",
+            "n_trans",
+            F.floor(nll * F.lit(Q20) + F.lit(0.5)).cast("bigint").alias("q"),
+        )
+    )
+    return per_trans.groupBy("doc_id", "n_trans").agg(
+        F.sum("q").alias("nll_q20"),
+        (F.sum("q").cast("double") / F.lit(Q20) / F.col("n_trans")).alias("avg_nll"),
+    )
+
+
+def load_bigram_lm(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "c1")),
+        spark.read.parquet(os.path.join(path, "c2")),
+    )
+
+
+@register(
+    "q_lm_perplexity_persisted",
+    _SQL_PERPLEXITY,
+    doc="perplexity scoring against a PERSISTED bigram model (train once "
+    "-> two bounded parquet tables -> broadcast-loaded at scoring time); "
+    "must return exactly the inline self-scored result (same oracle).",
+)
+def q_lm_perplexity_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import work_dir
+
+    docs = tp(spark, sf_dir, "documents")
+    path = work_dir("lm_model")
+    write_bigram_lm(docs, path)
+    c1, c2 = load_bigram_lm(spark, path)
+    return (
+        score_with_lm(docs, c1, c2)
+        .where(F.col("doc_id") % LM_DOC_MOD == 0)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic per-group bottom-k sampling: the "cap every source at k
 # docs" curation step. Hash-ranked (md5 of the id), so the sample is
 # uniform-ish, reproducible under reprocessing/backfill (no RNG state to

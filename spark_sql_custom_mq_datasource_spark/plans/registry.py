@@ -84,11 +84,12 @@ def register(
 # remaining records), then 1 r04 green to fill 50. Everything displaced
 # (the whole r05-checked block) stays green in CORRECTNESS_r05.json.
 #
-# ROUND-7 ROTATION PLAN: first the 2 r03-stale queries displaced late in
-# round 6 (q_range_join_acctbal, q_bucketed_join_revenue — green in
-# CORRECTNESS_r03.json and under the local mirror), then the 48 r04-stale
-# queries (dedup/ANN/streaming/UDF families), plus anything round 7 adds
-# or edits.
+# ROUND-7 ROTATION PLAN: first the 4 r03-stale queries displaced late in
+# round 6 to make room for the never-checked round-6 additions
+# (q_range_join_acctbal, q_bucketed_join_revenue, q_text_normalize,
+# q_text_lang_agg — all green in CORRECTNESS_r03.json and under the
+# local mirror), then the 48 r04-stale queries (dedup/ANN/streaming/UDF
+# families), plus anything round 7 adds or edits.
 _PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: event analytics ---------------------------
     "q_rolling_dau_wau",
@@ -138,8 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_quality",
     "q_text_fingerprint",
     "q_text_bpeish_tokens",
-    "q_text_lang_agg",
-    "q_text_normalize",
     "q_mix_upsample",
     "q_pack_sequences",
     "q_udf_scalar_tokens",
@@ -147,6 +146,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_multimodal_frame_sample",
     # -- ADDED this round: never driver-checked, highest priority --------
     "q_lm_perplexity",
+    "q_lm_perplexity_persisted",
+    "q_stream_lm_score",
     "q_sample_per_source_bottomk",
     # -- r04 backfill (oldest-first schedule resumes round 7) ------------
     "q_dedup_exact",

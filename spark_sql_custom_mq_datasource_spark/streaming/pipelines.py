@@ -1338,3 +1338,67 @@ def _register_stream_scd2_enrich() -> None:
 
 
 _register_stream_scd2_enrich()
+
+
+def _register_stream_lm_score() -> None:
+    from ..operators.lm import LM_DOC_MOD, _SQL_PERPLEXITY, score_with_lm, train_bigram_lm
+    from ..plans.util import work_dir
+
+    @register(
+        "q_stream_lm_score",
+        _SQL_PERPLEXITY,
+        doc="STREAMING LM-perplexity scoring: a bigram model trained "
+        "AHEAD on the static corpus is applied to the doc firehose via "
+        "foreachBatch — each micro-batch is scored batch-style against "
+        "the broadcast model and landed to parquet; zero cross-batch "
+        "state (the model is the state, and it is read-only). This is "
+        "the deployment shape of a quality filter at ingest. Oracle = "
+        "the batch self-scored result (same model, same docs).",
+    )
+    def q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..plans.util import tp
+
+        configure_state_store(spark)
+        # reference model, trained once in batch (broadcast-sized tables)
+        c1, c2 = train_bigram_lm(tp(spark, sf_dir, "documents"))
+        c1 = c1.cache()
+        c2 = c2.cache()
+        c1.count(), c2.count()  # materialize before the stream starts
+
+        docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = (
+            spark.readStream.schema(docs_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        out_dir = work_dir("lm_score_sink")
+
+        def score(bdf: DataFrame, batch_id: int) -> None:
+            score_with_lm(bdf.select("doc_id", "text"), c1, c2).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(score)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("lm-score stream did not drain in 300s")
+        finally:
+            if q.isActive:
+                q.stop()
+
+        landed = spark.read.parquet(out_dir)
+        return (
+            landed.where(F.col("doc_id") % LM_DOC_MOD == 0)
+            .select("doc_id", "n_trans", "nll_q20", "avg_nll")
+            .orderBy("doc_id")
+        )
+
+
+_register_stream_lm_score()

@@ -175,9 +175,14 @@ class TestLateRound5Ops:
         assert "Generate" in p  # the explode
         assert "Join" not in p
 
-    def test_funnel_joins_are_equi(self, spark, sf_dir):
+    def test_funnel_is_single_scan_no_join(self, spark, sf_dir):
+        # the per-user sorted fold gives any-depth funnels ONE events scan
+        # and ONE user_id shuffle — no per-stage scan-and-join chain
+        import re
+
         p = plan(spark, sf_dir, "q_funnel_stages")
-        assert "CartesianProduct" not in p
+        assert "Join" not in p and "CartesianProduct" not in p
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
 
     def test_wau_explode_bounded_no_self_join(self, spark, sf_dir):
         p = plan(spark, sf_dir, "q_rolling_dau_wau")
