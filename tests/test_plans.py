@@ -203,3 +203,25 @@ class TestLateRound5Ops:
         # ...and the only parquet scan is the ONE node inside the cached
         # relation's build plan (same node id each time it is printed)
         assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+
+
+class TestRound6Ops:
+    def test_lm_model_joins_broadcast_over_cached_transitions(self, spark, sf_dir):
+        # the persisted transition table feeds the two count aggregates and
+        # the scoring join (single tokenize+md5 pass); both model joins are
+        # broadcasts of the bounded count tables — never a corpus shuffle
+        # per join side
+        import re
+
+        p = plan(spark, sf_dir, "q_lm_perplexity")
+        assert p.count("InMemoryTableScan") >= 3
+        assert p.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in p
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+
+    def test_bottomk_sample_no_global_sort_of_corpus(self, spark, sf_dir):
+        # per-group rank: the window sorts WITHIN source partitions; the
+        # only range exchange is the final 400-row presentation sort
+        p = plan(spark, sf_dir, "q_sample_per_source_bottomk")
+        assert "hashpartitioning(source" in p
+        assert "CartesianProduct" not in p and "Join" not in p

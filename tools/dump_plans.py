@@ -170,6 +170,26 @@ SHOWCASE = [
         "probe I/O is O(query-term postings), not O(index)); scoring is "
         "the same broadcast-join pipeline as the inline path.",
     ),
+    (
+        "q_funnel_stages",
+        "Single-scan funnel (round 6): ONE events scan and ONE user_id "
+        "shuffle for any funnel depth — the per-user time-sorted fold "
+        "replaces the per-stage scan-and-join chain; no Join node in the "
+        "plan at all (the Generate is the final stack() unpivot).",
+    ),
+    (
+        "q_lm_perplexity",
+        "Bigram-LM perplexity: the transition table is built once "
+        "(InMemoryTableScan — DISK_ONLY persist feeds training aggregates "
+        "and the scoring join), model joins are BroadcastHashJoins of the "
+        "two bounded count tables; nothing all-pairs, nothing driver-side.",
+    ),
+    (
+        "q_sample_per_source_bottomk",
+        "Deterministic per-source cap: hash-ranked window top-k — one "
+        "hash-partition exchange on source, per-group sort inside the "
+        "window, no global sort of the corpus.",
+    ),
 ]
 
 
