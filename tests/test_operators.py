@@ -603,3 +603,75 @@ class TestBottomKSample:
             # hash-ranked: rank order == md5 order (reproducible sample)
             hashes = [hashlib.md5(str(r["doc_id"]).encode()).hexdigest() for r in rs]
             assert hashes == sorted(hashes)
+
+
+class TestIncrementalMvMerge:
+    def test_only_affected_partitions_rewritten(self, spark, tmp_path):
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            build_daily_mv,
+            merge_daily_mv,
+        )
+
+        ev = spark.createDataFrame(
+            [
+                (1, "a", "2024-01-01 10:00:00", 1.0),
+                (2, "a", "2024-01-02 10:00:00", 2.0),
+                (3, "b", "2024-01-02 11:00:00", 3.0),
+            ],
+            "event_id long, event_type string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        path = str(tmp_path / "mv")
+        build_daily_mv(ev, path)
+
+        def files_in(day):
+            d = os.path.join(path, f"day={day}")
+            return {
+                f: os.stat(os.path.join(d, f)).st_mtime_ns
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+
+        before_d1 = files_in("2024-01-01")
+        batch = spark.createDataFrame(
+            [(4, "a", "2024-01-02 12:00:00", 10.0)],
+            "event_id long, event_type string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        days = merge_daily_mv(spark, path, batch)
+        assert [str(d) for d in days] == ["2024-01-02"]
+        # untouched partition: same files, same mtimes (no rewrite)
+        assert files_in("2024-01-01") == before_d1
+
+        got = {
+            (str(r["day"]), r["event_type"]): (r["n_events"], float(r["value_sum"]))
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            ("2024-01-01", "a"): (1, 1.0),
+            ("2024-01-02", "a"): (2, 12.0),  # merged partials == recompute
+            ("2024-01-02", "b"): (1, 3.0),
+        }
+
+    def test_merge_creates_brand_new_day(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            build_daily_mv,
+            merge_daily_mv,
+        )
+
+        ev = spark.createDataFrame(
+            [(1, "a", "2024-01-01 10:00:00", 1.0)],
+            "event_id long, event_type string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        path = str(tmp_path / "mv")
+        build_daily_mv(ev, path)
+        batch = spark.createDataFrame(
+            [(2, "a", "2024-01-09 10:00:00", 5.0)],
+            "event_id long, event_type string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        merge_daily_mv(spark, path, batch)
+        rows = {
+            str(r["day"]): r["n_events"]
+            for r in spark.read.parquet(path).collect()
+        }
+        assert rows == {"2024-01-01": 1, "2024-01-09": 1}
