@@ -695,3 +695,193 @@ def q_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic k-means clustering (SemDeDup-style): LEARN the cluster
+# structure of the embedding space — unlike IVF above, whose coarse
+# quantizer piggybacks on given labels. The cluster assignment is what
+# semantic dedup/pruning acts on (keep one representative per tight
+# cluster, drop the rest).
+#
+# Determinism contract (what makes an ITERATIVE float algorithm fully
+# value-checkable against DuckDB):
+#   * vectors scalar-quantized to exact ints (floor(x*2^20+0.5)) before
+#     anything else — centroid numerators are exact int64 sums, so the
+#     per-dim mean is ONE double division of identical ints;
+#   * every dot/norm is a sequential fold (F.aggregate <-> list_reduce,
+#     bit-identical on identical inputs);
+#   * argmax ties break on cluster id; init = the K smallest vec_ids.
+#
+# Scale design (100 TB of embeddings, 1000 executors): the classic Lloyd
+# loop — per iteration, broadcast the KxD centroid table (KB-sized),
+# assign map-side (n·K folds), update with ONE shuffle of per-cluster
+# partial sums. The driver orchestrates ITERS bounded rounds and collects
+# exactly K rows per round (the repo's bounded-collect contract) — no
+# lineage growth, no driver data path. K scales to tens of thousands
+# before the broadcast is even MBs.
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DIM = 64
+
+
+def _sql_unit(v: str) -> str:
+    return "list_transform({v}, x -> x / ".format(v=v) + _SQL_NORM.format(v=v) + ")"
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd iterations as a CTE chain (generated, not hand-kept)."""
+    dot0 = _SQL_SEQ_DOT.format(a="v.vu", b="c.cu")
+    ctes = [
+        f"""ev AS (
+      SELECT vec_id, d,
+             CAST(floor(embedding[d] * {QUANT} + 0.5) AS BIGINT) AS eq
+      FROM embeddings, generate_series(1, {KMEANS_DIM}) g(d)
+    )""",
+        f"""vu AS (
+      SELECT vec_id, {_sql_unit("list(CAST(eq AS DOUBLE) ORDER BY d)")} AS vu
+      FROM ev GROUP BY vec_id
+    )""",
+        f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             vu AS cu
+      FROM vu ORDER BY vec_id LIMIT {k}
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dot0} DESC, c.cid) AS rk
+        FROM vu v, {prev} c
+      ) WHERE rk = 1
+    )"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+      SELECT a.cid, ev.d, CAST(SUM(ev.eq) AS DOUBLE) / COUNT(*) AS c
+      FROM ev JOIN a{i} a USING (vec_id) GROUP BY a.cid, ev.d
+    )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+      SELECT cid, {_sql_unit("list(c ORDER BY d)")} AS cu
+      FROM m{i} GROUP BY cid
+    )"""
+        )
+    ctes.append(
+        f"""afinal AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dot0} DESC, c.cid) AS rk
+        FROM vu v, c{iters} c
+      ) WHERE rk = 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT cid, COUNT(*) AS n_vectors, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM afinal GROUP BY cid ORDER BY cid
+    """
+    )
+
+
+def kmeans_assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest (max-cosine) centroid, ties to lowest cid."""
+    from .dedup import dot
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        emb.crossJoin(F.broadcast(cdf))
+        .withColumn("sim", dot(F.col("vu"), F.col("cu")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def semantic_kmeans(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(vec_id, cid) after `iters` Lloyd rounds. emb: (vec_id, embedding)."""
+    eq = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("double")
+    )
+    # quantize/normalize once behind barriers (the IVF discipline: the
+    # fold-per-pair form would re-inline the 64-dim transforms otherwise)
+    base = (
+        emb.select("vec_id", eq.alias("eq"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    from .dedup import normalized
+
+    vecs = base.select("vec_id", "eq", normalized(F.col("eq")).alias("vu")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # DISK_ONLY like the module's other array-heavy persists: every Lloyd
+    # round reads vecs twice (assign + update); on-heap caching of the
+    # n x 2*dim double arrays would tax unrelated queries with GC pressure
+    from pyspark.storagelevel import StorageLevel
+
+    vecs = vecs.persist(StorageLevel.DISK_ONLY)
+
+    init = vecs.orderBy("vec_id").limit(k).collect()  # bounded: k rows
+    cents = [(j, list(r["vu"])) for j, r in enumerate(init)]
+
+    dims = range(KMEANS_DIM)
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cid int, cu array<double>")
+        assigned = kmeans_assign(vecs, cdf)
+        means = (
+            vecs.join(assigned, "vec_id")
+            .groupBy("cid")
+            .agg(
+                *[
+                    (
+                        F.sum(F.element_at("eq", d + 1).cast("long")).cast("double")
+                        / F.count("*")
+                    ).alias(f"c{d}")
+                    for d in dims
+                ]
+            )
+        )
+        new_cents = means.select(
+            "cid", normalized(F.array(*[f"c{d}" for d in dims])).alias("cu")
+        ).collect()  # bounded: <= k rows
+        cents = sorted((r["cid"], list(r["cu"])) for r in new_cents)
+
+    cdf = spark.createDataFrame(cents, "cid int, cu array<double>")
+    return kmeans_assign(vecs, cdf)
+
+
+@register(
+    "q_semantic_kmeans",
+    _kmeans_oracle_sql(),
+    doc="semantic clustering (SemDeDup-style): deterministic spherical "
+    "k-means over scalar-quantized embeddings — K-smallest-id init, 2 "
+    "Lloyd rounds of broadcast-assign + one-shuffle integer-exact "
+    "centroid update, cluster membership fully value-checked against the "
+    "unrolled SQL iteration.",
+)
+def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = semantic_kmeans(spark, emb)
+    return (
+        out.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("cid")
+    )

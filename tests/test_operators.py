@@ -675,3 +675,45 @@ class TestIncrementalMvMerge:
             for r in spark.read.parquet(path).collect()
         }
         assert rows == {"2024-01-01": 1, "2024-01-09": 1}
+
+
+class TestSemanticKmeans:
+    def test_separable_clusters_recovered(self, spark):
+        # three tight groups along distinct axes; spherical k-means with
+        # k=3 must put each group in its own cluster
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            semantic_kmeans,
+        )
+
+        rng = random.Random(7)
+        rows = []
+        for g in range(3):
+            for i in range(10):
+                v = [0.01 * rng.random() for _ in range(64)]
+                v[g * 20] = 1.0  # dominant axis per group
+                rows.append((g * 10 + i, v))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_kmeans(spark, emb, k=3, iters=2).collect()
+        by_group = {}
+        for r in out:
+            by_group.setdefault(r["vec_id"] // 10, set()).add(r["cid"])
+        # each group lands wholly in one cluster, all groups distinct
+        assert all(len(cids) == 1 for cids in by_group.values())
+        assert len({next(iter(c)) for c in by_group.values()}) == 3
+
+    def test_assignment_deterministic(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            semantic_kmeans,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import tp
+
+        emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        a = sorted(
+            (r["vec_id"], r["cid"]) for r in semantic_kmeans(spark, emb).collect()
+        )
+        b = sorted(
+            (r["vec_id"], r["cid"]) for r in semantic_kmeans(spark, emb).collect()
+        )
+        assert a == b and len(a) > 0
