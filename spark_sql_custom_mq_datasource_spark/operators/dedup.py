@@ -1060,6 +1060,56 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(docs).orderBy("doc_id")
 
 
+# Substring-span APPLY: drop documents whose duplicated-span fraction
+# exceeds the threshold (boilerplate-heavy docs), keep the rest — the
+# action step for the detection above. The drop set is bounded by actual
+# duplication, so the removal is a broadcast-able LEFT ANTI join exactly
+# like the cluster apply below.
+
+SUBSTRING_DROP_Q20 = 524288  # drop when >= 50% of spans are shared
+
+
+_SQL_SUBSTRING_APPLY = _SQL_SUBSTRING.replace(
+    """  SELECT t.doc_id, t.n_windows, d.n_dup_windows,
+         CAST(floor(d.n_dup_windows * 1048576.0 / t.n_windows + 0.5) AS BIGINT)
+           AS dup_frac_q20
+  FROM totals t JOIN dup d ON t.doc_id = d.doc_id
+  ORDER BY t.doc_id""",
+    f"""  , flagged AS (
+    SELECT t.doc_id
+    FROM totals t JOIN dup d ON t.doc_id = d.doc_id
+    WHERE floor(d.n_dup_windows * 1048576.0 / t.n_windows + 0.5)
+            >= {SUBSTRING_DROP_Q20}
+  )
+  SELECT d.source, COUNT(*) AS n_docs
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+  GROUP BY d.source ORDER BY d.source""",
+)
+assert "flagged AS" in _SQL_SUBSTRING_APPLY  # the replace must have matched
+
+
+@register(
+    "q_dedup_substring_apply",
+    _SQL_SUBSTRING_APPLY,
+    doc="substring-span dedup APPLY: docs with >= 50% duplicated spans "
+    "(wholesale boilerplate) removed via broadcast LEFT ANTI; per-source "
+    "surviving counts. Shares the span detection with "
+    "q_dedup_substring_spans by construction (same window-hash table).",
+)
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    flagged = (
+        substring_dup_spans(docs)
+        .where(F.col("dup_frac_q20") >= SUBSTRING_DROP_Q20)
+        .select("doc_id")
+    )
+    kept = docs.join(F.broadcast(flagged), "doc_id", "left_anti")
+    return (
+        kept.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Near-dup apply: keep one doc per cluster (the representative), drop the
 # rest — the action step the cluster computation exists for. The drop set

@@ -301,3 +301,67 @@ def q_sample_per_source_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("rk").cast("int").alias("rk"), "doc_id")
         .orderBy("source", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum binning by perplexity: split the corpus into difficulty tiers
+# for ordered training (easy -> hard). Fixed-domain NLL edges, not
+# rank-based ntile: a global ntile needs a single-partition sort of the
+# corpus (the exact plan shape the repo bans), while fixed edges are a
+# pure projection — and the comparison is against the bit-identical
+# avg_nll double, so no cross-engine percentile-interpolation ulp can
+# flip a bin. On a real pipeline the edges come from a one-pass
+# percentile_approx sweep; they are pinned here so the gate is exact.
+# --------------------------------------------------------------------------
+
+CURRICULUM_EDGES = (7.60, 7.66, 7.72)  # 4 tiers over the fixture NLL range
+
+
+def curriculum_bin(avg_nll: Column) -> Column:
+    b = F.lit(1)
+    for e in CURRICULUM_EDGES:
+        b = b + F.when(avg_nll >= F.lit(e), 1).otherwise(0)
+    return b.cast("int")
+
+
+@register(
+    "q_curriculum_by_perplexity",
+    f"""
+    {_SQL_PERPLEXITY.split("SELECT doc_id, n_trans")[0]}
+    , per_doc AS (
+      SELECT doc_id, n_trans, CAST(SUM(q) AS BIGINT) AS nll_q20,
+             CAST(SUM(q) AS DOUBLE) / {Q20} / n_trans AS avg_nll
+      FROM q GROUP BY doc_id, n_trans
+    )
+    SELECT (1 + CASE WHEN avg_nll >= {CURRICULUM_EDGES[0]} THEN 1 ELSE 0 END
+              + CASE WHEN avg_nll >= {CURRICULUM_EDGES[1]} THEN 1 ELSE 0 END
+              + CASE WHEN avg_nll >= {CURRICULUM_EDGES[2]} THEN 1 ELSE 0 END)
+             AS tier,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_trans) AS BIGINT) AS total_trans,
+           CAST(SUM(nll_q20) AS BIGINT) AS nll_q20_sum
+    FROM per_doc
+    GROUP BY tier ORDER BY tier
+    """,
+    doc="curriculum tiers by LM perplexity: every doc scored, assigned to "
+    "one of 4 fixed-edge difficulty tiers (easy->hard ordered training); "
+    "pure projection binning — no global sort, no rank window over the "
+    "corpus.",
+)
+def q_curriculum_by_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    scored = score_perplexity(docs)
+    return (
+        scored.select(
+            curriculum_bin(F.col("avg_nll")).alias("tier"),
+            "n_trans",
+            "nll_q20",
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_trans").cast("bigint").alias("total_trans"),
+            F.sum("nll_q20").cast("bigint").alias("nll_q20_sum"),
+        )
+        .orderBy("tier")
+    )

@@ -808,13 +808,16 @@ def kmeans_assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
-def semantic_kmeans(
+def _kmeans_loop(
     spark: SparkSession,
     emb: DataFrame,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
-) -> DataFrame:
-    """(vec_id, cid) after `iters` Lloyd rounds. emb: (vec_id, embedding)."""
+) -> tuple[DataFrame, list]:
+    """Shared Lloyd loop: returns (vecs, final centroid rows) where vecs is
+    the persisted (vec_id, eq, vu) table and centroids are `k` (cid, cu)
+    tuples. Both the clustering query and the dedup-apply step build on
+    this so the loop runs once per caller, never twice."""
     eq = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("double")
     )
@@ -860,7 +863,17 @@ def semantic_kmeans(
             "cid", normalized(F.array(*[f"c{d}" for d in dims])).alias("cu")
         ).collect()  # bounded: <= k rows
         cents = sorted((r["cid"], list(r["cu"])) for r in new_cents)
+    return vecs, cents
 
+
+def semantic_kmeans(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(vec_id, cid) after `iters` Lloyd rounds. emb: (vec_id, embedding)."""
+    vecs, cents = _kmeans_loop(spark, emb, k, iters)
     cdf = spark.createDataFrame(cents, "cid int, cu array<double>")
     return kmeans_assign(vecs, cdf)
 
@@ -882,6 +895,78 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_vectors"),
             F.sum("vec_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup APPLY: the action the clusters exist for — keep ONE
+# representative per cluster (the member most similar to its centroid,
+# ties to lowest vec_id), drop the rest. SemDeDup prunes tight semantic
+# clusters this way; at a 100 TB corpus the keep-set is |clusters| rows
+# and the drop decision is a per-row argmax inside an already-shuffled
+# group — no new join shape beyond the k-means loop itself.
+# --------------------------------------------------------------------------
+
+
+def _kmeans_apply_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    base = _kmeans_oracle_sql(k, iters)
+    # swap the final SELECT for a per-cluster representative ranking
+    head, _, _ = base.rpartition("SELECT cid, COUNT(*) AS n_vectors")
+    dotf = _SQL_SEQ_DOT.format(a="v.vu", b="c.cu")
+    return (
+        head
+        + f"""SELECT cid, CAST(n_vectors AS BIGINT) AS n_vectors,
+           keeper_id, CAST(sim_q20 AS BIGINT) AS sim_q20
+    FROM (
+      SELECT a.cid,
+             COUNT(*) OVER (PARTITION BY a.cid) AS n_vectors,
+             v.vec_id AS keeper_id,
+             CAST(floor({dotf} * 1048576.0 + 0.5) AS BIGINT) AS sim_q20,
+             ROW_NUMBER() OVER (PARTITION BY a.cid
+                                ORDER BY {dotf} DESC, v.vec_id) AS rk
+      FROM afinal a
+      JOIN vu v USING (vec_id)
+      JOIN c{iters} c ON a.cid = c.cid
+    ) WHERE rk = 1
+    ORDER BY cid
+    """
+    )
+
+
+@register(
+    "q_semantic_dedup_apply",
+    _kmeans_apply_oracle_sql(),
+    doc="SemDeDup apply step: one representative per k-means cluster (the "
+    "member most similar to its final centroid, ties to lowest id); "
+    "output is (cluster, size, keeper, Q20 centroid-similarity) — the "
+    "keep-list a semantic pruner would LEFT ANTI against the corpus.",
+)
+def q_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dot
+
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs, cents = _kmeans_loop(spark, emb)  # ONE loop: assignment + centroids
+    cdf = spark.createDataFrame(cents, "cid int, cu array<double>")
+    assigned = kmeans_assign(vecs, cdf)
+    w = Window.partitionBy("cid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    scored = (
+        assigned.join(vecs.select("vec_id", "vu"), "vec_id")
+        .join(F.broadcast(cdf), "cid")
+        .withColumn("sim", dot(F.col("vu"), F.col("cu")))
+    )
+    return (
+        scored.withColumn("n_vectors", F.count("*").over(Window.partitionBy("cid")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "cid",
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.col("vec_id").alias("keeper_id"),
+            F.floor(F.col("sim") * F.lit(1048576.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("sim_q20"),
         )
         .orderBy("cid")
     )
