@@ -84,11 +84,12 @@ def register(
 # remaining records), then 1 r04 green to fill 50. Everything displaced
 # (the whole r05-checked block) stays green in CORRECTNESS_r05.json.
 #
-# ROUND-7 ROTATION PLAN: first the 9 r03-stale queries displaced late in
+# ROUND-7 ROTATION PLAN: first the 10 r03-stale queries displaced late in
 # round 6 to make room for the never-checked round-6 additions
 # (q_range_join_acctbal, q_bucketed_join_revenue, q_text_normalize,
 # q_text_lang_agg, q_mix_upsample, q_pack_sequences, q_text_fingerprint,
-# q_text_bpeish_tokens, q_multimodal_frame_sample — all green in
+# q_text_bpeish_tokens, q_multimodal_frame_sample, q_text_quality — all
+# green in
 # CORRECTNESS_r03.json and under the local mirror), then the 48
 # r04-stale queries (dedup/ANN/streaming/UDF families), plus anything
 # round 7 adds or edits.
@@ -138,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_right_join_order_coverage",
     # -- r03-stale: text/curation/UDF/multimodal/join families -----------
     "q_text_token_stats",
-    "q_text_quality",
     "q_udf_scalar_tokens",
     "q_multimodal_binary_meta",
     # -- ADDED this round: never driver-checked, highest priority --------
@@ -151,8 +151,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_semantic_dedup_apply",
     "q_dedup_substring_apply",
     "q_curriculum_by_perplexity",
-    # -- r04 backfill (oldest-first schedule resumes round 7) ------------
-    "q_dedup_exact",
+    "q_stream_mv_merge",
+    "q_zorder_point_range",
 )
 
 

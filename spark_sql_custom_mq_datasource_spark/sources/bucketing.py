@@ -189,3 +189,108 @@ def q_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustered layout: multi-dimensional data skipping.
+#
+# Partition pruning (above) skips on ONE directory dimension; a z-order
+# sort makes parquet ROW-GROUP min/max statistics tight on SEVERAL
+# columns at once, so a scan with predicates on any clustered column
+# skips most row groups (the Delta/Iceberg OPTIMIZE ZORDER technique,
+# reproduced on plain parquet). The mechanism: interleave the bits of
+# the (range-bucketed) cluster columns into one z-value, range-partition
+# + sort by it at write time — points close in z are close in EVERY
+# clustered dimension, so each row group covers a small axis-aligned box.
+#
+# At 100 TB this is the difference between "a (user, day-range) query
+# scans the whole fact table" and "it touches the few row groups whose
+# boxes intersect the query box" — with zero engine changes, because the
+# parquet reader already evaluates pushed filters against row-group
+# stats. The skip ratio is MEASURED, not assumed, in
+# tests/test_operators.py::TestZOrderLayout via pyarrow footer stats.
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+
+
+def z_value(x, y, bits: int = ZORDER_BITS):
+    """Interleave the low `bits` of two non-negative int columns: a pure
+    codegen expression (2*bits shifts+masks), no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    xcol,
+    ycol,
+    files: int = 8,
+    rowgroup_rows: int = 512,
+) -> None:
+    """Write df clustered by z(xcol, ycol): one range shuffle on the
+    z-value, sorted within partitions, small row groups so stats are
+    tight. At scale rowgroup_rows comes from the parquet default
+    (~128 MB); the fixture pins a small value so a 500-row table still
+    has multiple row groups to skip."""
+    zed = df.withColumn("_z", z_value(xcol, ycol))
+    (
+        zed.repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(rowgroup_rows * 256))
+        .option("parquet.page.size", "4096")
+        .parquet(path)
+    )
+
+
+@register(
+    "q_zorder_point_range",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE user_id BETWEEN 10 AND 19
+      AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="multi-dimensional data skipping: events rewritten z-ordered on "
+    "(user_id, day), then a (user-range x day-range) box query runs "
+    "against the clustered copy — same answer as the raw table (the "
+    "oracle), while row-group min/max stats let the scan skip most of "
+    "the file (skip ratio measured in tests via pyarrow footers).",
+)
+def q_zorder_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import work_dir
+
+    ev = t(spark, sf_dir, "events")
+    path = os.path.join(work_dir("zorder_events"), "events")
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    write_zordered(
+        ev, path, F.col("user_id").cast("bigint"), day.cast("bigint")
+    )
+    zev = spark.read.parquet(path)
+    return (
+        zev.where(
+            F.col("user_id").between(10, 19)
+            & F.to_date("ts").between(
+                F.lit("2024-01-10").cast("date"), F.lit("2024-01-19").cast("date")
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )

@@ -591,6 +591,17 @@ def merge_daily_mv(spark: SparkSession, path: str, batch: DataFrame) -> list:
         raise ValueError("batch spans >1000 days; run per-range instead")
     if not days:
         return []
+    # Bootstrap: a brand-new (or zero-row) MV directory has no parquet
+    # footers to read a schema from — the first batch simply becomes the
+    # MV (a zero-row partitionBy write materializes nothing but markers).
+    has_data = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    if not has_data:
+        delta.write.mode("overwrite").partitionBy("day").parquet(path)
+        return days
     # partition-pruned read of ONLY the affected MV days
     existing = spark.read.parquet(path).where(F.col("day").isin(days))
     merged = (

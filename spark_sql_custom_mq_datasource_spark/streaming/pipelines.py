@@ -1402,3 +1402,71 @@ def _register_stream_lm_score() -> None:
 
 
 _register_stream_lm_score()
+
+
+def _register_stream_mv_merge() -> None:
+    from ..sources.maintenance import build_daily_mv, merge_daily_mv
+
+    @register(
+        "q_stream_mv_merge",
+        """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        doc="STREAMING materialized-view maintenance: the event firehose "
+        "folds into the per-day aggregate table via foreachBatch -> "
+        "merge-of-partials (the batch merge operator applied per "
+        "micro-batch) — the production shape of a continuously-current "
+        "derived table. Each batch costs O(batch + affected partitions); "
+        "cross-batch state IS the MV. Oracle = the full recompute.",
+    )
+    def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        configure_state_store(spark)
+        root = work_dir("stream_daily_mv")
+        base = os.path.join(root, "mv")
+        inbox = os.path.join(root, "inbox")
+        # empty MV to start: build from a zero-row slice (schema only)
+        ev = t(spark, sf_dir, "events")
+        build_daily_mv(ev.where(F.lit(False)), base)
+
+        # split the fixture into 4 arrival files + one file per trigger so
+        # the stream REALLY runs multiple micro-batches: batch 1 exercises
+        # the bootstrap, batches 2-4 the incremental merge-of-partials
+        ev.repartition(4).write.mode("overwrite").parquet(inbox)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+
+        def fold(bdf: DataFrame, batch_id: int) -> None:
+            merge_daily_mv(spark, base, bdf)
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("mv-merge stream did not drain in 300s")
+        finally:
+            if q.isActive:
+                q.stop()
+
+        mv = spark.read.parquet(base)
+        return mv.select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        ).orderBy("day", "event_type")
+
+
+_register_stream_mv_merge()

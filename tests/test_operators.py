@@ -717,3 +717,75 @@ class TestSemanticKmeans:
             (r["vec_id"], r["cid"]) for r in semantic_kmeans(spark, emb).collect()
         )
         assert a == b and len(a) > 0
+
+
+class TestZOrderLayout:
+    def test_zvalue_interleaves_bits(self, spark):
+        from spark_sql_custom_mq_datasource_spark.sources.bucketing import z_value
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long"
+        ).select("x", "y", z_value(F.col("x"), F.col("y")).alias("z"))
+        got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+
+        def ref(x, y):
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        assert got == {(x, y): ref(x, y) for (x, y) in got}
+
+    def test_zorder_layout_skips_row_groups(self, spark, tmp_path):
+        # the point of the layout: a (user-range x day-range) box query can
+        # skip most row groups under z-order, none under a random layout —
+        # measured from the actual parquet footers, not assumed
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+        from spark_sql_custom_mq_datasource_spark.sources.bucketing import (
+            write_zordered,
+        )
+
+        ev = t(spark, "/root/testdata/sf0.01", "events").withColumn(
+            "day",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast(
+                "bigint"
+            ),
+        )
+
+        def skip_ratio(path):
+            total = skip = 0
+            for f in glob.glob(path + "/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                cols = {
+                    md.row_group(0).column(c).path_in_schema: c
+                    for c in range(md.num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    u = g.column(cols["user_id"]).statistics
+                    d = g.column(cols["day"]).statistics
+                    total += 1
+                    overlaps = (
+                        u.min <= 19 and u.max >= 10 and d.min <= 18 and d.max >= 9
+                    )
+                    if not overlaps:
+                        skip += 1
+            return skip / total, total
+
+        zpath = str(tmp_path / "z")
+        rpath = str(tmp_path / "r")
+        write_zordered(
+            ev, zpath, F.col("user_id").cast("bigint"), F.col("day"), files=16
+        )
+        ev.repartition(16).write.parquet(rpath)
+
+        z_ratio, z_total = skip_ratio(zpath)
+        r_ratio, r_total = skip_ratio(rpath)
+        assert z_total >= 16 and r_total >= 16
+        assert z_ratio >= 0.5, f"z-order skip ratio too low: {z_ratio}"
+        assert r_ratio <= 0.25, f"random layout should not skip: {r_ratio}"
