@@ -1,0 +1,195 @@
+"""Minimal manifest-based snapshot table on plain parquet.
+
+The round-5 review flagged that directory-unlink retention pruning is not
+atomic (a reader listing files mid-prune sees a torn table). The real-lake
+answer — what Iceberg/Delta/Hive-ACID all implement — is snapshot
+isolation via a MANIFEST: readers never list directories; they read a
+versioned file list committed by an atomic pointer swap. This module
+implements the smallest version of that contract so the repo's
+maintenance family can demonstrate it end to end:
+
+  <table>/data/...                the immutable data files (never renamed)
+  <table>/_manifests/v<N>.json    snapshot N's file list (+ per-file
+                                  partition value for pruning)
+  <table>/_VERSION                the current-version pointer; updated by
+                                  write-to-temp + os.replace (atomic on
+                                  POSIX)
+
+Operations:
+  * commit: new data files land first, then a new manifest, then the
+    pointer swap — a crash at any step leaves the old snapshot intact
+    and only orphans files the next GC removes.
+  * retention prune: METADATA-ONLY — the new manifest simply omits the
+    expired partitions' files; nothing is deleted at commit time, so a
+    concurrent reader of snapshot N-1 keeps working.
+  * time travel: any retained snapshot is readable by version.
+  * garbage collection: deletes files referenced by NO retained
+    snapshot — the only destructive step, decoupled from the commit and
+    run after old-snapshot readers drain.
+
+Scale notes (100 TB): the manifest holds one entry per data file (a few
+million entries at most — KBs..MBs of JSON); committing is one pointer
+swap regardless of table size; pruning a year of partitions rewrites the
+manifest, not the data. Real formats shard manifests and add stats; the
+contract demonstrated here is identical.
+
+Reference parity note: the reference repo has no storage layer (its write
+path throws, /root/reference/src/main/java/org/example/CustomTable.java:52-54);
+this module is part of the batch-analytics surface BASELINE.json mandates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..plans.util import t, work_dir
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, "_manifests", f"v{version}.json")
+
+
+def current_version(table: str) -> int:
+    with open(os.path.join(table, "_VERSION")) as f:
+        return int(f.read().strip())
+
+
+def read_manifest(table: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(table)
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def _commit(table: str, manifest: dict) -> int:
+    """Write the next manifest, then atomically swap the version pointer.
+    A crash before the swap leaves the old snapshot current."""
+    os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
+    vfile = os.path.join(table, "_VERSION")
+    version = (current_version(table) + 1) if os.path.exists(vfile) else 0
+    manifest["version"] = version
+    with open(_manifest_path(table, version), "w") as f:
+        json.dump(manifest, f)
+    tmp = vfile + "." + uuid.uuid4().hex[:8]
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, vfile)  # the atomic commit point
+    return version
+
+
+def write_snapshot(df: DataFrame, table: str, partition_col: str) -> int:
+    """Commit df as the table's next snapshot (full replacement).
+    Data files land under data/<uuid>/ first; the swap publishes them."""
+    batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(batch_dir)
+    files = []
+    for root, _, names in os.walk(batch_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, n), table)
+                # partition value from the hive-style dir name
+                part = next(
+                    seg.split("=", 1)[1]
+                    for seg in rel.split(os.sep)
+                    if seg.startswith(partition_col + "=")
+                )
+                files.append({"path": rel, partition_col: part})
+    return _commit(table, {"partition_col": partition_col, "files": files})
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot BY ITS FILE LIST — never by directory listing, so
+    concurrent commits/prunes are invisible. The partition column is
+    restored from the manifest (basePath tricks don't apply to explicit
+    file lists)."""
+    m = read_manifest(table, version)
+    pcol = m["partition_col"]
+    parts: dict[str, list[str]] = {}
+    for e in m["files"]:
+        parts.setdefault(e[pcol], []).append(os.path.join(table, e["path"]))
+    if not parts:
+        raise ValueError("empty snapshot")
+    out = None
+    for val, paths in sorted(parts.items()):
+        df = spark.read.parquet(*paths).withColumn(pcol, F.lit(val))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def prune_snapshot_before(table: str, cutoff: str) -> int:
+    """Metadata-only retention: commit a new snapshot whose manifest omits
+    expired partitions. NOTHING is deleted — snapshot N-1 readers are
+    unaffected; expired files become garbage for gc_snapshots."""
+    m = read_manifest(table)
+    pcol = m["partition_col"]
+    kept = [e for e in m["files"] if not (e[pcol] < cutoff)]
+    return _commit(table, {"partition_col": pcol, "files": kept})
+
+
+def gc_snapshots(table: str, keep_versions: int = 2) -> list[str]:
+    """Delete files referenced by NO retained snapshot (the destructive
+    step, decoupled from every commit). Returns deleted paths."""
+    cur = current_version(table)
+    retained = range(max(0, cur - keep_versions + 1), cur + 1)
+    live = set()
+    for v in retained:
+        for e in read_manifest(table, v)["files"]:
+            live.add(e["path"])
+    deleted = []
+    data_root = os.path.join(table, "data")
+    for root, _, names in os.walk(data_root):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, n), table)
+            if rel not in live:
+                os.unlink(os.path.join(root, n))
+                deleted.append(rel)
+    # old manifests beyond retention can go too
+    for root, _, names in os.walk(os.path.join(table, "_manifests")):
+        for n in names:
+            v = int(n[1:-5])
+            if v not in retained:
+                os.unlink(os.path.join(root, n))
+    return deleted
+
+
+RETENTION_CUTOFF = "2024-01-08"  # same window as q_retention_prune
+
+
+@register(
+    "q_manifest_retention_prune",
+    f"""
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '{RETENTION_CUTOFF}'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="snapshot-isolated retention pruning: events committed as a "
+    "manifest table, expired partitions dropped by a METADATA-ONLY "
+    "manifest commit (atomic pointer swap; zero data deleted at commit, "
+    "old snapshot still time-travel-readable — pinned in tests), then "
+    "the current snapshot is read by its file list. The real-lake "
+    "answer to the directory-unlink caveat of q_retention_prune.",
+)
+def q_manifest_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = work_dir("manifest_events")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    write_snapshot(ev, table, "dt")
+    v1 = prune_snapshot_before(table, RETENTION_CUTOFF)
+    out = read_snapshot(spark, table, v1)
+    return (
+        out.groupBy(F.col("dt").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("day")
+    )

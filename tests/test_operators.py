@@ -789,3 +789,70 @@ class TestZOrderLayout:
         assert z_total >= 16 and r_total >= 16
         assert z_ratio >= 0.5, f"z-order skip ratio too low: {z_ratio}"
         assert r_ratio <= 0.25, f"random layout should not skip: {r_ratio}"
+
+
+class TestManifestTable:
+    def _mk(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            write_snapshot,
+        )
+
+        ev = spark.createDataFrame(
+            [(i, f"2024-01-{(i % 3) + 1:02d}") for i in range(30)],
+            "id long, dt string",
+        )
+        table = str(tmp_path / "tbl")
+        v0 = write_snapshot(ev, table, "dt")
+        assert v0 == 0
+        return table
+
+    def test_prune_is_metadata_only_and_time_travel_works(self, spark, tmp_path):
+        import glob
+
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            prune_snapshot_before,
+            read_snapshot,
+        )
+
+        table = self._mk(spark, tmp_path)
+        files_before = set(glob.glob(table + "/data/**/*.parquet", recursive=True))
+        v1 = prune_snapshot_before(table, "2024-01-02")
+        # commit deleted NOTHING — old-snapshot readers unaffected
+        assert set(glob.glob(table + "/data/**/*.parquet", recursive=True)) == (
+            files_before
+        )
+        assert read_snapshot(spark, table, v1).count() == 20  # 2 of 3 days
+        assert read_snapshot(spark, table, 0).count() == 30  # time travel
+
+    def test_gc_removes_only_unreferenced_files(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            gc_snapshots,
+            prune_snapshot_before,
+            read_snapshot,
+        )
+
+        table = self._mk(spark, tmp_path)
+        v1 = prune_snapshot_before(table, "2024-01-02")
+        deleted = gc_snapshots(table, keep_versions=1)  # only v1 retained
+        assert deleted, "the expired day's files must be collected"
+        # current snapshot fully readable after GC
+        assert read_snapshot(spark, table, v1).count() == 20
+        # every deleted file belonged to the expired partition
+        assert all("dt=2024-01-01" in p for p in deleted)
+
+    def test_crash_before_pointer_swap_leaves_old_snapshot(self, spark, tmp_path):
+        import json
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            current_version,
+            read_snapshot,
+        )
+
+        table = self._mk(spark, tmp_path)
+        # simulate a crash AFTER the new manifest is written but BEFORE the
+        # pointer swap: drop a v1 manifest file without touching _VERSION
+        with open(os.path.join(table, "_manifests", "v1.json"), "w") as f:
+            json.dump({"version": 1, "partition_col": "dt", "files": []}, f)
+        assert current_version(table) == 0  # pointer untouched
+        assert read_snapshot(spark, table).count() == 30  # old snapshot intact
