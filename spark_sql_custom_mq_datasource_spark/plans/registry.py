@@ -84,12 +84,12 @@ def register(
 # remaining records), then 1 r04 green to fill 50. Everything displaced
 # (the whole r05-checked block) stays green in CORRECTNESS_r05.json.
 #
-# ROUND-7 ROTATION PLAN: first the 11 r03-stale queries displaced late in
+# ROUND-7 ROTATION PLAN: first the 12 r03-stale queries displaced late in
 # round 6 to make room for the never-checked round-6 additions
 # (q_range_join_acctbal, q_bucketed_join_revenue, q_text_normalize,
 # q_text_lang_agg, q_mix_upsample, q_pack_sequences, q_text_fingerprint,
 # q_text_bpeish_tokens, q_multimodal_frame_sample, q_text_quality,
-# q_multimodal_binary_meta — all green in
+# q_multimodal_binary_meta, q_udf_scalar_tokens — all green in
 # CORRECTNESS_r03.json and under the local mirror), then the 48
 # r04-stale queries (dedup/ANN/streaming/UDF families), plus anything
 # round 7 adds or edits.
@@ -139,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_right_join_order_coverage",
     # -- r03-stale: text/curation/UDF/multimodal/join families -----------
     "q_text_token_stats",
-    "q_udf_scalar_tokens",
     # -- ADDED this round: never driver-checked, highest priority --------
     "q_lm_perplexity",
     "q_lm_perplexity_persisted",
@@ -153,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_mv_merge",
     "q_zorder_point_range",
     "q_manifest_retention_prune",
+    "q_manifest_stats_skip",
 )
 
 

@@ -856,3 +856,26 @@ class TestManifestTable:
             json.dump({"version": 1, "partition_col": "dt", "files": []}, f)
         assert current_version(table) == 0  # pointer untouched
         assert read_snapshot(spark, table).count() == 30  # old snapshot intact
+
+
+class TestManifestStatsSkip:
+    def test_file_cut_proportional_to_selectivity(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            read_snapshot_range,
+            write_snapshot_clustered,
+        )
+
+        ev = t(spark, "/root/testdata/sf0.01", "events")
+        table = str(tmp_path / "tbl")
+        write_snapshot_clustered(ev, table, "user_id", files=8)
+        df, hit, total = read_snapshot_range(spark, table, 10, 19)
+        assert total >= 8
+        # range clustering => a narrow user range touches few files; the
+        # cut happens DRIVER-SIDE from the manifest, before Spark plans
+        assert hit <= max(2, total // 4), (hit, total)
+        # stats pruning is a superset cut: exact filter still required,
+        # and re-applying it yields the full correct row set
+        n = df.where(F.col("user_id").between(10, 19)).count()
+        full = ev.where(F.col("user_id").between(10, 19)).count()
+        assert n == full > 0
