@@ -273,3 +273,129 @@ class TestLateRound5Laws:
             assert len(opens) == 1 and opens[0] is ivs[-1]
             for a, b in zip(ivs, ivs[1:]):
                 assert a["valid_to"] == b["valid_from"]
+
+
+class TestRound6KernelProperties:
+    def test_lm_nll_matches_python_recompute_on_random_corpora(self, spark):
+        """score_perplexity == a brute-force pure-Python recomputation of
+        the same hashed Laplace model — one seeded random corpus per law
+        (a Spark job per hypothesis example would be minutes)."""
+        import hashlib
+        import math
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.operators.lm import (
+            LM_BUCKETS,
+            Q20,
+            score_perplexity,
+        )
+
+        rng = random.Random(13)
+        vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(40)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def bucket(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % LM_BUCKETS
+
+        c1: dict = {}
+        c2: dict = {}
+        trans = []
+        for doc_id, text in rows:
+            ws = text.strip().split(" ")
+            for a, b in zip(ws, ws[1:]):
+                u, bb = bucket(a), bucket(a + " " + b)
+                c1[u] = c1.get(u, 0) + 1
+                c2[bb] = c2.get(bb, 0) + 1
+                trans.append((doc_id, len(ws) - 1, u, bb))
+        want: dict = {}
+        for doc_id, n, u, bb in trans:
+            q = math.floor(
+                -math.log((c2[bb] + 1.0) / (c1[u] + LM_BUCKETS)) * Q20 + 0.5
+            )
+            want[doc_id] = (n, want.get(doc_id, (n, 0))[1] + q)
+
+        got = {
+            r["doc_id"]: (r["n_trans"], r["nll_q20"])
+            for r in score_perplexity(docs).collect()
+        }
+        assert got == want
+
+    def test_funnel_fold_matches_bruteforce_on_random_event_logs(self, spark):
+        """The single-scan funnel fold == the naive conditional-min chain
+        on randomized per-user event logs (including same-timestamp ties,
+        missing stages, out-of-order arrival)."""
+        import datetime as dt
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.product_analytics import (
+            FUNNEL,
+        )
+
+        rng = random.Random(29)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for user in range(25):
+            for _ in range(rng.randint(0, 12)):
+                rows.append(
+                    (
+                        eid,
+                        user,
+                        rng.choice(list(FUNNEL) + ["other"]),
+                        base + dt.timedelta(hours=rng.randint(0, 48)),  # ties likely
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+        if not rows:
+            rows = [(0, 0, FUNNEL[0], base, 1.0, "{}")]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp,"
+            " value double, props string",
+        )
+
+        # brute force: per user, t1 = min s1; t2 = min s2 with ts > t1; ...
+        per_user: dict = {}
+        for _, user, et, ts, _, _ in rows:
+            per_user.setdefault(user, []).append((et, ts))
+        counts = [0, 0, 0]
+        for user, evs in per_user.items():
+            prev = None
+            for si, stage in enumerate(FUNNEL):
+                cand = [
+                    ts
+                    for (et, ts) in evs
+                    if et == stage and (prev is None or ts > prev)
+                ]
+                if not cand:
+                    break
+                prev = min(cand)
+                counts[si] += 1
+
+        # run the registered query body against this synthetic frame by
+        # monkeypatching the table loader's cache slot
+        from spark_sql_custom_mq_datasource_spark.plans import util as u
+
+        key = (id(spark), "__synthetic_funnel__", "events")
+        u._cache[key] = ev
+        try:
+            get_queries()
+            got = {
+                r["stage"]: r["users"]
+                for r in QUERIES["q_funnel_stages"]
+                .fn(spark, "__synthetic_funnel__")
+                .collect()
+            }
+        finally:
+            u._cache.pop(key, None)
+        assert got == {1: counts[0], 2: counts[1], 3: counts[2]}
