@@ -167,6 +167,7 @@ _SQL_PERPLEXITY = f"""
 @register(
     "q_lm_perplexity",
     _SQL_PERPLEXITY,
+    headline=True,
     doc="bigram-LM perplexity quality score (CCNet-style, hashed model): "
     "train Laplace-smoothed hashed bigram counts on the corpus (one "
     "pass, two bounded aggregates), score every doc's transition NLL "

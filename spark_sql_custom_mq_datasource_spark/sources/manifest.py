@@ -299,3 +299,161 @@ def q_manifest_stats_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Transactional append + idempotent batch commits: the exactly-once
+# streaming-sink contract. Structured Streaming's foreachBatch retries a
+# batch after failure with the SAME batch_id; a sink is exactly-once iff
+# re-delivering a committed batch is a no-op. The manifest gives that for
+# free: each commit records the batch ids it contains, a retry sees the
+# id in the CURRENT manifest and skips (files written by the failed
+# attempt are unreferenced orphans the next GC removes — never visible,
+# because readers resolve the manifest, not the directory).
+# --------------------------------------------------------------------------
+
+
+def append_snapshot(df: DataFrame, table: str, batch_id: int) -> int | None:
+    """Append df's rows as a new snapshot (old files + new files).
+    Returns the committed version, or None when batch_id was already
+    committed (idempotent redelivery)."""
+    vfile = os.path.join(table, "_VERSION")
+    if os.path.exists(vfile):
+        m = read_manifest(table)
+        if batch_id in m.get("batches", []):
+            return None  # exactly-once: this batch already committed
+        old_files = m["files"]
+        old_batches = m.get("batches", [])
+    else:
+        old_files, old_batches = [], []
+
+    batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
+    df.write.mode("overwrite").parquet(batch_dir)
+    new_files = [
+        {"path": os.path.relpath(os.path.join(root, n), table)}
+        for root, _, names in os.walk(batch_dir)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    return _commit(
+        table,
+        {
+            "files": old_files + new_files,
+            "batches": old_batches + [batch_id],
+        },
+    )
+
+
+def read_append_table(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    m = read_manifest(table, version)
+    return spark.read.parquet(*[os.path.join(table, e["path"]) for e in m["files"]])
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read row deletes (delete vectors): erase rows WITHOUT
+# rewriting data files. The commit records a small "delete file" of keys;
+# readers LEFT ANTI the delete set at scan time. This is how GDPR-style
+# erasure works at 100 TB — the delete lands in seconds as metadata + a
+# tiny key file, and a later copy-on-write maintenance pass
+# (apply_deletes) physically rewrites and drops the tombstones when
+# convenient. Reads before and after materialization are identical by
+# construction (same ANTI semantics), pinned in tests.
+# --------------------------------------------------------------------------
+
+
+def delete_rows(table: str, keys_df: DataFrame, key_col: str) -> int:
+    """Commit a merge-on-read delete: keys land as a small parquet delete
+    file; data files untouched."""
+    m = read_manifest(table)
+    ddir = os.path.join(table, "deletes", uuid.uuid4().hex[:12])
+    keys_df.select(key_col).distinct().write.mode("overwrite").parquet(ddir)
+    dfiles = m.get("delete_files", []) + [
+        {"path": os.path.relpath(os.path.join(root, n), table)}
+        for root, _, names in os.walk(ddir)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    return _commit(
+        table,
+        {
+            "files": m["files"],
+            "batches": m.get("batches", []),
+            "delete_key": key_col,
+            "delete_files": dfiles,
+        },
+    )
+
+
+def read_append_table_mor(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Merge-on-read scan: data files ANTI-joined against the delete set.
+    The delete set is small by construction (keys, not rows) — Spark/AQE
+    broadcasts it, so the merge adds no shuffle of the data side."""
+    m = read_manifest(table, version)
+    df = spark.read.parquet(*[os.path.join(table, e["path"]) for e in m["files"]])
+    dfiles = m.get("delete_files", [])
+    if not dfiles:
+        return df
+    keys = spark.read.parquet(
+        *[os.path.join(table, e["path"]) for e in dfiles]
+    )
+    return df.join(F.broadcast(keys), m["delete_key"], "left_anti")
+
+
+def apply_deletes(spark: SparkSession, table: str) -> int:
+    """Copy-on-write maintenance: materialize the ANTI join into fresh
+    data files and commit a manifest with no delete files. Old files and
+    tombstones become GC-able; readers of either version see identical
+    rows."""
+    m = read_manifest(table)
+    if not m.get("delete_files"):
+        return current_version(table)
+    clean = read_append_table_mor(spark, table)
+    batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
+    clean.write.mode("overwrite").parquet(batch_dir)
+    files = [
+        {"path": os.path.relpath(os.path.join(root, n), table)}
+        for root, _, names in os.walk(batch_dir)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    return _commit(
+        table, {"files": files, "batches": m.get("batches", []), "delete_files": []}
+    )
+
+
+@register(
+    "q_manifest_row_deletes",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE user_id NOT BETWEEN 0 AND 9
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="merge-on-read row deletes: users 0-9 erased from the manifest "
+    "table by committing a tiny delete-key file (data files untouched — "
+    "the GDPR-erasure shape); the scan ANTI-joins the broadcast delete "
+    "set. The copy-on-write materialization must read identically "
+    "(pinned in tests). Oracle = events minus the erased users.",
+)
+def q_manifest_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = work_dir("manifest_mor")
+    ev = t(spark, sf_dir, "events")
+    append_snapshot(ev, table, batch_id=0)
+    erase = ev.where(F.col("user_id").between(0, 9)).select("user_id")
+    delete_rows(table, erase, "user_id")
+    out = read_append_table_mor(spark, table)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

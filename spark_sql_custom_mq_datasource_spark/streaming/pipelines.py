@@ -1470,3 +1470,73 @@ def _register_stream_mv_merge() -> None:
 
 
 _register_stream_mv_merge()
+
+
+def _register_stream_manifest_ingest() -> None:
+    from ..sources.manifest import append_snapshot, read_append_table
+
+    @register(
+        "q_stream_manifest_ingest",
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1 ORDER BY 1
+        """,
+        doc="TRANSACTIONAL streaming ingest: each micro-batch commits an "
+        "append snapshot to the manifest table with its batch_id "
+        "recorded — redelivered batches are no-ops (the exactly-once "
+        "sink contract), every commit is an atomic pointer swap, and a "
+        "failed attempt's files stay invisible orphans. Batch 2 is "
+        "deliberately RE-DELIVERED in-line to prove idempotence under "
+        "the driver's own correctness gate. Oracle = the full corpus.",
+    )
+    def q_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        configure_state_store(spark)
+        root = work_dir("manifest_ingest")
+        table = os.path.join(root, "tbl")
+        inbox = os.path.join(root, "inbox")
+        ev = t(spark, sf_dir, "events")
+        ev.repartition(4).write.mode("overwrite").parquet(inbox)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+
+        def land(bdf: DataFrame, batch_id: int) -> None:
+            append_snapshot(bdf, table, batch_id)
+            if batch_id == 2:
+                # simulate the failure-retry redelivery foreachBatch gives:
+                # the second commit of the same batch id MUST be a no-op
+                assert append_snapshot(bdf, table, batch_id) is None
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("manifest ingest stream did not drain in 300s")
+        finally:
+            if q.isActive:
+                q.stop()
+
+        landed = read_append_table(spark, table)
+        return (
+            landed.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .orderBy("event_type")
+        )
+
+
+_register_stream_manifest_ingest()

@@ -879,3 +879,52 @@ class TestManifestStatsSkip:
         n = df.where(F.col("user_id").between(10, 19)).count()
         full = ev.where(F.col("user_id").between(10, 19)).count()
         assert n == full > 0
+
+
+class TestManifestRowDeletes:
+    def test_mor_equals_cow_and_data_untouched(self, spark, tmp_path):
+        import glob
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            append_snapshot,
+            apply_deletes,
+            delete_rows,
+            read_append_table_mor,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 5, f"v{i}") for i in range(50)], "id long, k long, s string"
+        )
+        table = str(tmp_path / "tbl")
+        append_snapshot(df, table, batch_id=0)
+        files = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(table + "/data/**/*.parquet", recursive=True)
+        }
+        keys = spark.createDataFrame([(1,), (3,)], "k long")
+        delete_rows(table, keys, "k")
+        # merge-on-read: data files byte-untouched, rows gone at scan time
+        assert {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(table + "/data/**/*.parquet", recursive=True)
+        } == files
+        mor = sorted(r["id"] for r in read_append_table_mor(spark, table).collect())
+        assert mor == [i for i in range(50) if i % 5 not in (1, 3)]
+        # copy-on-write materialization reads identically, tombstones gone
+        apply_deletes(spark, table)
+        cow = sorted(r["id"] for r in read_append_table_mor(spark, table).collect())
+        assert cow == mor
+
+    def test_idempotent_batch_redelivery(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            append_snapshot,
+            read_append_table,
+        )
+
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+        table = str(tmp_path / "tbl")
+        assert append_snapshot(df, table, batch_id=0) == 0
+        assert append_snapshot(df, table, batch_id=0) is None  # replay no-op
+        assert append_snapshot(df, table, batch_id=1) == 1
+        assert read_append_table(spark, table).count() == 4
