@@ -457,3 +457,38 @@ def q_manifest_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Atomic small-file compaction: the manifest-table version of
+# maintenance.compact_parquet. Streaming ingest (append_snapshot per
+# micro-batch) accumulates one file set per batch; compaction rewrites
+# the current file list into ceil(bytes / 128 MiB) files and commits the
+# swap atomically — readers see either the old layout or the new one,
+# never a mix, and the old files remain readable to in-flight snapshots
+# until GC. Deletes (if any) are folded in by compacting the MOR view.
+# --------------------------------------------------------------------------
+
+
+def compact_append_table(
+    spark: SparkSession, table: str, target_files: int | None = None
+) -> int:
+    """Rewrite the current snapshot into few large files; atomic commit."""
+    m = read_manifest(table)
+    if target_files is None:
+        total = sum(
+            os.path.getsize(os.path.join(table, e["path"])) for e in m["files"]
+        )
+        target_files = max(1, -(-total // (128 * 1024 * 1024)))
+    clean = read_append_table_mor(spark, table)
+    batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
+    clean.repartition(target_files).write.mode("overwrite").parquet(batch_dir)
+    files = [
+        {"path": os.path.relpath(os.path.join(root, n), table)}
+        for root, _, names in os.walk(batch_dir)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    return _commit(
+        table, {"files": files, "batches": m.get("batches", []), "delete_files": []}
+    )

@@ -928,3 +928,36 @@ class TestManifestRowDeletes:
         assert append_snapshot(df, table, batch_id=0) is None  # replay no-op
         assert append_snapshot(df, table, batch_id=1) == 1
         assert read_append_table(spark, table).count() == 4
+
+
+class TestManifestCompaction:
+    def test_atomic_compaction_preserves_rows_and_old_snapshot(
+        self, spark, tmp_path
+    ):
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            append_snapshot,
+            compact_append_table,
+            read_append_table,
+            read_manifest,
+        )
+
+        table = str(tmp_path / "tbl")
+        for b in range(4):  # 4 micro-batches -> >= 4 file sets
+            append_snapshot(
+                spark.range(b * 10, b * 10 + 10).toDF("id"), table, batch_id=b
+            )
+        before = read_manifest(table)
+        v = compact_append_table(spark, table, target_files=1)
+        after = read_manifest(table, v)
+        assert len(after["files"]) == 1 < len(before["files"])
+        got = sorted(r["id"] for r in read_append_table(spark, table).collect())
+        assert got == list(range(40))
+        # pre-compaction snapshot still time-travel readable (atomic swap,
+        # no deletes at commit)
+        old = sorted(
+            r["id"]
+            for r in read_append_table(spark, table, before["version"]).collect()
+        )
+        assert old == got
+        # batch-id ledger survives compaction: replay is still a no-op
+        assert append_snapshot(spark.range(5).toDF("id"), table, 2) is None
