@@ -1540,3 +1540,87 @@ def _register_stream_manifest_ingest() -> None:
 
 
 _register_stream_manifest_ingest()
+
+
+def _register_stream_kmeans_assign() -> None:
+    from ..operators.similarity import (
+        KMEANS_DIM,
+        _kmeans_loop,
+        _kmeans_oracle_sql,
+        QUANT,
+    )
+
+    @register(
+        "q_stream_kmeans_assign",
+        _kmeans_oracle_sql(),
+        doc="STREAMING online cluster assignment: centroids trained AHEAD "
+        "(the bounded Lloyd loop), then the embedding firehose is "
+        "assigned per row against the centroid literal — a stateless "
+        "append-mode map. Streams cannot use window functions, so the "
+        "argmax is a struct-ordered array_max over the per-centroid "
+        "similarities (max sim, ties to lowest cid). Oracle = the batch "
+        "k-means membership.",
+    )
+    def q_stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..plans.util import tp
+
+        configure_state_store(spark)
+        emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        _, cents = _kmeans_loop(spark, emb)  # k (cid, cu) rows, driver-side
+
+        # centroid literal: array<struct<negcid:int, cu:array<double>>>
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(-cid).alias("negcid"),
+                    F.array(*[F.lit(v) for v in cu]).alias("cu"),
+                )
+                for cid, cu in cents
+            ]
+        )
+
+        file_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+        stream = (
+            spark.readStream.schema(file_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+        eq = F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("double"),
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(eq, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+            )
+        )
+        vu = F.transform(eq, lambda x: x / norm)
+        # per-centroid similarity; argmax via struct ordering (sim first,
+        # then -cid: ties break to the LOWEST cluster id, matching the
+        # batch window's ORDER BY sim DESC, cid ASC)
+        sims = F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(vu, c["cu"], lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ).alias("sim"),
+                c["negcid"].alias("negcid"),
+            ),
+        )
+        assigned = stream.select(
+            "vec_id", (-F.array_max(sims)["negcid"]).cast("int").alias("cid")
+        )
+        out = run_to_table(spark, assigned, "append")
+        return (
+            out.groupBy("cid")
+            .agg(
+                F.count("*").alias("n_vectors"),
+                F.sum("vec_id").cast("bigint").alias("id_sum"),
+            )
+            .orderBy("cid")
+        )
+
+
+_register_stream_kmeans_assign()
