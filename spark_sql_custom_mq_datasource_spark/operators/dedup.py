@@ -1157,3 +1157,65 @@ def q_dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clean.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid rerank: text-dedup candidates re-scored by embedding cosine —
+# the multimodal confirmation step (SemDeDup meets MinHash): lexical
+# near-dup pairs whose embeddings DISAGREE are template/boilerplate
+# collisions, not semantic duplicates, and a pipeline may keep them.
+# Candidate generation stays the bounded PPJoin index; the vector store
+# joins in by id (the 100 TB shape: |candidates| << corpus, so the two
+# id-joins are cheap; the cosine is one fold per candidate pair).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_rerank_cosine",
+    f"""
+  {_SQL_SHINGLES},
+  pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+  j AS (SELECT da, db, common, x.n + y.n - common AS union_sz
+        FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        WHERE CAST(common AS DOUBLE) / (x.n + y.n - common)
+                >= {JACCARD_THRESHOLD}),
+  u AS (SELECT vec_id, {_SQL_NORMALIZED.format(v="embedding")} AS ue
+        FROM embeddings)
+  SELECT j.da, j.db, CAST(j.common AS INTEGER) AS common,
+         CAST(j.union_sz AS INTEGER) AS union_sz,
+         CAST(floor({_SQL_SEQ_DOT.format(a="a.ue", b="b.ue")} * 1048576.0 + 0.5)
+              AS BIGINT) AS cos_q20
+  FROM j JOIN u a ON j.da = a.vec_id JOIN u b ON j.db = b.vec_id
+  ORDER BY j.da, j.db
+    """,
+    doc="hybrid dedup rerank: exact lexical near-dup pairs (PPJoin "
+    "candidates, verified Jaccard) re-scored with the embedding cosine "
+    "of both members (Q20) — the text+vector confirmation signal a "
+    "semantic-aware pruner thresholds on; |candidates| id-joins against "
+    "the vector store, one fold per pair.",
+)
+def q_dedup_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs_from_sets(
+        shingle_sets_cached(spark, sf_dir), max_shingle_df=STOP_SHINGLE_MAX_DF
+    ).select("da", "db", "common", "union_sz")
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", normalized(F.col("embedding")).alias("ue")
+    )
+    a = emb.select(F.col("vec_id").alias("da"), F.col("ue").alias("ua"))
+    b = emb.select(F.col("vec_id").alias("db"), F.col("ue").alias("ub"))
+    return (
+        pairs.join(a, "da")
+        .join(b, "db")
+        .select(
+            "da",
+            "db",
+            F.col("common").cast("int").alias("common"),
+            F.col("union_sz").cast("int").alias("union_sz"),
+            F.floor(dot(F.col("ua"), F.col("ub")) * F.lit(1048576.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cos_q20"),
+        )
+        .orderBy("da", "db")
+    )

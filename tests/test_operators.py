@@ -961,3 +961,61 @@ class TestManifestCompaction:
         assert old == got
         # batch-id ledger survives compaction: replay is still a no-op
         assert append_snapshot(spark.range(5).toDF("id"), table, 2) is None
+
+
+class TestEmptyInputRobustness:
+    """Operators must degrade to empty results on empty corpora — not
+    divide by zero, not NPE, not collect-time crashes. (A 100 TB pipeline
+    routinely hits empty partitions/slices.)"""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame([], "doc_id long, text string")
+
+    def test_dedup_families_empty(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            jaccard_pairs,
+            minhash_dedup_pairs,
+            simhash_pairs,
+            substring_dup_spans,
+        )
+
+        docs = self._empty_docs(spark)
+        for fn in (jaccard_pairs, minhash_dedup_pairs, simhash_pairs,
+                   substring_dup_spans):
+            assert fn(docs).collect() == []
+
+    def test_lm_and_retrieval_empty(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.lm import (
+            score_perplexity,
+        )
+        from spark_sql_custom_mq_datasource_spark.operators.retrieval import (
+            bm25_topk,
+        )
+
+        docs = self._empty_docs(spark)
+        assert score_perplexity(docs).collect() == []
+        queries = spark.createDataFrame([(0, "spark join")], "qid int, qtext string")
+        assert bm25_topk(docs, queries).collect() == []
+
+    def test_kmeans_empty_degrades_to_empty(self, spark):
+        # no vectors -> no seeds -> no assignments: empty-in/empty-out,
+        # same degrade contract as the other operator families
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            semantic_kmeans,
+        )
+
+        emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert semantic_kmeans(spark, emb).collect() == []
+
+    def test_funnel_and_mv_empty(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            build_daily_mv,
+            merge_daily_mv,
+        )
+
+        ev = spark.createDataFrame(
+            [], "event_id long, event_type string, ts timestamp, value double"
+        )
+        path = str(tmp_path / "mv")
+        build_daily_mv(ev, path)
+        assert merge_daily_mv(spark, path, ev) == []  # empty batch: no-op
