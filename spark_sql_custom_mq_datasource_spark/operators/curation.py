@@ -831,3 +831,207 @@ def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clean.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# END-TO-END curation pipeline: the whole preprocessing chain a training
+# run actually executes, composed from the engine's own operators as ONE
+# declarative DAG — Gopher quality gate -> exact dedup -> near-dup drop
+# -> benchmark decontamination -> context-window chunking -> per-source
+# inventory. Each stage is individually oracle-checked elsewhere; this
+# query checks their COMPOSITION (stage boundaries, survivor sets, and
+# the chunk fan-out of the final corpus).
+#
+# Scale shape: the gate is scan-shaped; exact dedup is one hash shuffle;
+# the near-dup drop reuses the PPJoin candidate index restricted to gate
+# survivors (drop rule: any doc appearing as the GREATER member of a
+# verified >= 0.8 pair — equals keep-min-per-component on the planted
+# clique-shaped dup groups and is deterministic on any topology); the
+# decontamination probe broadcasts the eval index; chunking is a per-row
+# explode. Nothing quadratic, nothing driver-side.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_pipeline_end_to_end",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, text, string_split(trim(text), ' ') AS ws
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, list_transform(generate_series(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i+1]) AS g2
+      FROM base
+    ),
+    rep2 AS (
+      SELECT doc_id, CAST(floor((len(g2) - len(list_distinct(g2))) * 1048576.0
+                                / len(g2) + 0.5) AS BIGINT) AS dup2
+      FROM g2 WHERE len(g2) > 0
+    ),
+    wcnt AS (SELECT doc_id, w, COUNT(*) AS n
+             FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY 1, 2),
+    wstat AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS wc,
+             CAST(floor(MAX(n) * 1048576.0 / SUM(n) + 0.5) AS BIGINT) AS topw,
+             CAST(floor(SUM(n * length(w)) * 1048576.0 / SUM(n) + 0.5) AS BIGINT)
+               AS mwl
+      FROM wcnt GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT b.doc_id, b.source, b.text, len(b.ws) AS n_tokens
+      FROM base b JOIN rep2 USING (doc_id) JOIN wstat USING (doc_id)
+      WHERE wc >= 20 AND dup2 <= 83886 AND topw <= 157286
+        AND mwl BETWEEN 3145728 AND 6291456
+    ),
+    exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM gated
+                   GROUP BY md5(lower(text))),
+    s2 AS (SELECT g.* FROM gated g SEMI JOIN exact_keep k ON g.doc_id = k.doc_id),
+    shfull AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      FROM base WHERE len(ws) >= 3
+    ),
+    szfull AS (SELECT doc_id, COUNT(*) AS n FROM shfull GROUP BY doc_id),
+    sh2 AS (SELECT sf.* FROM shfull sf SEMI JOIN s2 ON sf.doc_id = s2.doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    dropd AS (
+      SELECT DISTINCT p.db AS doc_id
+      FROM pairs p JOIN szfull x ON p.da = x.doc_id
+                   JOIN szfull y ON p.db = y.doc_id
+      WHERE CAST(p.common AS DOUBLE) / (x.n + y.n - p.common)
+              >= {0.8}
+    ),
+    s3 AS (SELECT s2.* FROM s2 ANTI JOIN dropd USING (doc_id)),
+    evalsh AS (SELECT doc_id AS eval_id, s FROM shfull
+               WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+    flagged AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT sf.* FROM shfull sf SEMI JOIN s3 ON sf.doc_id = s3.doc_id) t
+      JOIN evalsh e ON t.s = e.s AND t.doc_id <> e.eval_id
+      JOIN szfull z ON t.doc_id = z.doc_id
+      GROUP BY t.doc_id, e.eval_id, z.n
+      HAVING CAST(COUNT(*) AS DOUBLE) / z.n >= {DECONTAM_THRESHOLD}
+    ),
+    s4 AS (SELECT s3.* FROM s3 ANTI JOIN flagged USING (doc_id))
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(floor((n_tokens - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1)
+                AS BIGINT) AS n_chunks
+    FROM s4 GROUP BY source ORDER BY source
+    """,
+    doc="END-TO-END pipeline: Gopher gate -> exact dedup (min-id per "
+    "content hash) -> near-dup drop (verified Jaccard >= 0.8, greater "
+    "member dropped) -> benchmark decontamination (containment vs the "
+    "eval slice) -> context-window chunking of the survivors; per-source "
+    "docs/tokens/chunks. Composes the individually-checked operators "
+    "into one declarative DAG.",
+)
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import (
+        GOPHER_DUP2_MAX_Q20,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_MAX_Q20,
+        GOPHER_MWL_MIN_Q20,
+        GOPHER_TOPWORD_MAX_Q20,
+    )
+    from .dedup import jaccard_pairs_from_sets, shingle_sets_cached
+
+    docs = tp(spark, sf_dir, "documents")
+    q20 = F.lit(1048576.0)
+
+    # stage 1: Gopher gate (same kernels as q_quality_gopher)
+    g2 = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+            " i -> concat(split(trim(text), ' ')[i], ' ',"
+            "             split(trim(text), ' ')[i+1]))"
+        ).alias("g2"),
+    ).where(F.size("g2") > 0)
+    rep2 = g2.select(
+        "doc_id",
+        F.floor(
+            (F.size("g2") - F.size(F.array_distinct("g2"))) * q20 / F.size("g2")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dup2"),
+    )
+    wcnt = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    wstat = wcnt.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("wc"),
+        F.floor(F.max("n") * q20 / F.sum("n") + F.lit(0.5))
+        .cast("bigint")
+        .alias("topw"),
+        F.floor(F.sum(F.col("n") * F.length("w")) * q20 / F.sum("n") + F.lit(0.5))
+        .cast("bigint")
+        .alias("mwl"),
+    )
+    gated = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .join(rep2, "doc_id")
+        .join(wstat, "doc_id")
+        .where(
+            (F.col("wc") >= GOPHER_MIN_WORDS)
+            & (F.col("dup2") <= GOPHER_DUP2_MAX_Q20)
+            & (F.col("topw") <= GOPHER_TOPWORD_MAX_Q20)
+            & (F.col("mwl") >= GOPHER_MWL_MIN_Q20)
+            & (F.col("mwl") <= GOPHER_MWL_MAX_Q20)
+        )
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+
+    # stage 2: exact dedup (min id per content hash)
+    exact_keep = gated.groupBy(F.md5(F.lower("text")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s2 = gated.join(exact_keep.select("doc_id"), "doc_id", "left_semi")
+
+    # stage 3: near-dup drop over the survivors (PPJoin candidates,
+    # verified Jaccard; the greater member of each pair drops)
+    sets = shingle_sets_cached(spark, sf_dir)
+    sets2 = sets.join(s2.select("doc_id"), "doc_id", "left_semi")
+    pairs = jaccard_pairs_from_sets(sets2, max_shingle_df=None)
+    dropd = pairs.select(F.col("db").alias("doc_id")).distinct()
+    s3 = s2.join(dropd, "doc_id", "left_anti")
+
+    # stage 4: decontamination vs the eval slice of the FULL corpus
+    eval_sets = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    train_sets = sets.join(s3.select("doc_id"), "doc_id", "left_semi")
+    flagged = (
+        decontaminate_pairs(train_sets, eval_sets)
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = s3.join(flagged, "doc_id", "left_anti")
+
+    # stage 5: chunk the final corpus and inventory per source
+    chunks_per_doc = (
+        chunk_documents(s4.select("doc_id", "text"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_chunks"))
+    )
+    return (
+        s4.join(chunks_per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        )
+        .orderBy("source")
+    )
