@@ -190,6 +190,20 @@ SHOWCASE = [
         "hash-partition exchange on source, per-group sort inside the "
         "window, no global sort of the corpus.",
     ),
+    (
+        "q_pipeline_end_to_end",
+        "End-to-end curation DAG: gate (scan-shaped HOFs + one word-stat "
+        "shuffle), exact dedup (one hash shuffle), near-dup drop (PPJoin "
+        "equi-joins over the survivor subset), decontamination "
+        "(broadcast eval index), chunking (Generate) — no cartesian "
+        "products, no driver-side stages anywhere in the composed plan.",
+    ),
+    (
+        "q_dedup_rerank_cosine",
+        "Hybrid rerank: candidate pairs join the vector store by id "
+        "(candidates << corpus), one sequential fold per pair — the "
+        "text+vector confirmation without any new quadratic stage.",
+    ),
 ]
 
 
