@@ -366,3 +366,81 @@ def q_curriculum_by_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted deterministic sampling (Efraimidis–Spirakis with hash-derived
+# uniforms): draw k docs per source with probability proportional to a
+# weight — here token count, the "sample long docs preferentially" mix
+# knob. ES key = u^(1/w) with u ~ U(0,1); taking u from md5(doc_id)
+# makes the draw reproducible under reprocessing and stable under
+# appends, like the uniform bottom-k above. The ranking key is
+# Q20-quantized (ln ulps between JVM and libm must not flip an order)
+# with doc_id as the tiebreak — the same contract BM25 scores use.
+# One shuffle on the group key, windowed top-k, no global sort.
+# --------------------------------------------------------------------------
+
+WSAMPLE_K = 10
+_U_SCALE = float(1 << 52)
+
+
+def _uniform_from_id(col: Column) -> Column:
+    """Deterministic u in (0, 1): low 52 bits of the md5-derived hash,
+    +1 to exclude zero (ln(0) is -inf)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast("bigint")
+    return (h + F.lit(1.0)) / F.lit(_U_SCALE + 2.0)
+
+
+@register(
+    "q_sample_weighted_per_source",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS wt,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) + 1.0) / {_U_SCALE + 2.0} AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source,
+             CAST(floor(ln(u) / wt * 1048576.0 + 0.5) AS BIGINT) AS key_q20
+      FROM w WHERE wt > 0
+    ),
+    ranked AS (
+      SELECT source, doc_id, key_q20,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY key_q20 DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, key_q20
+    FROM ranked WHERE rk <= {WSAMPLE_K}
+    ORDER BY source, rk
+    """,
+    doc="weighted deterministic sampling (Efraimidis-Spirakis, hash "
+    "uniforms): k docs per source drawn with probability proportional "
+    "to token count — reproducible (no RNG state), append-stable, "
+    "Q20-quantized ranking keys with id tiebreak so a cross-engine ln "
+    "ulp cannot flip the order.",
+)
+def q_sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    wt = F.size(F.split(F.trim("text"), " ")).cast("double")
+    u = _uniform_from_id(F.col("doc_id"))
+    # maximizing u^(1/w)  ==  maximizing ln(u)/w  (ln is monotone; the
+    # division keeps magnitudes in a Q20-friendly range)
+    keyed = docs.where(wt > 0).select(
+        "doc_id",
+        "source",
+        F.floor(F.log(u) / wt * F.lit(1048576.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("key_q20"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("key_q20"), "doc_id")
+    return (
+        keyed.select("source", "doc_id", "key_q20", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= WSAMPLE_K)
+        .select("source", F.col("rk").cast("int").alias("rk"), "doc_id", "key_q20")
+        .orderBy("source", "rk")
+    )

@@ -1019,3 +1019,68 @@ class TestEmptyInputRobustness:
         path = str(tmp_path / "mv")
         build_daily_mv(ev, path)
         assert merge_daily_mv(spark, path, ev) == []  # empty batch: no-op
+
+
+class TestWeightedSampling:
+    def test_sample_biased_toward_heavier_docs(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.lm import (
+            q_sample_weighted_per_source,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        sf = "/root/testdata/sf0.001"
+        docs = t(spark, sf, "documents").select(
+            "doc_id", F.size(F.split(F.trim("text"), " ")).alias("wt")
+        )
+        wts = {r["doc_id"]: r["wt"] for r in docs.collect()}
+        sampled = [r["doc_id"] for r in q_sample_weighted_per_source(spark, sf).collect()]
+        corpus_mean = sum(wts.values()) / len(wts)
+        sample_mean = sum(wts[d] for d in sampled) / len(sampled)
+        # probability-proportional-to-size: the sample mean weight must
+        # exceed the corpus mean (aggregated over all sources — ample
+        # signal at 200 draws from 500 docs)
+        assert sample_mean > corpus_mean
+
+    def test_sample_stable_under_appends(self, spark):
+        # a doc OUTSIDE the winning set joining the corpus must not change
+        # the existing winners (the reprocessing/append guarantee)
+        from spark_sql_custom_mq_datasource_spark.operators.lm import (
+            WSAMPLE_K,
+            _uniform_from_id,
+        )
+        from pyspark.sql.window import Window
+
+        base = spark.createDataFrame(
+            [(i, "s", " ".join(["w"] * 20)) for i in range(40)],
+            "doc_id long, source string, text string",
+        )
+
+        def draw(df):
+            wt = F.size(F.split(F.trim("text"), " ")).cast("double")
+            keyed = df.select(
+                "doc_id",
+                "source",
+                F.floor(
+                    F.log(_uniform_from_id(F.col("doc_id"))) / wt * F.lit(1048576.0)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("key_q20"),
+            )
+            w = Window.partitionBy("source").orderBy(F.desc("key_q20"), "doc_id")
+            return {
+                r["doc_id"]
+                for r in keyed.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= WSAMPLE_K)
+                .collect()
+            }
+
+        first = draw(base)
+        extra = spark.createDataFrame(
+            [(999, "s", "tiny doc here x")], "doc_id long, source string, text string"
+        )
+        second = draw(base.unionByName(extra))
+        # equal-weight base docs: the appended doc either wins a slot or
+        # not, but every retained winner from the first draw keeps its key
+        assert len(first) == len(second) == WSAMPLE_K
+        assert len(first - second) <= 1  # at most one displaced
