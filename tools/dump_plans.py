@@ -233,7 +233,16 @@ def main() -> None:
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        out += [f"## {name}", "", why, "", "```", plan.rstrip(), "```", ""]
+        lines = plan.rstrip().splitlines()
+        # Composed DAGs (the end-to-end pipeline) print thousands of
+        # detail lines; keep the tree + the first detail block readable
+        # and truncate the rest — the full plan is one explain() away.
+        if len(lines) > 400:
+            lines = lines[:400] + [
+                f"... [{len(lines) - 400} more detail lines truncated —"
+                " regenerate or .explain('formatted') for the full dump]"
+            ]
+        out += [f"## {name}", "", why, "", "```", "\n".join(lines), "```", ""]
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
