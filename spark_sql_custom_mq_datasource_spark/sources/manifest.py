@@ -390,8 +390,11 @@ def read_append_table_mor(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
     """Merge-on-read scan: data files ANTI-joined against the delete set.
-    The delete set is small by construction (keys, not rows) — Spark/AQE
-    broadcasts it, so the merge adds no shuffle of the data side."""
+    The join is UNHINTED on purpose: a typical delete set (keys, not
+    rows) is tiny and AQE broadcasts it — the merge adds no shuffle of
+    the data side — while a pathological table-scale delete set falls
+    back to a shuffle anti-join instead of OOMing a forced broadcast
+    (and is a signal to run apply_deletes)."""
     m = read_manifest(table, version)
     df = spark.read.parquet(*[os.path.join(table, e["path"]) for e in m["files"]])
     dfiles = m.get("delete_files", [])
@@ -400,7 +403,7 @@ def read_append_table_mor(
     keys = spark.read.parquet(
         *[os.path.join(table, e["path"]) for e in dfiles]
     )
-    return df.join(F.broadcast(keys), m["delete_key"], "left_anti")
+    return df.join(keys, m["delete_key"], "left_anti")
 
 
 def apply_deletes(spark: SparkSession, table: str) -> int:
