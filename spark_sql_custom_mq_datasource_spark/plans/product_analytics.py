@@ -228,3 +228,66 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("users"))
         .orderBy("cohort", "offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar gap-filling (densification): per-user daily series with
+# missing days filled as zeros — the idiom every retention/engagement
+# model needs (a gap IS a signal, but only if the row exists). The dense
+# calendar is generated per user from their own [first, last] active
+# span: a bounded sequence+explode (span days, not global calendar ×
+# users), left-joined against the observed counts. One shuffle on
+# (user, day); fan-out bounded by span length.
+# --------------------------------------------------------------------------
+
+GAPFILL_USER_MAX = 10  # deterministic output slice
+
+
+@register(
+    "q_gapfill_user_daily",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events WHERE user_id < {GAPFILL_USER_MAX}
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    cal AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    )
+    SELECT c.user_id, c.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           (d.n IS NULL) AS is_gap
+    FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    ORDER BY c.user_id, c.day
+    """,
+    doc="calendar gap-filling: each user's daily event series densified "
+    "over their own [first, last] active span (bounded per-user "
+    "sequence+explode — never global-calendar x users), gaps zero-filled "
+    "and flagged; the retention-model input shape.",
+)
+def q_gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < GAPFILL_USER_MAX)
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
