@@ -291,3 +291,89 @@ def q_gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment analysis: deterministic hash-bucketed variant assignment
+# (the same content-free md5 bucketing the train/val/test split uses — a
+# user's arm never changes under reprocessing, no assignment table to
+# join) + per-arm conversion and value read-outs. The analysis is two
+# aggregates over the exposure scan; nothing user-level leaves the
+# executors.
+# --------------------------------------------------------------------------
+
+AB_ARMS = 2
+
+
+@register(
+    "q_ab_experiment_readout",
+    f"""
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {AB_ARMS} AS arm
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,6)) END)
+               AS purchase_value
+      FROM events GROUP BY user_id
+    )
+    SELECT a.arm,
+           COUNT(*) AS n_users,
+           CAST(SUM(c.converted) AS BIGINT) AS n_converted,
+           CAST(floor(SUM(c.converted) * 1048576.0 / COUNT(*) + 0.5) AS BIGINT)
+             AS conv_rate_q20,
+           CAST(SUM(COALESCE(c.purchase_value, 0)) AS DOUBLE) AS total_value
+    FROM assigned a JOIN conv c ON a.user_id = c.user_id
+    GROUP BY a.arm ORDER BY a.arm
+    """,
+    doc="A/B experiment read-out: variants assigned by content-free md5 "
+    "hash bucketing (stable under reprocessing, no assignment table), "
+    "per-arm user counts, conversion rate (Q20) and exact-decimal value "
+    "totals — two aggregates over the exposure scan.",
+)
+def q_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    arm = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(AB_ARMS),
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        # stays DECIMAL until the final cast — a per-user double->decimal
+        # round-trip is the documented cross-engine divergence (~1e-9)
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            )
+        ).alias("purchase_value"),
+    )
+    return (
+        conv.select("user_id", "converted", "purchase_value", arm.alias("arm"))
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.floor(
+                F.sum("converted") * F.lit(1048576.0) / F.count("*") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("conv_rate_q20"),
+            F.sum(
+                F.coalesce(
+                    F.col("purchase_value"), F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("arm")
+    )
