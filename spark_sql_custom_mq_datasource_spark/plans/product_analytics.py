@@ -377,3 +377,77 @@ def q_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# LOCF imputation (last observation carried forward): the other half of
+# gap handling — zero-fill says "nothing happened"; LOCF says "the last
+# known state persists" (sensor readings, account balances, feature
+# values). Built on the same bounded per-user calendar densification,
+# then one per-user ordered window with last(ignorenulls) — state is
+# O(1) per row in the running window, one (user) shuffle total.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_gapfill_locf",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+      FROM events WHERE user_id < {GAPFILL_USER_MAX}
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    cal AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ),
+    dense AS (
+      SELECT c.user_id, c.day, d.day_value
+      FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    )
+    SELECT user_id, day,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried_value,
+           (day_value IS NULL) AS imputed
+    FROM dense
+    ORDER BY user_id, day
+    """,
+    doc="LOCF imputation: the densified per-user calendar filled with the "
+    "last observed daily value (sensor/balance semantics) via one "
+    "per-user ordered window with last(ignorenulls) — the first span "
+    "day is always observed, so no leading NULLs; one user shuffle.",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < GAPFILL_USER_MAX)
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    dense = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("carried_value"),
+        F.col("day_value").isNull().alias("imputed"),
+    ).orderBy("user_id", "day")
