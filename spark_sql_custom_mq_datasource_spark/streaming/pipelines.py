@@ -1624,3 +1624,142 @@ def _register_stream_kmeans_assign() -> None:
 
 
 _register_stream_kmeans_assign()
+
+
+def _register_stream_funnel() -> None:
+    from ..plans.product_analytics import FUNNEL
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("stage", IntegerType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("t1", LongType()),
+            StructField("t2", LongType()),
+            StructField("t3", LongType()),
+        ]
+    )
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames) if frames else pd.DataFrame(
+            {"tsu": [], "event_type": []}
+        )
+        rows = rows.sort_values(["tsu", "event_type"])
+        for et, tsu in zip(rows["event_type"], rows["tsu"]):
+            tsu = int(tsu)
+            if t1 is None and et == FUNNEL[0]:
+                t1 = tsu
+            elif t2 is None and t1 is not None and et == FUNNEL[1] and tsu > t1:
+                t2 = tsu
+            elif t3 is None and t2 is not None and et == FUNNEL[2] and tsu > t2:
+                t3 = tsu
+        state.update((t1, t2, t3))
+        stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        yield pd.DataFrame({"user_id": [int(key[0])], "stage": [stage]})
+
+    @register(
+        "q_stream_funnel_stateful",
+        f"""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = '{FUNNEL[0]}' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = '{FUNNEL[1]}' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = '{FUNNEL[2]}' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        )
+        SELECT * FROM (
+          SELECT 1 AS stage, '{FUNNEL[0]}' AS event_type,
+                 (SELECT COUNT(*) FROM s1) AS users
+          UNION ALL
+          SELECT 2, '{FUNNEL[1]}', (SELECT COUNT(*) FROM s2)
+          UNION ALL
+          SELECT 3, '{FUNNEL[2]}', (SELECT COUNT(*) FROM s3)
+        ) ORDER BY stage
+        """,
+        doc="STREAMING STATEFUL funnel: per-user (t1, t2, t3) stage state "
+        "evolves ACROSS micro-batches via applyInPandasWithState — the "
+        "event history arrives as 4 time-sliced files (mtime-ordered, "
+        "one per trigger), so later batches genuinely extend state built "
+        "by earlier ones; stage reach is monotone, so the converged "
+        "per-user max equals the batch funnel. Oracle = the batch "
+        "conditional-min chain.",
+    )
+    def q_stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
+
+        configure_state_store(spark)
+        root = work_dir("funnel_state")
+        inbox = os.path.join(root, "inbox")
+        os.makedirs(inbox, exist_ok=True)
+
+        ev = t(spark, sf_dir, "events").select(
+            "user_id", "event_type", F.unix_micros(F.col("ts")).alias("tsu")
+        ).where(F.col("event_type").isin(list(FUNNEL)))
+        # 4 DISJOINT, time-ordered day slices -> 4 micro-batches whose
+        # arrival order matches event time (mtimes pinned ascending)
+        bounds = [(1, 8), (9, 15), (16, 23), (24, 31)]
+        base_mtime = 1_600_000_000
+        for i, (d0, d1) in enumerate(bounds):
+            part = os.path.join(root, f"slice{i}")
+            (
+                ev.where(
+                    F.dayofmonth(F.timestamp_micros("tsu")).between(d0, d1)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part)
+            )
+            src = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(inbox, f"{i:02d}.parquet")
+            shutil.copyfile(os.path.join(part, src), dst)
+            os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_type string, tsu long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(inbox)
+        )
+        updates = stream.groupBy("user_id").applyInPandasWithState(
+            fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        out = run_to_table(spark, updates, "update")
+        # stage reach is monotone per user; the max update is the converged
+        # value, and counts of stage >= k reproduce the funnel rows
+        reach = out.groupBy("user_id").agg(F.max("stage").alias("stage"))
+        counts = reach.agg(
+            F.sum((F.col("stage") >= 1).cast("long")).alias("u1"),
+            F.sum((F.col("stage") >= 2).cast("long")).alias("u2"),
+            F.sum((F.col("stage") >= 3).cast("long")).alias("u3"),
+        )
+        return (
+            counts.select(
+                F.expr(
+                    f"stack(3, 1, '{FUNNEL[0]}', u1, 2, '{FUNNEL[1]}', u2,"
+                    f" 3, '{FUNNEL[2]}', u3) AS (stage, event_type, users)"
+                )
+            )
+            .select(
+                F.col("stage").cast("int").alias("stage"), "event_type", "users"
+            )
+            .orderBy("stage")
+        )
+
+
+_register_stream_funnel()
