@@ -495,3 +495,110 @@ def compact_append_table(
     return _commit(
         table, {"files": files, "batches": m.get("batches", []), "delete_files": []}
     )
+
+
+# --------------------------------------------------------------------------
+# Change data feed: diff two snapshots into the row-level changes between
+# them — what an incremental consumer (a downstream MV, a search index,
+# a replica) applies instead of re-reading the table. File-level
+# short-circuit first: files present in BOTH manifests are identical by
+# construction (data files are immutable), so only the added/removed
+# FILES are read — the diff costs O(changed files), not O(table).
+# --------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    spark: SparkSession, table: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Rows inserted/removed between two snapshots, tagged with
+    _change ('insert' | 'delete'). Immutable files shared by both
+    versions never load; merge-on-read delete files are resolved on each
+    side before diffing."""
+    m_from = read_manifest(table, v_from)
+    m_to = read_manifest(table, v_to)
+    f_from = {e["path"] for e in m_from["files"]}
+    f_to = {e["path"] for e in m_to["files"]}
+    has_deletes = m_from.get("delete_files") or m_to.get("delete_files")
+
+    if not has_deletes:
+        added = sorted(f_to - f_from)
+        removed = sorted(f_from - f_to)
+        parts = []
+        if added:
+            parts.append(
+                spark.read.parquet(
+                    *[os.path.join(table, p) for p in added]
+                ).withColumn("_change", F.lit("insert"))
+            )
+        if removed:
+            parts.append(
+                spark.read.parquet(
+                    *[os.path.join(table, p) for p in removed]
+                ).withColumn("_change", F.lit("delete"))
+            )
+        if not parts:
+            schema = read_append_table(spark, table, v_to).schema
+            return (
+                spark.createDataFrame([], schema).withColumn("_change", F.lit(""))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # with delete vectors the row sets are no longer file-aligned:
+    # resolve each side's MOR view and diff row-wise (EXCEPT ALL both
+    # ways keeps duplicate multiplicity honest)
+    a = read_append_table_mor(spark, table, v_from)
+    b = read_append_table_mor(spark, table, v_to)
+    return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
+        a.exceptAll(b).withColumn("_change", F.lit("delete"))
+    )
+
+
+@register(
+    "q_manifest_snapshot_diff",
+    """
+    WITH old AS (SELECT event_id FROM events WHERE event_id % 2 = 0),
+         new AS (SELECT event_id FROM events
+                 WHERE event_id % 2 = 0 AND user_id >= 5
+                 UNION ALL
+                 SELECT event_id FROM events WHERE event_id % 2 = 1)
+    SELECT 'delete' AS _change, COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM old WHERE event_id NOT IN (SELECT event_id FROM new)
+    UNION ALL
+    SELECT 'insert', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+    FROM new WHERE event_id NOT IN (SELECT event_id FROM old)
+    ORDER BY _change
+    """,
+    doc="change data feed: the table starts as the even-id events, then "
+    "one commit appends the odd-id half while a delete vector erases "
+    "users 0-4 from the old rows; snapshot_diff(v0 -> v2) must emit "
+    "exactly those inserts and deletes — the incremental-consumer "
+    "contract. Unchanged files are never read when no delete vectors "
+    "are in play (immutable-file short-circuit).",
+)
+def q_manifest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = work_dir("manifest_cdf")
+    ev = t(spark, sf_dir, "events")
+    append_snapshot(ev.where(F.col("event_id") % 2 == 0), table, batch_id=0)
+    v0 = current_version(table)
+    append_snapshot(ev.where(F.col("event_id") % 2 == 1), table, batch_id=1)
+    delete_rows(
+        table,
+        ev.where((F.col("event_id") % 2 == 0) & (F.col("user_id") < 5)).select(
+            "event_id"
+        ),
+        "event_id",
+    )
+    v2 = current_version(table)
+    diff = snapshot_diff(spark, table, v0, v2)
+    return (
+        diff.groupBy("_change")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("_change")
+    )

@@ -1084,3 +1084,40 @@ class TestWeightedSampling:
         # not, but every retained winner from the first draw keeps its key
         assert len(first) == len(second) == WSAMPLE_K
         assert len(first - second) <= 1  # at most one displaced
+
+
+class TestSnapshotDiff:
+    def test_file_short_circuit_without_deletes(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            append_snapshot,
+            current_version,
+            snapshot_diff,
+        )
+
+        table = str(tmp_path / "tbl")
+        append_snapshot(spark.range(10).toDF("id"), table, 0)
+        v0 = current_version(table)
+        append_snapshot(spark.range(10, 15).toDF("id"), table, 1)
+        v1 = current_version(table)
+        rows = snapshot_diff(spark, table, v0, v1).collect()
+        got = sorted((r["_change"], r["id"]) for r in rows)
+        assert got == [("insert", i) for i in range(10, 15)]
+        # identity diff is empty
+        assert snapshot_diff(spark, table, v1, v1).collect() == []
+
+    def test_diff_resolves_delete_vectors(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            append_snapshot,
+            current_version,
+            delete_rows,
+            snapshot_diff,
+        )
+
+        table = str(tmp_path / "tbl")
+        append_snapshot(spark.range(10).toDF("id"), table, 0)
+        v0 = current_version(table)
+        delete_rows(table, spark.range(3).toDF("id"), "id")
+        v1 = current_version(table)
+        rows = snapshot_diff(spark, table, v0, v1).collect()
+        got = sorted((r["_change"], r["id"]) for r in rows)
+        assert got == [("delete", i) for i in range(3)]
