@@ -602,3 +602,76 @@ def q_manifest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental consumer: maintain a DOWNSTREAM aggregate from the change
+# feed alone — the reason the feed exists. Signed deltas (+1 insert,
+# -1 delete) aggregate over O(changes) rows and merge into the prior
+# result; for mergeable measures (counts, sums) the maintained value
+# equals the recompute EXACTLY, at change cost instead of table cost.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_cdf_incremental_consumer",
+    """
+    WITH state AS (
+      SELECT event_id, user_id FROM events
+      WHERE event_id % 2 = 1
+         OR (event_id % 2 = 0 AND user_id >= 5)
+    )
+    SELECT user_id, COUNT(*) AS n_events
+    FROM state GROUP BY user_id
+    HAVING COUNT(*) > 0
+    ORDER BY user_id
+    """,
+    doc="incremental consumer over the change feed: a per-user count MV "
+    "built at snapshot v0 is advanced to v2 purely by applying signed "
+    "deltas from snapshot_diff (+1 insert / -1 delete) — O(changes) "
+    "work; the maintained result must equal the recompute over the new "
+    "state exactly (mergeable measures), which is the oracle.",
+)
+def q_cdf_incremental_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = work_dir("manifest_cdf_consumer")
+    ev = t(spark, sf_dir, "events")
+    append_snapshot(ev.where(F.col("event_id") % 2 == 0), table, batch_id=0)
+    v0 = current_version(table)
+    # downstream MV at v0: per-user event counts
+    mv0 = (
+        read_append_table_mor(spark, table, v0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    # the table moves on: an append and a delete-vector erasure
+    append_snapshot(ev.where(F.col("event_id") % 2 == 1), table, batch_id=1)
+    delete_rows(
+        table,
+        ev.where((F.col("event_id") % 2 == 0) & (F.col("user_id") < 5)).select(
+            "event_id"
+        ),
+        "event_id",
+    )
+    v2 = current_version(table)
+    # consumer applies ONLY the feed
+    delta = (
+        snapshot_diff(spark, table, v0, v2)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_change") == "insert", 1).otherwise(-1)
+            ).alias("d")
+        )
+    )
+    return (
+        mv0.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            ).alias("n_events"),
+        )
+        .where(F.col("n_events") > 0)
+        .orderBy("user_id")
+    )
