@@ -366,3 +366,78 @@ def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion attribution window: each purchase attributed to the user's
+# LAST view within a lookback window — the marketing-attribution join
+# every events warehouse runs. Built on the as-of join (union + one
+# window pass, no join node), then a pure filter on the time delta:
+# attribution adds zero shuffles beyond the as-of's single key sort.
+# --------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_H = 24
+
+
+@register(
+    "q_attribution_last_view",
+    f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    attr AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT MAX(v.ts) FROM views v
+              WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS last_view
+      FROM purchases p
+    )
+    SELECT user_id, COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN last_view IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(last_view)
+                                <= CAST({ATTRIBUTION_WINDOW_H} AS BIGINT) * 3600 * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS attributed
+    FROM attr GROUP BY user_id ORDER BY user_id
+    """,
+    doc=f"last-touch attribution: each purchase matched to the user's "
+    f"most recent view, attributed iff it falls within "
+    f"{ATTRIBUTION_WINDOW_H}h — the as-of join (one key sort, no join "
+    "node) plus a pure delta filter; per-user purchase/attribution "
+    "counts.",
+)
+def q_attribution_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        payload_cols=["view_ts"],
+    )
+    window_us = ATTRIBUTION_WINDOW_H * 3600 * 1_000_000
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("view_ts").isNotNull()
+                    & (
+                        F.unix_micros("ts") - F.unix_micros("view_ts")
+                        <= window_us
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("attributed"),
+        )
+        .orderBy("user_id")
+    )

@@ -90,7 +90,8 @@ def register(
 # q_stream_kmeans_assign, q_dedup_rerank_cosine, q_pipeline_end_to_end,
 # q_sample_weighted_per_source, q_gapfill_user_daily,
 # q_ab_experiment_readout, q_gapfill_locf, q_stream_funnel_stateful,
-# q_manifest_snapshot_diff, q_cdf_incremental_consumer.
+# q_manifest_snapshot_diff, q_cdf_incremental_consumer,
+# q_attribution_last_view.
 # Then the 12 r03-stale
 # queries displaced late in
 # round 6 to make room for the never-checked round-6 additions
