@@ -451,3 +451,112 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_value", ignorenulls=True).over(w).alias("carried_value"),
         F.col("day_value").isNull().alias("imputed"),
     ).orderBy("user_id", "day")
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert: among users who completed the funnel, the distribution
+# of (purchase - first view) — the latency readout product teams pair
+# with the reach counts. Reuses the single-scan fold (same one shuffle);
+# the quantiles ride the repo's Q20 convention so a cross-engine
+# interpolation ulp cannot flip the hash.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel_time_to_convert",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{FUNNEL[1]}' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{FUNNEL[2]}' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT s3.user_id,
+             (epoch_us(s3.t3) - epoch_us(s1.t1)) / 1000000.0 AS sec
+      FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(floor(MIN(sec) * 1048576.0 + 0.5) AS BIGINT) AS min_q20,
+           CAST(floor(quantile_cont(sec, 0.50) * 1048576.0 + 0.5) AS BIGINT)
+             AS p50_q20,
+           CAST(floor(quantile_cont(sec, 0.90) * 1048576.0 + 0.5) AS BIGINT)
+             AS p90_q20,
+           CAST(floor(MAX(sec) * 1048576.0 + 0.5) AS BIGINT) AS max_q20
+    FROM d
+    """,
+    doc="time-to-convert distribution: (purchase - first view) seconds "
+    "for funnel completers — min/p50/p90/max, Q20-quantized (exact "
+    "interpolated percentiles; cross-engine interpolation ulps cannot "
+    "flip the hash). Reuses the single-scan funnel fold.",
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = (
+        ev.where(F.col("event_type").isin(list(FUNNEL)))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
+    )
+    reach = per_user.select(
+        F.aggregate(
+            "evs",
+            F.expr(
+                "CAST(struct(CAST(NULL AS TIMESTAMP) AS t1,"
+                " CAST(NULL AS TIMESTAMP) AS t2,"
+                " CAST(NULL AS TIMESTAMP) AS t3) AS"
+                " STRUCT<t1: TIMESTAMP, t2: TIMESTAMP, t3: TIMESTAMP>)"
+            ),
+            lambda acc, e: F.struct(
+                F.when(
+                    acc["t1"].isNull() & (e["event_type"] == FUNNEL[0]), e["ts"]
+                )
+                .otherwise(acc["t1"])
+                .alias("t1"),
+                F.when(
+                    acc["t2"].isNull()
+                    & acc["t1"].isNotNull()
+                    & (e["event_type"] == FUNNEL[1])
+                    & (e["ts"] > acc["t1"]),
+                    e["ts"],
+                )
+                .otherwise(acc["t2"])
+                .alias("t2"),
+                F.when(
+                    acc["t3"].isNull()
+                    & acc["t2"].isNotNull()
+                    & (e["event_type"] == FUNNEL[2])
+                    & (e["ts"] > acc["t2"]),
+                    e["ts"],
+                )
+                .otherwise(acc["t3"])
+                .alias("t3"),
+            ),
+        ).alias("r")
+    )
+    sec = (
+        (F.unix_micros(F.col("r.t3")) - F.unix_micros(F.col("r.t1")))
+        / F.lit(1_000_000.0)
+    ).alias("sec")
+    d = reach.where(F.col("r.t3").isNotNull()).select(sec)
+    q20 = F.lit(1048576.0)
+
+    def q(c):
+        return F.floor(c * q20 + F.lit(0.5)).cast("bigint")
+
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        q(F.min("sec")).alias("min_q20"),
+        q(F.percentile("sec", F.lit(0.50))).alias("p50_q20"),
+        q(F.percentile("sec", F.lit(0.90))).alias("p90_q20"),
+        q(F.max("sec")).alias("max_q20"),
+    )
