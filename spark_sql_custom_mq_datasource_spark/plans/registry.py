@@ -91,7 +91,8 @@ def register(
 # q_sample_weighted_per_source, q_gapfill_user_daily,
 # q_ab_experiment_readout, q_gapfill_locf, q_stream_funnel_stateful,
 # q_manifest_snapshot_diff, q_cdf_incremental_consumer,
-# q_attribution_last_view, q_funnel_time_to_convert.
+# q_attribution_last_view, q_funnel_time_to_convert,
+# q_stream_mq_to_manifest.
 # Then the 12 r03-stale
 # queries displaced late in
 # round 6 to make room for the never-checked round-6 additions

@@ -1763,3 +1763,66 @@ def _register_stream_funnel() -> None:
 
 
 _register_stream_funnel()
+
+
+def _register_stream_mq_to_manifest() -> None:
+    @register(
+        "q_stream_mq_to_manifest",
+        _mq_wordcount_oracle(),
+        doc="reference source -> transactional sink, end to end: the "
+        "custom mq stream (deterministic bounded drain) lands in the "
+        "manifest table via per-batch idempotent append commits "
+        "(redelivery of batch 0 asserted to be a no-op in-line), then "
+        "the WordCount runs over the LANDED table — same oracle as the "
+        "memory-sink WordCount, proving the transactional landing is "
+        "loss-free and duplicate-free.",
+    )
+    def q_stream_mq_to_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..session import register_mq_source
+        from ..sources.manifest import append_snapshot, read_append_table
+
+        register_mq_source(spark)
+        configure_state_store(spark)
+        table = os.path.join(work_dir("mq_to_manifest"), "tbl")
+
+        stream = (
+            spark.readStream.format("mq")
+            .option("numPartitions", 4)
+            .option("intervalMs", 10)
+            .option("startingTimestamp", 0)
+            .option("advanceMsPerBatch", 5000)
+            .option("maxRecordsPerBatch", 0)
+            .load()
+        )
+        lines = stream.selectExpr("CAST(value AS STRING) AS line")
+
+        def land(bdf: DataFrame, batch_id: int) -> None:
+            append_snapshot(bdf, table, batch_id)
+            if batch_id == 0:
+                assert append_snapshot(bdf, table, batch_id) is None
+
+        q = (
+            lines.writeStream.foreachBatch(land)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("mq->manifest stream did not drain in 300s")
+        finally:
+            if q.isActive:
+                q.stop()
+
+        landed = read_append_table(spark, table)
+        return (
+            landed.select(F.explode(F.split("line", " ")).alias("word"))
+            .groupBy("word")
+            .count()
+            .orderBy("word")
+        )
+
+
+_register_stream_mq_to_manifest()
