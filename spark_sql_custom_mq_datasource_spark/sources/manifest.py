@@ -675,3 +675,122 @@ def q_cdf_incremental_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_events") > 0)
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-spec evolution: change how NEW data is partitioned without
+# rewriting a byte of old data — each manifest entry carries its own
+# partition tuple, so one table can hold files written under different
+# specs and a reader prunes every file with whatever keys that file has
+# (Iceberg's partition evolution, the feature directory-layout tables
+# fundamentally cannot do: Hive-style tables must rewrite history to
+# re-partition). At 100 TB, re-partitioning history is weeks of compute;
+# spec evolution is one metadata change.
+# --------------------------------------------------------------------------
+
+
+def append_partitioned(
+    df: DataFrame, table: str, batch_id: int, part_cols: list[str]
+) -> int | None:
+    """Append df under the given partition spec; entries record the
+    partition tuple per file. Different commits may use different specs."""
+    vfile = os.path.join(table, "_VERSION")
+    if os.path.exists(vfile):
+        m = read_manifest(table)
+        if batch_id in m.get("batches", []):
+            return None
+        old_files, old_batches = m["files"], m.get("batches", [])
+    else:
+        old_files, old_batches = [], []
+    batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
+    df.write.mode("overwrite").partitionBy(*part_cols).parquet(batch_dir)
+    new_files = []
+    for root, _, names in os.walk(batch_dir):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, n), table)
+            part = {
+                seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                for seg in rel.split(os.sep)
+                if "=" in seg
+            }
+            new_files.append({"path": rel, "part": part})
+    return _commit(
+        table, {"files": old_files + new_files, "batches": old_batches + [batch_id]}
+    )
+
+
+def read_partitioned_pruned(
+    spark: SparkSession,
+    table: str,
+    filters: dict,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Read the table pruning each file by the filter keys IT carries —
+    a file whose spec lacks a filter key cannot be excluded by it (the
+    evolution contract: pruning is a superset cut per generation; the
+    caller re-applies the exact predicate). Partition columns live in
+    the path, not the files, so each kept file's partition tuple is
+    restored from its manifest entry. Returns (df, files_read,
+    files_total)."""
+    m = read_manifest(table, version)
+    kept = [
+        e
+        for e in m["files"]
+        if all(
+            e.get("part", {}).get(k, v) == v for k, v in filters.items()
+        )
+    ]
+    if not kept:
+        raise ValueError("no files match the partition filters")
+    groups: dict[tuple, list[str]] = {}
+    tuples: dict[tuple, dict] = {}
+    for e in kept:
+        part = e.get("part", {})
+        key = tuple(sorted(part.items()))
+        groups.setdefault(key, []).append(os.path.join(table, e["path"]))
+        tuples[key] = part
+    out = None
+    for key in sorted(groups):
+        d = spark.read.parquet(*groups[key])
+        for col, val in tuples[key].items():
+            if col not in d.columns:
+                d = d.withColumn(col, F.lit(val))
+        out = d if out is None else out.unionByName(d, allowMissingColumns=True)
+    return out, len(kept), len(m["files"])
+
+
+@register(
+    "q_manifest_partition_evolution",
+    """
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="partition-spec evolution: the first half of events lands "
+    "partitioned by day, the second half by (day, event_type) — no old "
+    "file rewritten; a day filter prunes BOTH generations by the keys "
+    "each file carries, and the day-range read over the mixed-generation "
+    "table equals the plain recompute. Per-generation prune counts "
+    "pinned in tests.",
+)
+def q_manifest_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = work_dir("manifest_evolve_spec")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    # generation 1: partitioned by day only (events of days 1-15)
+    append_partitioned(ev.where(F.dayofmonth("ts") <= 15), table, 0, ["day"])
+    # generation 2: spec evolves to (day, event_type) — old files untouched
+    append_partitioned(
+        ev.where(F.dayofmonth("ts") > 15), table, 1, ["day", "event_type"]
+    )
+    df, _, _ = read_partitioned_pruned(spark, table, {"day": "2024-01-20"})
+    return (
+        df.where(F.col("day") == "2024-01-20")  # exact predicate re-applied
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )

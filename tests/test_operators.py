@@ -1121,3 +1121,63 @@ class TestSnapshotDiff:
         rows = snapshot_diff(spark, table, v0, v1).collect()
         got = sorted((r["_change"], r["id"]) for r in rows)
         assert got == [("delete", i) for i in range(3)]
+
+
+class TestPartitionEvolution:
+    def test_pruning_per_generation_and_no_rewrite(self, spark, tmp_path):
+        import glob
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            append_partitioned,
+            read_partitioned_pruned,
+        )
+
+        table = str(tmp_path / "tbl")
+        gen1 = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", f"2024-01-{(i % 3) + 1:02d}")
+             for i in range(30)],
+            "id long, kind string, day string",
+        )
+        append_partitioned(gen1, table, 0, ["day"])
+        before = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(table + "/data/**/*.parquet", recursive=True)
+        }
+        gen2 = spark.createDataFrame(
+            [(100 + i, "a" if i % 2 else "b", f"2024-01-{(i % 3) + 1:02d}")
+             for i in range(30)],
+            "id long, kind string, day string",
+        )
+        append_partitioned(gen2, table, 1, ["day", "kind"])
+        # spec change rewrote NOTHING
+        after = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(table + "/data/**/*.parquet", recursive=True)
+        }
+        assert all(after[f] == m for f, m in before.items())
+
+        # a day filter prunes both generations
+        df, hit, total = read_partitioned_pruned(spark, table, {"day": "2024-01-01"})
+        assert hit < total
+        got = sorted(r["id"] for r in df.where(F.col("day") == "2024-01-01").collect())
+        want = sorted(
+            [i for i in range(30) if i % 3 == 0]
+            + [100 + i for i in range(30) if i % 3 == 0]
+        )
+        assert got == want
+
+        # a (day, kind) filter additionally prunes generation-2 files but
+        # CANNOT exclude generation-1 files (they lack the kind key) —
+        # superset cut, exact filter re-applied
+        df2, hit2, _ = read_partitioned_pruned(
+            spark, table, {"day": "2024-01-01", "kind": "a"}
+        )
+        assert hit2 < hit
+        got2 = sorted(
+            r["id"]
+            for r in df2.where(
+                (F.col("day") == "2024-01-01") & (F.col("kind") == "a")
+            ).collect()
+        )
+        assert got2 == [i for i in want if (i % 100) % 2 == 1]
