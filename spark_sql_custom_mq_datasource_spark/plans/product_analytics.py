@@ -271,9 +271,13 @@ GAPFILL_USER_MAX = 10  # deterministic output slice
 )
 def q_gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").where(F.col("user_id") < GAPFILL_USER_MAX)
+    # persisted: daily feeds BOTH the span derivation and the calendar
+    # join — without it the events scan + (user, day) shuffle run twice
+    # (plan-pinned single scan in tests); |user x day| rows, tiny vs events
     daily = (
         ev.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("n"))
+        .persist()
     )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -434,6 +438,7 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("day_value")
         )
+        .persist()  # same two-consumer shape as q_gapfill_user_daily
     )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")

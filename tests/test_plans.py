@@ -225,3 +225,26 @@ class TestRound6Ops:
         p = plan(spark, sf_dir, "q_sample_per_source_bottomk")
         assert "hashpartitioning(source" in p
         assert "CartesianProduct" not in p and "Join" not in p
+
+
+class TestLateRound6Ops:
+    def test_attribution_asof_has_no_join_node(self, spark, sf_dir):
+        # the as-of core: union + one key-sorted window — a hot user costs
+        # a sort, never a cross product; no Join operator may appear
+        p = plan(spark, sf_dir, "q_attribution_last_view")
+        assert "Join" not in p and "CartesianProduct" not in p
+        assert "Window" in p
+
+    def test_gapfill_single_scan_bounded_explode(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_gapfill_user_daily")
+        assert "Generate" in p  # the per-user span explode
+        assert "CartesianProduct" not in p
+        # one events scan feeds both the counts and the span
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+
+    def test_ab_readout_two_aggregates_no_join_explosion(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_ab_experiment_readout")
+        assert "CartesianProduct" not in p
+        assert p.count("HashAggregate") >= 2  # partial + final per stage
