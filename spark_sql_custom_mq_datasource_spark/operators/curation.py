@@ -994,6 +994,12 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "text", "n_tokens")
     )
+    # DISK_ONLY: the gate's word-stat shuffle feeds the exact-dedup
+    # grouping AND the survivor join — without a persist the whole gate
+    # chain (two shuffles over the corpus) re-runs per consumer
+    from pyspark.storagelevel import StorageLevel
+
+    gated = gated.persist(StorageLevel.DISK_ONLY)
 
     # stage 2: exact dedup (min id per content hash)
     exact_keep = gated.groupBy(F.md5(F.lower("text")).alias("h")).agg(

@@ -585,6 +585,7 @@ def merge_daily_mv(spark: SparkSession, path: str, batch: DataFrame) -> list:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
         )
+        .persist()  # consumed twice: the affected-days collect + the merge
     )
     days = [r["day"] for r in delta.select("day").distinct().limit(1001).collect()]
     if len(days) > 1000:

@@ -548,9 +548,11 @@ def snapshot_diff(
 
     # with delete vectors the row sets are no longer file-aligned:
     # resolve each side's MOR view and diff row-wise (EXCEPT ALL both
-    # ways keeps duplicate multiplicity honest)
-    a = read_append_table_mor(spark, table, v_from)
-    b = read_append_table_mor(spark, table, v_to)
+    # ways keeps duplicate multiplicity honest). Both views feed BOTH
+    # directions of the diff — persist so each side's table scan + delete
+    # anti-join runs once, not twice.
+    a = read_append_table_mor(spark, table, v_from).persist()
+    b = read_append_table_mor(spark, table, v_to).persist()
     return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
         a.exceptAll(b).withColumn("_change", F.lit("delete"))
     )
