@@ -1181,3 +1181,18 @@ class TestPartitionEvolution:
             ).collect()
         )
         assert got2 == [i for i in want if (i % 100) % 2 == 1]
+
+
+class TestWorkDir:
+    def test_clear_on_entry_and_fixed_path(self, tmp_path, monkeypatch):
+        import os
+        import tempfile as _tempfile
+
+        from spark_sql_custom_mq_datasource_spark.plans.util import work_dir
+
+        monkeypatch.setattr(_tempfile, "gettempdir", lambda: str(tmp_path))
+        p1 = work_dir("unit_wd")
+        open(os.path.join(p1, "leftover.txt"), "w").write("x")
+        p2 = work_dir("unit_wd")
+        assert p1 == p2  # fixed per-query path: no /tmp accumulation
+        assert os.listdir(p2) == []  # cleared on entry
