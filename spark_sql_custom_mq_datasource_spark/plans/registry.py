@@ -92,7 +92,8 @@ def register(
 # q_ab_experiment_readout, q_gapfill_locf, q_stream_funnel_stateful,
 # q_manifest_snapshot_diff, q_cdf_incremental_consumer,
 # q_attribution_last_view, q_funnel_time_to_convert,
-# q_stream_mq_to_manifest, q_manifest_partition_evolution.
+# q_stream_mq_to_manifest, q_manifest_partition_evolution,
+# q_stream_gram_counts_mv.
 # Then the 12 r03-stale
 # queries displaced late in
 # round 6 to make room for the never-checked round-6 additions

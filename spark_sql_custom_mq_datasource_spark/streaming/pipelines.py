@@ -1826,3 +1826,110 @@ def _register_stream_mq_to_manifest() -> None:
 
 
 _register_stream_mq_to_manifest()
+
+
+def _register_stream_gram_mv() -> None:
+    @register(
+        "q_stream_gram_counts_mv",
+        """
+        WITH g AS (
+          SELECT unnest(list_transform(
+                   generate_series(1, len(string_split(trim(text), ' ')) - 1),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1])) AS gram
+          FROM documents
+        ),
+        c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+        SELECT gram, CAST(cnt AS BIGINT) AS cnt FROM (
+          SELECT gram, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rk
+          FROM c
+        ) WHERE rk <= 20 ORDER BY cnt DESC, gram
+        """,
+        doc="STREAMING high-cardinality aggregate maintenance: per-batch "
+        "2-gram counts fold into a BUCKETED parquet count-MV (the "
+        "pattern for state too large for a state store — vocabulary-"
+        "scale keys live in a table, merged as partials per batch at "
+        "O(batch + touched buckets) cost); the doc firehose arrives in "
+        "4 slices, and the converged MV's exact top-20 equals the "
+        "batch recompute.",
+    )
+    def q_stream_gram_counts_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        configure_state_store(spark)
+        root = work_dir("gram_mv")
+        mv = os.path.join(root, "mv")
+        inbox = os.path.join(root, "inbox")
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(4).write.mode("overwrite").parquet(inbox)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+
+        N_BUCKETS = 16
+        gram = F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+                " i -> concat(split(trim(text), ' ')[i], ' ',"
+                "             split(trim(text), ' ')[i+1]))"
+            )
+        )
+
+        def fold(bdf: DataFrame, batch_id: int) -> None:
+            delta = (
+                bdf.where(F.size(F.split(F.trim("text"), " ")) >= 2)
+                .select(gram.alias("gram"))
+                .groupBy("gram")
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("bkt", F.pmod(F.xxhash64("gram"), F.lit(N_BUCKETS)))
+                .persist()
+            )
+            has_data = any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(mv)
+                for f in files
+            )
+            if not has_data:
+                delta.write.mode("overwrite").partitionBy("bkt").parquet(mv)
+                return
+            bkts = [
+                r["bkt"] for r in delta.select("bkt").distinct().collect()
+            ]  # bounded: <= N_BUCKETS ids
+            existing = spark.read.parquet(mv).where(F.col("bkt").isin(bkts))
+            merged = (
+                existing.unionByName(delta)
+                .groupBy("bkt", "gram")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            merged.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("bkt").parquet(mv)
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("gram-mv stream did not drain in 300s")
+        finally:
+            if q.isActive:
+                q.stop()
+
+        counts = spark.read.parquet(mv)
+        w = Window.orderBy(F.desc("cnt"), "gram")
+        return (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 20)
+            .select("gram", F.col("cnt").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "gram")
+        )
+
+
+_register_stream_gram_mv()
