@@ -84,26 +84,28 @@ def register(
 # remaining records), then 1 r04 green to fill 50. Everything displaced
 # (the whole r05-checked block) stays green in CORRECTNESS_r05.json.
 #
-# ROUND-7 ROTATION PLAN: FIRST the queries added after the round-6
-# prefix froze (never driver-checked; green under the local mirror at
-# sf0.001 + sf0.01): q_stream_manifest_ingest, q_manifest_row_deletes,
-# q_stream_kmeans_assign, q_dedup_rerank_cosine, q_pipeline_end_to_end,
-# q_sample_weighted_per_source, q_gapfill_user_daily,
-# q_ab_experiment_readout, q_gapfill_locf, q_stream_funnel_stateful,
-# q_manifest_snapshot_diff, q_cdf_incremental_consumer,
-# q_attribution_last_view, q_funnel_time_to_convert,
-# q_stream_mq_to_manifest, q_manifest_partition_evolution,
-# q_stream_gram_counts_mv.
-# Then the 12 r03-stale
-# queries displaced late in
-# round 6 to make room for the never-checked round-6 additions
-# (q_range_join_acctbal, q_bucketed_join_revenue, q_text_normalize,
-# q_text_lang_agg, q_mix_upsample, q_pack_sequences, q_text_fingerprint,
-# q_text_bpeish_tokens, q_multimodal_frame_sample, q_text_quality,
-# q_multimodal_binary_meta, q_udf_scalar_tokens — all green in
-# CORRECTNESS_r03.json and under the local mirror), then the 48
-# r04-stale queries (dedup/ANN/streaming/UDF families), plus anything
-# round 7 adds or edits.
+# ROUND-7 ROTATION PLAN (machine-checked against CORRECTNESS_r01..r05 +
+# this round's registry; regenerate with tools/rotation_plan.py):
+#   1. The 17 queries added after the round-6 prefix froze — never
+#      driver-checked, all green under the local mirror at sf0.001 AND
+#      sf0.01: q_dedup_rerank_cosine, q_sample_weighted_per_source,
+#      q_pipeline_end_to_end, q_attribution_last_view,
+#      q_manifest_row_deletes, q_manifest_snapshot_diff,
+#      q_cdf_incremental_consumer, q_manifest_partition_evolution,
+#      q_stream_manifest_ingest, q_stream_kmeans_assign,
+#      q_gapfill_user_daily, q_ab_experiment_readout, q_gapfill_locf,
+#      q_funnel_time_to_convert, q_stream_funnel_stateful,
+#      q_stream_mq_to_manifest, q_stream_gram_counts_mv.
+#   2. The 12 r03-stale queries displaced late in round 6
+#      (q_range_join_acctbal, q_bucketed_join_revenue, q_text_normalize,
+#      q_text_lang_agg, q_mix_upsample, q_pack_sequences,
+#      q_text_fingerprint, q_text_bpeish_tokens,
+#      q_multimodal_frame_sample, q_text_quality,
+#      q_multimodal_binary_meta, q_udf_scalar_tokens — all green in
+#      CORRECTNESS_r03.json and under the local mirror).
+#   3. The remaining slots from the 48 r04-stale queries
+#      (dedup/ANN/streaming/UDF families), oldest families first.
+#   Plus, as always, anything round 7 adds or edits.
 _PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: event analytics ---------------------------
     "q_rolling_dau_wau",
