@@ -67,15 +67,33 @@ def read_manifest(table: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+class CommitConflict(Exception):
+    """Another writer claimed the next version first (optimistic
+    concurrency): re-read the current manifest, rebase, and retry."""
+
+
 def _commit(table: str, manifest: dict) -> int:
     """Write the next manifest, then atomically swap the version pointer.
-    A crash before the swap leaves the old snapshot current."""
+
+    Optimistic concurrency: the next version's manifest file is created
+    EXCLUSIVELY (O_CREAT|O_EXCL) — of two writers that both read version
+    N, exactly one creates v(N+1).json; the loser gets CommitConflict
+    and must rebase on the winner's manifest (its data files are already
+    durable, so a rebase is metadata-only). This is the same CAS-on-
+    metadata contract lake formats implement on their catalogs. A crash
+    before the pointer swap leaves the old snapshot current."""
     os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
     vfile = os.path.join(table, "_VERSION")
     version = (current_version(table) + 1) if os.path.exists(vfile) else 0
     manifest["version"] = version
-    with open(_manifest_path(table, version), "w") as f:
-        json.dump(manifest, f)
+    try:
+        with open(_manifest_path(table, version), "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} of {table} was committed concurrently; "
+            "rebase on the current manifest and retry"
+        ) from exc
     tmp = vfile + "." + uuid.uuid4().hex[:8]
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -313,34 +331,49 @@ def q_manifest_stats_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def append_snapshot(df: DataFrame, table: str, batch_id: int) -> int | None:
+def append_snapshot(
+    df: DataFrame, table: str, batch_id: int, max_retries: int = 5
+) -> int | None:
     """Append df's rows as a new snapshot (old files + new files).
     Returns the committed version, or None when batch_id was already
-    committed (idempotent redelivery)."""
-    vfile = os.path.join(table, "_VERSION")
-    if os.path.exists(vfile):
-        m = read_manifest(table)
-        if batch_id in m.get("batches", []):
-            return None  # exactly-once: this batch already committed
-        old_files = m["files"]
-        old_batches = m.get("batches", [])
-    else:
-        old_files, old_batches = [], []
+    committed (idempotent redelivery). On a concurrent commit the append
+    REBASES: appends compose (the new file set is disjoint from every
+    other writer's), so the retry merely re-reads the winner's manifest
+    and re-commits on top — data files are written exactly once."""
+    batch_dir = None
+    new_files: list = []
+    for _ in range(max_retries):
+        vfile = os.path.join(table, "_VERSION")
+        if os.path.exists(vfile):
+            m = read_manifest(table)
+            if batch_id in m.get("batches", []):
+                return None  # exactly-once: this batch already committed
+            old_files = m["files"]
+            old_batches = m.get("batches", [])
+        else:
+            old_files, old_batches = [], []
 
-    batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
-    df.write.mode("overwrite").parquet(batch_dir)
-    new_files = [
-        {"path": os.path.relpath(os.path.join(root, n), table)}
-        for root, _, names in os.walk(batch_dir)
-        for n in names
-        if n.endswith(".parquet")
-    ]
-    return _commit(
-        table,
-        {
-            "files": old_files + new_files,
-            "batches": old_batches + [batch_id],
-        },
+        if batch_dir is None:  # write data once; rebases are metadata-only
+            batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
+            df.write.mode("overwrite").parquet(batch_dir)
+            new_files = [
+                {"path": os.path.relpath(os.path.join(root, n), table)}
+                for root, _, names in os.walk(batch_dir)
+                for n in names
+                if n.endswith(".parquet")
+            ]
+        try:
+            return _commit(
+                table,
+                {
+                    "files": old_files + new_files,
+                    "batches": old_batches + [batch_id],
+                },
+            )
+        except CommitConflict:
+            continue  # rebase on the winner and retry
+    raise CommitConflict(
+        f"append of batch {batch_id} lost {max_retries} commit races"
     )
 
 

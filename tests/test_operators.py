@@ -1196,3 +1196,44 @@ class TestWorkDir:
         p2 = work_dir("unit_wd")
         assert p1 == p2  # fixed per-query path: no /tmp accumulation
         assert os.listdir(p2) == []  # cleared on entry
+
+
+class TestCommitConcurrency:
+    def test_conflicting_commit_raises_and_append_rebases(self, spark, tmp_path):
+        import json
+        import os
+
+        import pytest as _pytest
+
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            CommitConflict,
+            _commit,
+            append_snapshot,
+            current_version,
+            read_append_table,
+            read_manifest,
+        )
+
+        table = str(tmp_path / "tbl")
+        append_snapshot(spark.range(5).toDF("id"), table, 0)
+        # simulate a concurrent writer that already claimed v1
+        os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
+        winner = dict(read_manifest(table))
+        winner["version"] = 1
+        winner["batches"] = winner.get("batches", []) + [99]
+        with open(os.path.join(table, "_manifests", "v1.json"), "w") as f:
+            json.dump(winner, f)
+        # a raw commit against the stale base must CONFLICT, not clobber
+        with _pytest.raises(CommitConflict):
+            _commit(table, {"files": [], "batches": []})
+        # ...but the winner's manifest only becomes current after ITS
+        # pointer swap; finish the winner's commit by hand
+        with open(os.path.join(table, "_VERSION"), "w") as f:
+            f.write("1")
+        # append_snapshot REBASES on the winner: the batch lands on v2
+        # with both histories intact
+        v = append_snapshot(spark.range(5, 8).toDF("id"), table, 1)
+        assert v == 2 and current_version(table) == 2
+        m = read_manifest(table)
+        assert set(m["batches"]) == {0, 99, 1}
+        assert read_append_table(spark, table).count() == 8
