@@ -549,3 +549,80 @@ def q_heavy_hitters_2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(g2).alias("gram"))
     )
     return heavy_hitters(grams)
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary coverage: frequency-ranked vocabulary with the
+# cumulative fraction of corpus tokens each prefix of the vocabulary
+# covers — the "how large must the vocab be to cover X% of tokens"
+# question every tokenizer design starts from (BPE/unigram vocab sizing).
+#
+# Scale: the corpus-wide token count is ONE groupBy(token) shuffle with
+# map-side partial aggregation; everything after runs on the aggregated
+# vocabulary table (|vocab| << corpus — low millions of rows at 100 TB of
+# text). The ranking window is a global ORDER BY over that small table;
+# if vocab ever outgrew one task, rank/running-sum would range-partition
+# by (cnt, token) the same way q_wordcount_topk's note describes. Output
+# is capped to the top VOCAB_TOP rows, so driver results stay bounded.
+# --------------------------------------------------------------------------
+
+VOCAB_TOP = 100
+
+
+@register(
+    "q_vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS n FROM cnt),
+    ranked AS (
+      SELECT token, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+               AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cnt
+    )
+    SELECT rank, token, cnt,
+           CAST(floor(cum * 1048576.0 / tot.n + 0.5) AS BIGINT)
+             AS cum_cov_q20
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= {VOCAB_TOP}
+    ORDER BY rank
+    """,
+    doc="frequency-ranked tokenizer vocabulary with cumulative corpus "
+    "coverage (Q20): one corpus shuffle to count tokens, then rank + "
+    "running-sum windows over the small vocabulary aggregate; top-100 "
+    "rows returned.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tp(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    order = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = cnt.select(
+        F.row_number().over(order).cast("bigint").alias("rank"),
+        "token",
+        "cnt",
+        F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).where(F.col("rank") <= VOCAB_TOP)
+    total = cnt.agg(F.sum("cnt").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            F.floor(F.col("cum") * F.lit(1048576.0) / F.col("n") + F.lit(0.5))
+            .cast("bigint")
+            .alias("cum_cov_q20"),
+        )
+        .orderBy("rank")
+    )

@@ -565,3 +565,70 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.percentile("sec", F.lit(0.90))).alias("p90_q20"),
         q(F.max("sec")).alias("max_q20"),
     )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event streams: for
+# every ordered (prev_type -> next_type) pair, the transition count and the
+# row-normalized probability. The classic "what do users do next" readout
+# (and the input to absorbing-state / next-action models).
+#
+# Scale: one shuffle partitions events by user for the lag() window (the
+# same partitioning q_events_sessionize already pays), then the transition
+# aggregate is |event_types|^2 rows — tiny at any corpus size, so the
+# per-prev normalizing window runs over a broadcast-scale table. Ordering
+# within a user is (ts, event_id): event_id breaks timestamp ties
+# identically in both engines (ADVICE r05 scd2 lesson applied up front).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, cnt,
+           CAST(floor(cnt * 1048576.0
+                      / SUM(cnt) OVER (PARTITION BY prev_type) + 0.5)
+                AS BIGINT) AS prob_q20
+    FROM c
+    ORDER BY prev_type, next_type
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: (prev_type, next_type) counts + row-normalized "
+    "probabilities in Q20 micro-units; one user-partitioned window "
+    "shuffle, then a |types|^2-sized aggregate.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return (
+        c.select(
+            "prev_type",
+            "next_type",
+            "cnt",
+            F.floor(F.col("cnt") * F.lit(1048576.0) / F.sum("cnt").over(norm) + F.lit(0.5))
+            .cast("bigint")
+            .alias("prob_q20"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

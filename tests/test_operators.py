@@ -1237,3 +1237,33 @@ class TestCommitConcurrency:
         m = read_manifest(table)
         assert set(m["batches"]) == {0, 99, 1}
         assert read_append_table(spark, table).count() == 8
+
+
+class TestVocabCoverage:
+    def test_rank_coverage_law(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_vocab_coverage,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # corpus tokens: a:2, b:2, c:1 (total 5). Rank order is cnt DESC,
+        # token ASC -> a, b, c; cumulative coverage 2/5, 4/5, 5/5.
+        d = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+        )
+        sf_dir = str(tmp_path)
+        d.write.parquet(f"{sf_dir}/documents.parquet")
+        _cache.clear()
+        rows = [
+            (r["rank"], r["token"], r["cnt"], r["cum_cov_q20"])
+            for r in q_vocab_coverage(spark, sf_dir).collect()
+        ]
+        _cache.clear()
+        q20 = 1 << 20
+        assert rows == [
+            (1, "a", 2, int(2 * q20 / 5 + 0.5)),
+            (2, "b", 2, int(4 * q20 / 5 + 0.5)),
+            (3, "c", 1, q20),
+        ]
+        # last prefix always covers everything
+        assert rows[-1][3] == q20

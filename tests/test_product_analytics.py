@@ -86,3 +86,37 @@ class TestCohort:
         }
         _cache.clear()
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+class TestEventTransitions:
+    def test_counts_probs_and_tie_order(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.plans import product_analytics as pa
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # u1: a -> b -> a   (ties on ts broken by event_id: events 2,3
+        # share a timestamp, so order is 1,2,3 by event_id).
+        # u2: b -> b
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "a", dt.datetime(2024, 1, 1, 0)),
+                (2, 1, "b", dt.datetime(2024, 1, 1, 1)),
+                (3, 1, "a", dt.datetime(2024, 1, 1, 1)),
+                (4, 2, "b", dt.datetime(2024, 1, 2, 0)),
+                (5, 2, "b", dt.datetime(2024, 1, 2, 1)),
+            ],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+        sf_dir = str(tmp_path)
+        ev.write.parquet(f"{sf_dir}/events.parquet")
+        _cache.clear()
+        got = {
+            (r["prev_type"], r["next_type"]): (r["cnt"], r["prob_q20"])
+            for r in pa.q_event_transitions(spark, sf_dir).collect()
+        }
+        _cache.clear()
+        q20 = 1 << 20
+        assert got == {
+            ("a", "b"): (1, q20),
+            ("b", "a"): (1, q20 // 2),
+            ("b", "b"): (1, q20 // 2),
+        }
