@@ -607,15 +607,18 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     order = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    # total tokens = a global-frame sum window over the SAME vocabulary
+    # aggregate — one corpus scan + one shuffle total (a separate agg()
+    # branch would re-scan the corpus; pinned in tests/test_plans.py)
     ranked = cnt.select(
         F.row_number().over(order).cast("bigint").alias("rank"),
         "token",
         "cnt",
         F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
     ).where(F.col("rank") <= VOCAB_TOP)
-    total = cnt.agg(F.sum("cnt").alias("n"))
     return (
-        ranked.crossJoin(F.broadcast(total))
+        ranked
         .select(
             "rank",
             "token",

@@ -248,3 +248,31 @@ class TestLateRound6Ops:
         p = plan(spark, sf_dir, "q_ab_experiment_readout")
         assert "CartesianProduct" not in p
         assert p.count("HashAggregate") >= 2  # partial + final per stage
+
+    def test_event_transitions_single_scan_no_cartesian(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_event_transitions")
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+        # one events scan feeds the lag window; the normalizing window runs
+        # over the tiny (prev,next) aggregate, not the corpus
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        # lag over users + per-prev normalizer (formatted plans print each
+        # node twice: tree + detail, so count node ids)
+        assert len(set(re.findall(r"\((\d+)\) Window", p))) == 2
+        # event columns not referenced (value/props) are pruned at the scan
+        assert "props" not in p and "value" not in p
+
+    def test_vocab_coverage_partial_agg_and_small_windows(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_vocab_coverage")
+        # token counting must be a partial (map-side) + final aggregate pair
+        assert p.count("HashAggregate") >= 2
+        # the corpus is scanned once; rank/cumsum windows run over the
+        # aggregated vocabulary only
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        # the total is a window over the same aggregate — no join at all
+        assert "Join" not in p and "CartesianProduct" not in p
+        # unreferenced document columns pruned
+        assert "lang" not in p and "source" not in p and "n_chars" not in p

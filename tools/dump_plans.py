@@ -204,6 +204,20 @@ SHOWCASE = [
         "(candidates << corpus), one sequential fold per pair — the "
         "text+vector confirmation without any new quadratic stage.",
     ),
+    (
+        "q_event_transitions",
+        "Markov transition matrix: ONE events scan feeds the "
+        "user-partitioned lag() window (the sessionize partitioning); the "
+        "per-prev normalizing window runs over the |types|^2 aggregate, "
+        "never the corpus.",
+    ),
+    (
+        "q_vocab_coverage",
+        "Vocabulary coverage: one corpus groupBy(token) with partial "
+        "aggregation; rank, running-sum, AND the corpus total are windows "
+        "over the small vocabulary aggregate — single scan, single "
+        "shuffle, no join (plan-pinned).",
+    ),
 ]
 
 
