@@ -801,3 +801,104 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Top-k session paths — the most common ordered event-type sequences per
+# session (the clickstream "what do sessions look like" read-out, one
+# level above q_event_transitions' order-1 matrix). Sessions use the same
+# 30-minute-gap definition as q_events_sessionize; paths are truncated to
+# the first PATH_MAX_EVENTS events so a runaway bot session cannot
+# produce an unbounded group key.
+#
+# Scale: one user-partitioned window shuffle (shared shape with
+# sessionize), one (user, session) aggregate whose collect_list is
+# bounded by the truncation + human session length, then the path
+# aggregate is tiny (distinct paths << sessions). Top-k plans as
+# TakeOrderedAndProject — no global sort.
+# --------------------------------------------------------------------------
+
+PATH_MAX_EVENTS = 12
+
+
+@register(
+    "q_session_paths_topk",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id),
+                          1, {PATH_MAX_EVENTS}), '>') AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    doc="top-20 most common session event paths (30-min-gap sessions, "
+    "paths truncated to the first 12 events): one user-partitioned window "
+    "shuffle + a bounded per-session collect, then a tiny path aggregate; "
+    "top-k never global-sorts.",
+)
+def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_session = F.when(
+        (us - F.lag(us).over(order) > 1800 * 1_000_000)
+        | F.lag("ts").over(order).isNull(),
+        1,
+    ).otherwise(0)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        new_session.alias("new_session"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(running).alias("session_id"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    PATH_MAX_EVENTS,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )

@@ -276,3 +276,13 @@ class TestLateRound6Ops:
         assert "Join" not in p and "CartesianProduct" not in p
         # unreferenced document columns pruned
         assert "lang" not in p and "source" not in p and "n_chars" not in p
+
+    def test_session_paths_single_scan_topk_no_global_sort(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_session_paths_topk")
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        assert "TakeOrderedAndProject" in p  # top-20, never a global sort
+        assert "CartesianProduct" not in p
+        # unreferenced event columns pruned at the scan
+        assert "props" not in p and "value" not in p

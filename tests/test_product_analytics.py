@@ -120,3 +120,34 @@ class TestEventTransitions:
             ("b", "a"): (1, q20 // 2),
             ("b", "b"): (1, q20 // 2),
         }
+
+
+class TestSessionPaths:
+    def test_paths_gap_split_and_truncation(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.plans import analytics as an
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # u1: a,b (5 min apart) then a 2h gap then c -> sessions "a>b", "c"
+        # u2: a,b -> "a>b"
+        # u3: 14 x's in one session -> truncated to 12 path elements
+        rows = [
+            (1, 1, "a", dt.datetime(2024, 1, 1, 0, 0)),
+            (2, 1, "b", dt.datetime(2024, 1, 1, 0, 5)),
+            (3, 1, "c", dt.datetime(2024, 1, 1, 2, 10)),
+            (4, 2, "a", dt.datetime(2024, 1, 2, 0, 0)),
+            (5, 2, "b", dt.datetime(2024, 1, 2, 0, 1)),
+        ] + [
+            (10 + i, 3, "x", dt.datetime(2024, 1, 3, 0, i)) for i in range(14)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        sf_dir = str(tmp_path)
+        ev.write.parquet(f"{sf_dir}/events.parquet")
+        _cache.clear()
+        got = {
+            r["path"]: r["n_sessions"]
+            for r in an.q_session_paths_topk(spark, sf_dir).collect()
+        }
+        _cache.clear()
+        assert got == {"a>b": 2, "c": 1, ">".join(["x"] * 12): 1}
