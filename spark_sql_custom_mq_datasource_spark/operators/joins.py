@@ -441,3 +441,64 @@ def q_attribution_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew report — the diagnostic that DECIDES when the salted join
+# above is worth its replication cost: per-key frequency share and the
+# key's multiple of the average, for the top keys of a prospective join
+# key. At 100 TB this is the first query an engineer runs before picking
+# a join strategy (AQE skew-join thresholds are per-partition; this is
+# the per-KEY view that predicts them).
+#
+# Scale: one groupBy(key) shuffle with map-side partial aggregation; the
+# total and key-count come from a global-frame window over the SAME key
+# aggregate (the single-scan pattern pinned for q_vocab_coverage), so
+# the corpus is read once and never joined. Top-k plans as
+# TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+SKEW_TOP = 10
+
+
+@register(
+    "q_join_key_skew_report",
+    f"""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS n_keys FROM c)
+    SELECT user_id, cnt,
+           CAST(floor(cnt * 1048576.0 / tot.n + 0.5) AS BIGINT) AS share_q20,
+           CAST(floor(cnt * tot.n_keys * 1048576.0 / tot.n + 0.5) AS BIGINT)
+             AS x_avg_q20
+    FROM c CROSS JOIN tot
+    ORDER BY cnt DESC, user_id
+    LIMIT {SKEW_TOP}
+    """,
+    doc="join-key skew diagnostic: top-10 hottest events.user_id keys "
+    "with corpus share and multiple-of-average (Q20) — one key shuffle, "
+    "totals via a window over the same aggregate, no second scan.",
+)
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    g = Window.partitionBy()
+    q20 = F.lit(1048576.0)
+    return (
+        c.select(
+            "user_id",
+            "cnt",
+            F.floor(F.col("cnt") * q20 / F.sum("cnt").over(g) + F.lit(0.5))
+            .cast("bigint")
+            .alias("share_q20"),
+            F.floor(
+                F.col("cnt") * F.count("*").over(g) * q20 / F.sum("cnt").over(g)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("x_avg_q20"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(SKEW_TOP)
+    )

@@ -137,3 +137,32 @@ class TestRuntimeFilterJoin:
         ).executedPlan().toString()
         # the semi pre-filter must be a broadcast (never a shuffle of fact)
         assert "LeftSemi, BuildRight" in plan and "Broadcast" in plan
+
+
+class TestSkewReport:
+    def test_share_and_multiple_of_average(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.operators.joins import (
+            q_join_key_skew_report,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # key 1 has 6 of 8 events across 3 keys: share 6/8, 2.25x the
+        # (8/3) average; keys 2 and 3 have one each.
+        rows = [(i, 1) for i in range(6)] + [(6, 2), (7, 3)]
+        ev = spark.createDataFrame(
+            [(e, u, dt.datetime(2024, 1, 1, 0, e)) for e, u in rows],
+            "event_id long, user_id long, ts timestamp",
+        )
+        sf_dir = str(tmp_path)
+        ev.write.parquet(f"{sf_dir}/events.parquet")
+        _cache.clear()
+        got = {
+            r["user_id"]: (r["cnt"], r["share_q20"], r["x_avg_q20"])
+            for r in q_join_key_skew_report(spark, sf_dir).collect()
+        }
+        _cache.clear()
+        q20 = 1 << 20
+        assert got[1] == (6, int(6 * q20 / 8 + 0.5), int(6 * 3 * q20 / 8 + 0.5))
+        assert got[2][0] == 1 and got[3][0] == 1

@@ -286,3 +286,11 @@ class TestLateRound6Ops:
         assert "CartesianProduct" not in p
         # unreferenced event columns pruned at the scan
         assert "props" not in p and "value" not in p
+
+    def test_skew_report_single_scan_no_join(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_join_key_skew_report")
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        assert "Join" not in p  # totals via window over the same aggregate
+        assert "TakeOrderedAndProject" in p
