@@ -1219,3 +1219,76 @@ def q_dedup_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("da", "db")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplicate leakage matrix — for every source pair, how many
+# distinct texts (and how many document pairs) they share verbatim. The
+# dedup-PLANNING read-out: it tells you where the duplication lives
+# (mirrored dumps, cross-crawl overlap) before you pay for a corpus-wide
+# dedup, and it is the source-level view of train/eval leakage.
+#
+# Scale: one corpus scan into a (hash, source) aggregate — the only
+# corpus-sized shuffle — then the per-hash source sets pair up via array
+# HOFs, NO JOIN AT ALL (a self-join here would broadcast or re-shuffle a
+# corpus-derived table; the per-hash pair fan-out is bounded by
+# |sources|², which is tiny). Hash is md5 hex, which both engines
+# compute bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_cross_source_matrix",
+    """
+    WITH c AS (
+      SELECT md5(lower(text)) AS h, source, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_texts,
+           CAST(SUM(a.n * b.n) AS BIGINT) AS n_cross_pairs
+    FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="cross-source duplicate leakage matrix: per source pair, the "
+    "distinct verbatim-shared texts and cross-source doc pairs; one "
+    "corpus shuffle into a (hash, source) aggregate, then per-hash "
+    "source sets pair via array HOFs — single scan, zero joins "
+    "(plan-pinned). The DuckDB oracle states the same result as the "
+    "naive self-join.",
+)
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy(
+        F.md5(F.lower("text")).alias("h"), "source"
+    ).agg(F.count("*").alias("n"))
+    sets = (
+        c.groupBy("h")
+        .agg(F.collect_list(F.struct("source", "n")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+
+    def pair_up(ss):
+        # all ordered (a, b) combos of the per-hash source set; unary
+        # lambdas only (binary HOF lambdas receive the array index)
+        def outer(x):
+            return F.transform(ss, lambda y: F.struct(x.alias("a"), y.alias("b")))
+
+        return F.filter(
+            F.flatten(F.transform(ss, outer)),
+            lambda p: p["a"]["source"] < p["b"]["source"],
+        )
+
+    pairs = sets.select(F.explode(pair_up(F.col("ss"))).alias("p"))
+    return (
+        pairs.groupBy(
+            F.col("p.a.source").alias("source_a"),
+            F.col("p.b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_shared_texts"),
+            F.sum(F.col("p.a.n") * F.col("p.b.n")).alias("n_cross_pairs"),
+        )
+        .orderBy("source_a", "source_b")
+    )

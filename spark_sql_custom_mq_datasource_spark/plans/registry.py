@@ -97,8 +97,9 @@ def register(
 #      q_funnel_time_to_convert, q_stream_funnel_stateful,
 #      q_stream_mq_to_manifest, q_stream_gram_counts_mv — plus the two
 #      post-freeze additions q_event_transitions, q_vocab_coverage and
-#      q_session_paths_topk and q_join_key_skew_report (all locally
-#      green at sf0.001 AND sf0.01).
+#      q_session_paths_topk, q_join_key_skew_report and
+#      q_dedup_cross_source_matrix (all locally green at sf0.001 AND
+#      sf0.01).
 #   2. The 12 r03-stale queries displaced late in round 6
 #      (q_range_join_acctbal, q_bucketed_join_revenue, q_text_normalize,
 #      q_text_lang_agg, q_mix_upsample, q_pack_sequences,

@@ -1267,3 +1267,31 @@ class TestVocabCoverage:
         ]
         # last prefix always covers everything
         assert rows[-1][3] == q20
+
+
+class TestCrossSourceMatrix:
+    def test_pair_counts(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            q_dedup_cross_source_matrix,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # text "dup" appears 2x in s1 and 1x in s2 -> (s1,s2): 1 shared
+        # text, 2*1 cross pairs; "x" is unique to s1 (no row); "y" shared
+        # by s2/s3 once each -> (s2,s3): 1 text, 1 pair.
+        d = spark.createDataFrame(
+            [
+                (1, "dup", "s1"), (2, "dup", "s1"), (3, "dup", "s2"),
+                (4, "x", "s1"), (5, "y", "s2"), (6, "y", "s3"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        sf_dir = str(tmp_path)
+        d.write.parquet(f"{sf_dir}/documents.parquet")
+        _cache.clear()
+        got = {
+            (r["source_a"], r["source_b"]): (r["n_shared_texts"], r["n_cross_pairs"])
+            for r in q_dedup_cross_source_matrix(spark, sf_dir).collect()
+        }
+        _cache.clear()
+        assert got == {("s1", "s2"): (1, 2), ("s2", "s3"): (1, 1)}

@@ -294,3 +294,13 @@ class TestLateRound6Ops:
         assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
         assert "Join" not in p  # totals via window over the same aggregate
         assert "TakeOrderedAndProject" in p
+
+    def test_cross_source_matrix_single_scan_no_join(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_dedup_cross_source_matrix")
+        # per-hash HOF pairing: one corpus scan, no join of any kind (a
+        # self-join here would broadcast a corpus-derived table)
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        assert "Join" not in p
+        assert "Generate" in p  # the bounded per-hash pair explode
