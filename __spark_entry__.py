@@ -24,7 +24,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ROTATION CONTRACT: the dict intentionally exceeds the harness's
+    50-query per-round check budget; its ORDER is the check priority
+    (pinned in plans/registry.py:_PRIORITY). Each round the prefix holds
+    never-checked and changed queries first, then the stalest driver
+    records — so CORRECTNESS coverage is CUMULATIVE across rounds (union
+    of CORRECTNESS_r{N}.json files), not per-file."""
     from spark_sql_custom_mq_datasource_spark.plans.registry import get_queries
 
     return get_queries()

@@ -112,16 +112,28 @@ def main() -> None:
             del errors[name]
 
     # The headline set grew in round 6 (BM25, substring spans, heavy
-    # hitters, DAU/WAU, SCD2 joined the original 14). `value` stays the
-    # LEGACY-14 total so the round-over-round trend in BASELINE.md remains
-    # comparable; `extended_total` covers the full timed set (VERDICT r05
-    # item 2).
+    # hitters, DAU/WAU, SCD2 joined the original 14) and again in round 7
+    # (manifest CDF, semantic k-means, end-to-end pipeline, gap-filling).
+    # Three totals keep every trend line comparable (VERDICT r06 item 3):
+    # `value` = the LEGACY-14 total (the r01 anchor), `extended_r6_total`
+    # = the set BENCH_r06 timed, `extended_total` = the full timed set.
     legacy = [n for n in headline if n in LEGACY_HEADLINE]
+    r6_set = LEGACY_HEADLINE | {
+        "q_bm25_topk",
+        "q_heavy_hitters_2gram",
+        "q_dedup_substring_spans",
+        "q_lm_perplexity",
+        "q_rolling_dau_wau",
+        "q_scd2_build",
+    }
     total = round(sum(times[n] for n in legacy if n in times), 3)
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "extended_r6_total": round(
+            sum(v for n, v in times.items() if n in r6_set), 3
+        ),
         "extended_total": round(sum(times.values()), 3),
         "legacy_queries": legacy,
         "queries": times,

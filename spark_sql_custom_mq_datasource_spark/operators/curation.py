@@ -924,6 +924,7 @@ def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_chunks
     FROM s4 GROUP BY source ORDER BY source
     """,
+    headline=True,
     doc="END-TO-END pipeline: Gopher gate -> exact dedup (min-id per "
     "content hash) -> near-dup drop (verified Jaccard >= 0.8, greater "
     "member dropped) -> benchmark decontamination (containment vs the "

@@ -1197,8 +1197,13 @@ def q_dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the vector store, one fold per pair.",
 )
 def q_dedup_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No stop-shingle cap here: the oracle joins the UNCAPPED shingle
+    # index, and a capped Spark path would miss a pair whose whole
+    # rarest-shingle prefix exceeds the df cap (ADVICE r06 item 4). The
+    # PPJoin prefix filter alone already bounds the candidate fan-out,
+    # and the cap is a recall heuristic, not a semantics requirement.
     pairs = jaccard_pairs_from_sets(
-        shingle_sets_cached(spark, sf_dir), max_shingle_df=STOP_SHINGLE_MAX_DF
+        shingle_sets_cached(spark, sf_dir)
     ).select("da", "db", "common", "union_sz")
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", normalized(F.col("embedding")).alias("ue")
@@ -1241,7 +1246,10 @@ def q_dedup_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_cross_source_matrix",
     """
     WITH c AS (
-      SELECT md5(lower(text)) AS h, source, COUNT(*) AS n
+      SELECT md5(array_to_string(
+               list_sort(list_distinct(string_split(trim(text), ' '))), ' '))
+               AS h,
+             source, COUNT(*) AS n
       FROM documents GROUP BY 1, 2
     )
     SELECT a.source AS source_a, b.source AS source_b,
@@ -1252,7 +1260,7 @@ def q_dedup_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     doc="cross-source duplicate leakage matrix: per source pair, the "
-    "distinct verbatim-shared texts and cross-source doc pairs; one "
+    "distinct shared word-set fingerprints and cross-source doc pairs; one "
     "corpus shuffle into a (hash, source) aggregate, then per-hash "
     "source sets pair via array HOFs — single scan, zero joins "
     "(plan-pinned). The DuckDB oracle states the same result as the "
@@ -1260,9 +1268,16 @@ def q_dedup_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    c = docs.groupBy(
-        F.md5(F.lower("text")).alias("h"), "source"
-    ).agg(F.count("*").alias("n"))
+    # Fingerprint = md5 of the sorted DISTINCT word set (template/bag
+    # normalization): verbatim hashing was vacuous on the fixture corpus
+    # (0 cross-source hits at every SF, so the oracle verified nothing —
+    # VERDICT r06 "what's wrong" item 1); the word-set fingerprint finds
+    # the reworded template twins the corpus actually contains while
+    # keeping the zero-join single-scan plan.
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.trim("text"), " "))))
+    )
+    c = docs.groupBy(fp.alias("h"), "source").agg(F.count("*").alias("n"))
     sets = (
         c.groupBy("h")
         .agg(F.collect_list(F.struct("source", "n")).alias("ss"))

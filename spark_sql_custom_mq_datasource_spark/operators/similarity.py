@@ -881,6 +881,7 @@ def semantic_kmeans(
 @register(
     "q_semantic_kmeans",
     _kmeans_oracle_sql(),
+    headline=True,
     doc="semantic clustering (SemDeDup-style): deterministic spherical "
     "k-means over scalar-quantized embeddings — K-smallest-id init, 2 "
     "Lloyd rounds of broadcast-assign + one-shuffle integer-exact "

@@ -264,6 +264,7 @@ GAPFILL_USER_MAX = 10  # deterministic output slice
     FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
     ORDER BY c.user_id, c.day
     """,
+    headline=True,
     doc="calendar gap-filling: each user's daily event series densified "
     "over their own [first, last] active span (bounded per-user "
     "sequence+explode — never global-calendar x users), gaps zero-filled "

@@ -111,65 +111,65 @@ def register(
 #      (dedup/ANN/streaming/UDF families), oldest families first.
 #   Plus, as always, anything round 7 adds or edits.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: event analytics ---------------------------
-    "q_rolling_dau_wau",
-    "q_funnel_stages",
-    "q_cohort_retention",
-    # -- never driver-checked: storage maintenance / SCD2 ----------------
-    "q_backfill_day_partition",
-    "q_merge_upsert_customers",
-    "q_schema_evolution_merge",
-    "q_retention_prune",
-    "q_scd2_build",
-    "q_scd2_pointintime",
-    "q_stream_scd2_enrich",
-    # -- never driver-checked: persisted indexes / interchange -----------
-    "q_bm25_persisted",
-    "q_bm25_index_update",
-    "q_ann_lsh_persisted",
-    "q_csv_roundtrip",
-    # -- never driver-checked: dedup/decontamination apply steps ---------
-    "q_dedup_apply_clusters",
-    "q_decontaminate_apply",
-    "q_stream_chunk_documents",
-    # -- never driver-checked: late round-5 analytics --------------------
-    "q_approx_percentile_bounds",
-    "q_window_time_range_avg",
-    "q_unpivot_daily",
-    "q_null_semantics",
-    "q_ordered_string_agg",
-    "q_histogram_totalprice",
-    # -- code changed this round: re-check despite r05 green -------------
-    "q_dedup_substring_spans",
-    "q_compact_small_files",
-    "q_jsonl_roundtrip",
-    # -- r01-stale greens displaced in round 5 ---------------------------
-    "q_array_functions",
-    "q_events_global_stats",
-    "q_top_customers",
-    "q_semi_join_priority",
-    "q_cube_orders",
-    "q_distinct_parts_per_flag",
-    "q_union_high_value",
-    "q_window_running_total",
-    "q_window_order_gaps",
-    "q_right_join_order_coverage",
-    # -- r03-stale: text/curation/UDF/multimodal/join families -----------
-    "q_text_token_stats",
-    # -- ADDED this round: never driver-checked, highest priority --------
-    "q_lm_perplexity",
-    "q_lm_perplexity_persisted",
-    "q_stream_lm_score",
-    "q_sample_per_source_bottomk",
-    "q_incremental_mv_merge",
-    "q_semantic_kmeans",
-    "q_semantic_dedup_apply",
-    "q_dedup_substring_apply",
-    "q_curriculum_by_perplexity",
+    # ==== ROUND-7 PREFIX ================================================
+    # -- never driver-checked (the 22 post-r06-freeze queries): manifest
+    #    family, streaming five, product analytics, read-outs ------------
+    "q_manifest_row_deletes",
+    "q_manifest_snapshot_diff",
+    "q_cdf_incremental_consumer",
+    "q_manifest_partition_evolution",
+    "q_stream_manifest_ingest",
+    "q_stream_mq_to_manifest",
+    "q_stream_funnel_stateful",
+    "q_stream_kmeans_assign",
+    "q_stream_gram_counts_mv",
+    "q_pipeline_end_to_end",
+    "q_dedup_rerank_cosine",
+    "q_dedup_cross_source_matrix",
+    "q_sample_weighted_per_source",
+    "q_attribution_last_view",
+    "q_ab_experiment_readout",
+    "q_funnel_time_to_convert",
+    "q_gapfill_user_daily",
+    "q_gapfill_locf",
+    "q_event_transitions",
+    "q_vocab_coverage",
+    "q_session_paths_topk",
+    "q_join_key_skew_report",
+    # -- code changed THIS round: re-check despite r06 green -------------
+    # (mv-merge rewritten onto the manifest exactly-once commit path;
+    # retention-prune gained the null-partition guard; stats-skip the
+    # empty-stats guard; every manifest query sits on the re-pinned CAS)
     "q_stream_mv_merge",
-    "q_zorder_point_range",
     "q_manifest_retention_prune",
     "q_manifest_stats_skip",
+    # -- r03-stale (oldest remaining driver records) ---------------------
+    "q_range_join_acctbal",
+    "q_bucketed_join_revenue",
+    "q_text_normalize",
+    "q_text_lang_agg",
+    "q_mix_upsample",
+    "q_pack_sequences",
+    "q_text_fingerprint",
+    "q_text_bpeish_tokens",
+    "q_multimodal_frame_sample",
+    "q_text_quality",
+    "q_multimodal_binary_meta",
+    "q_udf_scalar_tokens",
+    # -- r04-stale fill (oldest families first: core dedup, ANN, mq) -----
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    "q_ann_ivf",
+    "q_ann_recall_lsh",
+    "q_mqlog_roundtrip",
+    "q_stream_mq_replay",
+    "q_fuzzy_source_pairs",
+    "q_asof_join_last_order",
+    "q_decontaminate_ngram",
+    "q_stream_tumbling_watermark",
 )
 
 

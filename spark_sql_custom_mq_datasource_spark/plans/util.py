@@ -104,6 +104,40 @@ def work_dir(name: str) -> str:
     return path
 
 
+def stream_inbox(df: DataFrame, name: str, sf_dir: str, slices: int = 4) -> str:
+    """Build ONCE a deterministic micro-batch arrival directory for the
+    streaming queries (N parquet slices + maxFilesPerTrigger=1 = N real
+    triggers) and REUSE it on every later invocation.
+
+    Rebuilding the slices inside each query invocation made the
+    fixture-write dominate the timed body, so the streaming family could
+    never join the bench without measuring harness I/O (VERDICT r06
+    "what's wrong" item 2). The slice content is a deterministic function
+    of (fixture sf_dir, column set, slice count), so a _READY marker
+    recording that spec makes reuse safe across invocations AND across
+    sessions; any spec change rebuilds."""
+    import hashlib
+    import json
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_inbox", f"{name}_{tag}"
+    )
+    marker = os.path.join(path, "_READY")
+    spec = json.dumps({"slices": slices, "cols": df.columns, "sf_dir": sf_dir})
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == spec:
+                return path
+    shutil.rmtree(path, ignore_errors=True)
+    df.repartition(slices).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(spec)
+    return path
+
+
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({prec},{scale})")

@@ -72,19 +72,32 @@ class CommitConflict(Exception):
     concurrency): re-read the current manifest, rebase, and retry."""
 
 
-def _commit(table: str, manifest: dict) -> int:
+def _observed_version(table: str) -> int | None:
+    """The version a writer is basing its commit on, read ONCE before
+    any work — passed to _commit so the CAS targets exactly this+1."""
+    vfile = os.path.join(table, "_VERSION")
+    return current_version(table) if os.path.exists(vfile) else None
+
+
+def _commit(table: str, manifest: dict, base_version: int | None) -> int:
     """Write the next manifest, then atomically swap the version pointer.
 
-    Optimistic concurrency: the next version's manifest file is created
-    EXCLUSIVELY (O_CREAT|O_EXCL) — of two writers that both read version
-    N, exactly one creates v(N+1).json; the loser gets CommitConflict
-    and must rebase on the winner's manifest (its data files are already
-    durable, so a rebase is metadata-only). This is the same CAS-on-
-    metadata contract lake formats implement on their catalogs. A crash
-    before the pointer swap leaves the old snapshot current."""
+    Optimistic concurrency: base_version is the version the CALLER read
+    (None for a brand-new table) and the commit attempts EXACTLY
+    v(base+1) (v0 for a new table), created EXCLUSIVELY (O_CREAT|O_EXCL)
+    — of any set of writers that read version N, exactly one creates
+    v(N+1).json; every other gets CommitConflict and must rebase on the
+    winner's manifest (its data files are already durable, so a rebase
+    is metadata-only). Pinning the target to the version the caller READ
+    — not the version current at commit time — closes the lost-update
+    window where writer B fully commits between A's read and A's commit
+    and A would otherwise build v(N+2) from the stale v(N) file list
+    (ADVICE r06 item 1). This is the same CAS-on-metadata contract lake
+    formats implement on their catalogs. A crash before the pointer swap
+    leaves the old snapshot current."""
     os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
     vfile = os.path.join(table, "_VERSION")
-    version = (current_version(table) + 1) if os.path.exists(vfile) else 0
+    version = 0 if base_version is None else base_version + 1
     manifest["version"] = version
     try:
         with open(_manifest_path(table, version), "x") as f:
@@ -104,6 +117,7 @@ def _commit(table: str, manifest: dict) -> int:
 def write_snapshot(df: DataFrame, table: str, partition_col: str) -> int:
     """Commit df as the table's next snapshot (full replacement).
     Data files land under data/<uuid>/ first; the swap publishes them."""
+    base = _observed_version(table)
     batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
     df.write.mode("overwrite").partitionBy(partition_col).parquet(batch_dir)
     files = []
@@ -118,20 +132,27 @@ def write_snapshot(df: DataFrame, table: str, partition_col: str) -> int:
                     if seg.startswith(partition_col + "=")
                 )
                 files.append({"path": rel, partition_col: part})
-    return _commit(table, {"partition_col": partition_col, "files": files})
+    return _commit(table, {"partition_col": partition_col, "files": files}, base)
 
 
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    values: set | None = None,
 ) -> DataFrame:
     """Read a snapshot BY ITS FILE LIST — never by directory listing, so
     concurrent commits/prunes are invisible. The partition column is
     restored from the manifest (basePath tricks don't apply to explicit
-    file lists)."""
+    file lists). values, when given, prunes the file list to those
+    partition values BEFORE Spark plans the scan — O(manifest) metadata
+    pruning, the scan-planning step lake formats do."""
     m = read_manifest(table, version)
     pcol = m["partition_col"]
     parts: dict[str, list[str]] = {}
     for e in m["files"]:
+        if values is not None and e[pcol] not in values:
+            continue
         parts.setdefault(e[pcol], []).append(os.path.join(table, e["path"]))
     if not parts:
         raise ValueError("empty snapshot")
@@ -142,14 +163,29 @@ def read_snapshot(
     return out
 
 
-def prune_snapshot_before(table: str, cutoff: str) -> int:
+def prune_snapshot_before(
+    table: str, cutoff: str, drop_null_partition: bool = False
+) -> int:
     """Metadata-only retention: commit a new snapshot whose manifest omits
     expired partitions. NOTHING is deleted — snapshot N-1 readers are
-    unaffected; expired files become garbage for gc_snapshots."""
+    unaffected; expired files become garbage for gc_snapshots.
+
+    NULL partition keys (``__HIVE_DEFAULT_PARTITION__``) are never a date:
+    lexicographic ``< cutoff`` must not decide them. They are KEPT unless
+    the caller opts in with drop_null_partition — mirroring
+    maintenance.prune_partitions_before (ADVICE r06 item 3)."""
+    from .maintenance import HIVE_DEFAULT_PARTITION
+
     m = read_manifest(table)
     pcol = m["partition_col"]
-    kept = [e for e in m["files"] if not (e[pcol] < cutoff)]
-    return _commit(table, {"partition_col": pcol, "files": kept})
+    kept = []
+    for e in m["files"]:
+        if e[pcol] == HIVE_DEFAULT_PARTITION:
+            if not drop_null_partition:
+                kept.append(e)
+        elif not (e[pcol] < cutoff):
+            kept.append(e)
+    return _commit(table, {"partition_col": pcol, "files": kept}, m["version"])
 
 
 def gc_snapshots(table: str, keep_versions: int = 2) -> list[str]:
@@ -204,6 +240,20 @@ def q_manifest_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dt", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
     )
     write_snapshot(ev, table, "dt")
+    # Pin the fixture invariant the oracle relies on (mirrors
+    # q_retention_prune): the oracle's CAST(ts AS DATE) >= cutoff drops
+    # NULL-ts rows, while the pruner deliberately KEEPS the
+    # __HIVE_DEFAULT_PARTITION__ entries — the two only agree when no
+    # such partition exists.
+    from .maintenance import HIVE_DEFAULT_PARTITION
+
+    m = read_manifest(table)
+    if any(e["dt"] == HIVE_DEFAULT_PARTITION for e in m["files"]):
+        raise RuntimeError(
+            "events.ts contains NULLs: the retention oracle and the "
+            "manifest pruner diverge on the null partition; extend the "
+            "oracle before re-enabling this query on such a fixture"
+        )
     v1 = prune_snapshot_before(table, RETENTION_CUTOFF)
     out = read_snapshot(spark, table, v1)
     return (
@@ -232,6 +282,7 @@ def write_snapshot_clustered(
     footers the write already produced (no extra data pass)."""
     import pyarrow.parquet as pq
 
+    base = _observed_version(table)
     batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
     (
         df.repartitionByRange(files, cluster_col)
@@ -246,6 +297,8 @@ def write_snapshot_clustered(
                 continue
             full = os.path.join(root, n)
             md = pq.ParquetFile(full).metadata
+            if md.num_row_groups == 0:
+                continue  # empty part file: no rows, nothing to index
             cols = {
                 md.row_group(0).column(c).path_in_schema: c
                 for c in range(md.num_columns)
@@ -253,8 +306,17 @@ def write_snapshot_clustered(
             lo = hi = None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(cols[cluster_col]).statistics
+                if st is None or not st.has_min_max:
+                    continue
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
+            if lo is None or hi is None:
+                raise ValueError(
+                    f"clustered write requires parquet min/max statistics "
+                    f"on {cluster_col!r}; {full} has none (all-NULL or "
+                    "stats-disabled writer) — write unclustered or enable "
+                    "column statistics"
+                )
             entries.append(
                 {
                     "path": os.path.relpath(full, table),
@@ -262,8 +324,13 @@ def write_snapshot_clustered(
                     "max": int(hi),
                 }
             )
+    if not entries:
+        raise ValueError(
+            "clustered write produced no non-empty data files: the "
+            "manifest-stats contract requires non-empty input"
+        )
     return _commit(
-        table, {"cluster_col": cluster_col, "files": entries, "stats": True}
+        table, {"cluster_col": cluster_col, "files": entries, "stats": True}, base
     )
 
 
@@ -343,9 +410,9 @@ def append_snapshot(
     batch_dir = None
     new_files: list = []
     for _ in range(max_retries):
-        vfile = os.path.join(table, "_VERSION")
-        if os.path.exists(vfile):
-            m = read_manifest(table)
+        base = _observed_version(table)
+        if base is not None:
+            m = read_manifest(table, base)
             if batch_id in m.get("batches", []):
                 return None  # exactly-once: this batch already committed
             old_files = m["files"]
@@ -369,6 +436,7 @@ def append_snapshot(
                     "files": old_files + new_files,
                     "batches": old_batches + [batch_id],
                 },
+                base,
             )
         except CommitConflict:
             continue  # rebase on the winner and retry
@@ -382,6 +450,60 @@ def read_append_table(
 ) -> DataFrame:
     m = read_manifest(table, version)
     return spark.read.parquet(*[os.path.join(table, e["path"]) for e in m["files"]])
+
+
+def replace_partitions(
+    df: DataFrame, table: str, partition_col: str, batch_id: int
+) -> int | None:
+    """Dynamic partition overwrite AS AN ATOMIC COMMIT: df's partitions
+    replace the table's entries for exactly the partition values df
+    contains; every other partition's entries carry over untouched. This
+    is the manifest-table answer to parquet's
+    partitionOverwriteMode=dynamic, which rewrites the directory it
+    reads (torn table on mid-write failure) — here a crash before the
+    pointer swap leaves the old snapshot current and the half-written
+    files are unreferenced orphans for GC.
+
+    Idempotent on batch_id (the foreachBatch exactly-once contract,
+    ADVICE r06 item 2): a redelivered batch sees its id in the current
+    manifest and is a no-op. Read-modify-write callers (an MV merge that
+    READ the table to compute df) must hold the single-writer role —
+    on CommitConflict the merged content is stale, so this raises
+    instead of blindly rebasing; recompute df from the new snapshot and
+    retry at the caller."""
+    base = _observed_version(table)
+    if base is not None:
+        m = read_manifest(table, base)
+        if batch_id in m.get("batches", []):
+            return None  # exactly-once: this batch already folded
+        old_files, old_batches = m["files"], m.get("batches", [])
+    else:
+        old_files, old_batches = [], []
+    batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(batch_dir)
+    new_files = []
+    for root, _, names in os.walk(batch_dir):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, n), table)
+            part = next(
+                seg.split("=", 1)[1]
+                for seg in rel.split(os.sep)
+                if seg.startswith(partition_col + "=")
+            )
+            new_files.append({"path": rel, partition_col: part})
+    replaced = {e[partition_col] for e in new_files}
+    kept = [e for e in old_files if e[partition_col] not in replaced]
+    return _commit(
+        table,
+        {
+            "partition_col": partition_col,
+            "files": kept + new_files,
+            "batches": old_batches + [batch_id],
+        },
+        base,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -416,6 +538,7 @@ def delete_rows(table: str, keys_df: DataFrame, key_col: str) -> int:
             "delete_key": key_col,
             "delete_files": dfiles,
         },
+        m["version"],
     )
 
 
@@ -447,7 +570,7 @@ def apply_deletes(spark: SparkSession, table: str) -> int:
     m = read_manifest(table)
     if not m.get("delete_files"):
         return current_version(table)
-    clean = read_append_table_mor(spark, table)
+    clean = read_append_table_mor(spark, table, m["version"])
     batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
     clean.write.mode("overwrite").parquet(batch_dir)
     files = [
@@ -457,7 +580,9 @@ def apply_deletes(spark: SparkSession, table: str) -> int:
         if n.endswith(".parquet")
     ]
     return _commit(
-        table, {"files": files, "batches": m.get("batches", []), "delete_files": []}
+        table,
+        {"files": files, "batches": m.get("batches", []), "delete_files": []},
+        m["version"],
     )
 
 
@@ -516,7 +641,7 @@ def compact_append_table(
             os.path.getsize(os.path.join(table, e["path"])) for e in m["files"]
         )
         target_files = max(1, -(-total // (128 * 1024 * 1024)))
-    clean = read_append_table_mor(spark, table)
+    clean = read_append_table_mor(spark, table, m["version"])
     batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
     clean.repartition(target_files).write.mode("overwrite").parquet(batch_dir)
     files = [
@@ -526,7 +651,9 @@ def compact_append_table(
         if n.endswith(".parquet")
     ]
     return _commit(
-        table, {"files": files, "batches": m.get("batches", []), "delete_files": []}
+        table,
+        {"files": files, "batches": m.get("batches", []), "delete_files": []},
+        m["version"],
     )
 
 
@@ -607,6 +734,7 @@ def snapshot_diff(
     FROM new WHERE event_id NOT IN (SELECT event_id FROM old)
     ORDER BY _change
     """,
+    headline=True,
     doc="change data feed: the table starts as the even-id events, then "
     "one commit appends the odd-id half while a delete vector erases "
     "users 0-4 from the old rows; snapshot_diff(v0 -> v2) must emit "
@@ -729,9 +857,9 @@ def append_partitioned(
 ) -> int | None:
     """Append df under the given partition spec; entries record the
     partition tuple per file. Different commits may use different specs."""
-    vfile = os.path.join(table, "_VERSION")
-    if os.path.exists(vfile):
-        m = read_manifest(table)
+    base = _observed_version(table)
+    if base is not None:
+        m = read_manifest(table, base)
         if batch_id in m.get("batches", []):
             return None
         old_files, old_batches = m["files"], m.get("batches", [])
@@ -752,7 +880,9 @@ def append_partitioned(
             }
             new_files.append({"path": rel, "part": part})
     return _commit(
-        table, {"files": old_files + new_files, "batches": old_batches + [batch_id]}
+        table,
+        {"files": old_files + new_files, "batches": old_batches + [batch_id]},
+        base,
     )
 
 

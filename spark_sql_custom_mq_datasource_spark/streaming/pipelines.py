@@ -42,7 +42,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from ..plans.registry import register
-from ..plans.util import t, work_dir
+from ..plans.util import stream_inbox, t, work_dir
 
 # --------------------------------------------------------------------------
 # Plumbing
@@ -1405,7 +1405,12 @@ _register_stream_lm_score()
 
 
 def _register_stream_mv_merge() -> None:
-    from ..sources.maintenance import build_daily_mv, merge_daily_mv
+    from ..sources.manifest import (
+        _observed_version,
+        read_manifest,
+        read_snapshot,
+        replace_partitions,
+    )
 
     @register(
         "q_stream_mv_merge",
@@ -1416,28 +1421,26 @@ def _register_stream_mv_merge() -> None:
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        doc="STREAMING materialized-view maintenance: the event firehose "
-        "folds into the per-day aggregate table via foreachBatch -> "
-        "merge-of-partials (the batch merge operator applied per "
-        "micro-batch) — the production shape of a continuously-current "
-        "derived table. Each batch costs O(batch + affected partitions); "
-        "cross-batch state IS the MV. Oracle = the full recompute.",
+        doc="STREAMING materialized-view maintenance with EXACTLY-ONCE "
+        "folds: the event firehose folds into a per-day aggregate held "
+        "in a manifest (snapshot-isolated) table — each micro-batch "
+        "merges partials over ONLY the affected day partitions and "
+        "commits atomically via replace_partitions, which records the "
+        "batch_id so a foreachBatch redelivery is a no-op instead of a "
+        "double-count (ADVICE r06 item 2). Each batch costs O(batch + "
+        "affected partitions); cross-batch state IS the MV. Oracle = "
+        "the full recompute.",
     )
     def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import os
-
         configure_state_store(spark)
-        root = work_dir("stream_daily_mv")
-        base = os.path.join(root, "mv")
-        inbox = os.path.join(root, "inbox")
-        # empty MV to start: build from a zero-row slice (schema only)
-        ev = t(spark, sf_dir, "events")
-        build_daily_mv(ev.where(F.lit(False)), base)
+        table = work_dir("stream_daily_mv")
 
-        # split the fixture into 4 arrival files + one file per trigger so
-        # the stream REALLY runs multiple micro-batches: batch 1 exercises
-        # the bootstrap, batches 2-4 the incremental merge-of-partials
-        ev.repartition(4).write.mode("overwrite").parquet(inbox)
+        ev = t(spark, sf_dir, "events")
+        # 4 arrival files + one file per trigger = 4 REAL micro-batches:
+        # batch 1 exercises the bootstrap, 2-4 the incremental merge.
+        # Built once per (sf, schema) and reused (bench measures the fold,
+        # not fixture I/O — VERDICT r06 item 4).
+        inbox = stream_inbox(ev, "stream_daily_mv", sf_dir)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -1445,7 +1448,48 @@ def _register_stream_mv_merge() -> None:
         )
 
         def fold(bdf: DataFrame, batch_id: int) -> None:
-            merge_daily_mv(spark, base, bdf)
+            base = _observed_version(table)
+            if base is not None:
+                m = read_manifest(table, base)
+                if batch_id in m.get("batches", []):
+                    return  # redelivered batch: already folded
+                have = {e["day"] for e in m["files"]}
+            else:
+                have = set()
+            delta = (
+                bdf.withColumn("day", F.to_date("ts"))
+                .groupBy("day", "event_type")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,6)")).alias(
+                        "value_sum"
+                    ),
+                )
+                .withColumn("day", F.col("day").cast("string"))
+                .persist()
+            )
+            days = [
+                r["day"]
+                for r in delta.select("day").distinct().limit(1001).collect()
+            ]
+            if len(days) > 1000:
+                raise ValueError("batch spans >1000 days; run per-range")
+            overlap = set(days) & have
+            merged = delta
+            if overlap:
+                existing = read_snapshot(spark, table, base, values=overlap)
+                merged = (
+                    existing.unionByName(delta)
+                    .groupBy("day", "event_type")
+                    .agg(
+                        F.sum("n_events").alias("n_events"),
+                        F.sum("value_sum")
+                        .cast("decimal(18,6)")
+                        .alias("value_sum"),
+                    )
+                )
+            replace_partitions(merged, table, "day", batch_id)
+            delta.unpersist()
 
         q = (
             stream.writeStream.foreachBatch(fold)
@@ -1460,9 +1504,9 @@ def _register_stream_mv_merge() -> None:
             if q.isActive:
                 q.stop()
 
-        mv = spark.read.parquet(base)
+        mv = read_snapshot(spark, table)
         return mv.select(
-            "day",
+            F.col("day").cast("date").alias("day"),
             "event_type",
             "n_events",
             F.col("value_sum").cast("double").alias("value_sum"),
@@ -1855,15 +1899,18 @@ def _register_stream_gram_mv() -> None:
         "batch recompute.",
     )
     def q_stream_gram_counts_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import os
+        from ..sources.manifest import (
+            _observed_version,
+            read_manifest,
+            read_snapshot,
+            replace_partitions,
+        )
 
         configure_state_store(spark)
-        root = work_dir("gram_mv")
-        mv = os.path.join(root, "mv")
-        inbox = os.path.join(root, "inbox")
+        table = work_dir("gram_mv")
 
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        docs.repartition(4).write.mode("overwrite").parquet(inbox)
+        inbox = stream_inbox(docs, "gram_mv", sf_dir)
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", "1")
@@ -1880,34 +1927,43 @@ def _register_stream_gram_mv() -> None:
         )
 
         def fold(bdf: DataFrame, batch_id: int) -> None:
+            # exactly-once: replace_partitions records batch ids in the
+            # manifest, so a foreachBatch redelivery is a no-op and the
+            # bucket swap is an atomic pointer commit, not a directory
+            # rewrite (ADVICE r06 item 2)
+            base = _observed_version(table)
+            if base is not None:
+                m = read_manifest(table, base)
+                if batch_id in m.get("batches", []):
+                    return
+                have = {e["bkt"] for e in m["files"]}
+            else:
+                have = set()
             delta = (
                 bdf.where(F.size(F.split(F.trim("text"), " ")) >= 2)
                 .select(gram.alias("gram"))
                 .groupBy("gram")
                 .agg(F.count("*").alias("cnt"))
-                .withColumn("bkt", F.pmod(F.xxhash64("gram"), F.lit(N_BUCKETS)))
+                .withColumn(
+                    "bkt",
+                    F.pmod(F.xxhash64("gram"), F.lit(N_BUCKETS)).cast("string"),
+                )
                 .persist()
             )
-            has_data = any(
-                f.endswith(".parquet")
-                for _, _, files in os.walk(mv)
-                for f in files
-            )
-            if not has_data:
-                delta.write.mode("overwrite").partitionBy("bkt").parquet(mv)
-                return
             bkts = [
                 r["bkt"] for r in delta.select("bkt").distinct().collect()
             ]  # bounded: <= N_BUCKETS ids
-            existing = spark.read.parquet(mv).where(F.col("bkt").isin(bkts))
-            merged = (
-                existing.unionByName(delta)
-                .groupBy("bkt", "gram")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-            merged.write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("bkt").parquet(mv)
+            overlap = set(bkts) & have
+            merged = delta
+            if overlap:
+                existing = read_snapshot(spark, table, base, values=overlap)
+                merged = (
+                    existing.unionByName(delta)
+                    .groupBy("bkt", "gram")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+            replace_partitions(merged, table, "bkt", batch_id)
+            delta.unpersist()
 
         q = (
             stream.writeStream.foreachBatch(fold)
@@ -1922,7 +1978,7 @@ def _register_stream_gram_mv() -> None:
             if q.isActive:
                 q.stop()
 
-        counts = spark.read.parquet(mv)
+        counts = read_snapshot(spark, table)
         w = Window.orderBy(F.desc("cnt"), "gram")
         return (
             counts.withColumn("rk", F.row_number().over(w))

@@ -1225,7 +1225,7 @@ class TestCommitConcurrency:
             json.dump(winner, f)
         # a raw commit against the stale base must CONFLICT, not clobber
         with _pytest.raises(CommitConflict):
-            _commit(table, {"files": [], "batches": []})
+            _commit(table, {"files": [], "batches": []}, 0)
         # ...but the winner's manifest only becomes current after ITS
         # pointer swap; finish the winner's commit by hand
         with open(os.path.join(table, "_VERSION"), "w") as f:
@@ -1237,6 +1237,67 @@ class TestCommitConcurrency:
         m = read_manifest(table)
         assert set(m["batches"]) == {0, 99, 1}
         assert read_append_table(spark, table).count() == 8
+
+    def test_lost_update_window_detected(self, spark, tmp_path):
+        """ADVICE r06 item 1: writer B FULLY commits (manifest + pointer
+        swap) between writer A's read and A's commit. A's commit must
+        CONFLICT — not silently build v2 from the stale v0 file list,
+        vanishing B's files."""
+        import pytest as _pytest
+
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            CommitConflict,
+            _commit,
+            append_snapshot,
+            read_manifest,
+        )
+
+        table = str(tmp_path / "tbl")
+        append_snapshot(spark.range(5).toDF("id"), table, 0)
+        a_view = read_manifest(table)  # A reads v0...
+        # ...then B fully commits v1 (pointer swapped and all)
+        append_snapshot(spark.range(5, 9).toDF("id"), table, 1)
+        # A commits against the version it READ: must conflict
+        with _pytest.raises(CommitConflict):
+            _commit(
+                table,
+                {"files": a_view["files"], "batches": [2]},
+                a_view["version"],
+            )
+        # B's history is intact
+        assert set(read_manifest(table)["batches"]) == {0, 1}
+
+    def test_threaded_append_race_loses_nothing(self, spark, tmp_path):
+        """Two writers racing append_snapshot from real threads: exactly
+        one wins each CAS, the loser rebases, and BOTH batches' rows and
+        ids survive — the pinned-base contract under true interleaving."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            append_snapshot,
+            current_version,
+            read_append_table,
+            read_manifest,
+        )
+
+        table = str(tmp_path / "tbl")
+        append_snapshot(spark.range(10).toDF("id"), table, 0)
+
+        def writer(k: int) -> int | None:
+            return append_snapshot(
+                spark.range(10 * k, 10 * k + 10).toDF("id"), table, k
+            )
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            versions = list(ex.map(writer, range(1, 5)))
+        assert all(v is not None for v in versions)
+        assert current_version(table) == 4  # v0 + 4 appends
+        m = read_manifest(table)
+        assert set(m["batches"]) == {0, 1, 2, 3, 4}
+        assert read_append_table(spark, table).count() == 50
+        # redelivery of any batch id is a no-op
+        assert append_snapshot(spark.range(3).toDF("id"), table, 2) is None
+        assert read_append_table(spark, table).count() == 50
 
 
 class TestVocabCoverage:
