@@ -629,3 +629,178 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition scores — the Gopher repetition gates the
+# quality family (above) thresholds are usually DERIVED from: the
+# fraction of a doc's 2-gram mass claimed by its single most frequent
+# 2-gram, and the fraction sitting in any repeated 2-gram. Repetitious
+# text (boilerplate, generation loops, scraped navigation) is the single
+# highest-yield removal class in LLM curation (Rae et al. 2021, §A1.3).
+#
+# Scale shape: explode to (doc, gram) and aggregate twice — first on
+# (doc_id, gram), then on doc_id. BOTH shuffles are keyed by doc_id (the
+# second reuses the first's partitioning modulo the gram column), the
+# per-doc state is bounded by doc length, and the final per-source
+# rollup touches |sources| rows. No driver-side work at any size.
+# --------------------------------------------------------------------------
+
+REPETITION_TOP2_MAX_Q20 = 209715  # floor(0.20 * 2^20): flag top 2-gram >20%
+
+
+@register(
+    "q_text_repetition_scores",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(1, len(string_split(trim(text), ' ')) - 1),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1])) AS gram
+      FROM documents
+    ),
+    c AS (SELECT doc_id, source, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+    d AS (SELECT doc_id, source, SUM(cnt) AS tot, MAX(cnt) AS mx,
+                 SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+          FROM c GROUP BY 1, 2)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(floor(mx * 1048576.0 / tot + 0.5) AS BIGINT))
+                AS BIGINT) AS top2_q20_sum,
+           CAST(SUM(CAST(floor(dup * 1048576.0 / tot + 0.5) AS BIGINT))
+                AS BIGINT) AS dup2_q20_sum,
+           CAST(SUM(CASE WHEN floor(mx * 1048576.0 / tot + 0.5)
+                              > {REPETITION_TOP2_MAX_Q20}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM d GROUP BY source ORDER BY source
+    """,
+    doc="Gopher-style within-document repetition gates, rolled up per "
+    "source: per doc, the Q20 share of 2-gram mass in the top 2-gram "
+    "and in all repeated 2-grams, plus how many docs exceed the 20% "
+    "top-2-gram flag; two doc-keyed shuffles, |sources| output rows.",
+)
+def q_text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    grams = docs.where(
+        F.size(F.split(F.trim("text"), " ")) >= 2
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+                " i -> concat(split(trim(text), ' ')[i], ' ',"
+                "             split(trim(text), ' ')[i+1]))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "source", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = per_gram.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("tot"),
+        F.max("cnt").alias("mx"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup"),
+    )
+    top_q20 = F.floor(
+        F.col("mx") * F.lit(1048576.0) / F.col("tot") + F.lit(0.5)
+    ).cast("bigint")
+    dup_q20 = F.floor(
+        F.col("dup") * F.lit(1048576.0) / F.col("tot") + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(top_q20).cast("bigint").alias("top2_q20_sum"),
+            F.sum(dup_q20).cast("bigint").alias("dup2_q20_sum"),
+            F.sum(
+                F.when(top_q20 > REPETITION_TOP2_MAX_Q20, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source unigram KL divergence from the corpus distribution — the
+# domain-shift read-out a mixture designer looks at before reweighting:
+# KL(P_source || P_corpus) = Σ_w P_s(w) · ln(P_s(w)/P_c(w)). High-KL
+# sources are linguistically far from the corpus average (code vs prose,
+# another register) and get their mixture weight set deliberately rather
+# than by byte count.
+#
+# Scale shape: ONE corpus shuffle into (source, word) counts; the corpus
+# distribution is the source-marginal of the same aggregate (a window
+# over the word key — no second scan); per-term contributions are Q20-
+# quantized and integer-summed per source, so the reduction is exact and
+# order-independent. Every P_s term has P_c > 0 by construction (the
+# corpus marginal includes the source's own counts), so no smoothing is
+# needed.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_source_divergence_kl",
+    """
+    WITH sw AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source, unnest(string_split(trim(text), ' ')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, w, c,
+             SUM(c) OVER (PARTITION BY source) AS ts,
+             SUM(c) OVER (PARTITION BY w) AS cw,
+             SUM(c) OVER () AS tc
+      FROM sw
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(CAST(floor(
+             (c * 1.0 / ts) * ln((c * 1.0 / ts) / (cw * 1.0 / tc))
+             * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl_q20
+    FROM tot GROUP BY source ORDER BY source
+    """,
+    doc="per-source unigram KL divergence from the corpus distribution "
+    "(Q20, exact integer sum of quantized per-term contributions): one "
+    "(source, word) shuffle; corpus marginals via windows over the same "
+    "aggregate — single scan, no smoothing needed since the corpus "
+    "marginal dominates every source term.",
+)
+def q_source_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tp(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "source", F.explode(F.split(F.trim("text"), " ")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = sw.select(
+        "source",
+        "w",
+        "c",
+        F.sum("c").over(Window.partitionBy("source")).alias("ts"),
+        F.sum("c").over(Window.partitionBy("w")).alias("cw"),
+        F.sum("c").over(Window.partitionBy()).alias("tc"),
+    )
+    p_s = F.col("c") * F.lit(1.0) / F.col("ts")
+    p_c = F.col("cw") * F.lit(1.0) / F.col("tc")
+    term_q20 = F.floor(p_s * F.log(p_s / p_c) * F.lit(1048576.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        tot.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum(term_q20).cast("bigint").alias("kl_q20"),
+        )
+        .orderBy("source")
+    )

@@ -1043,3 +1043,179 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture targets — the standard multilingual/multi-
+# source reweighting (α-sampling, Conneau & Lample 2019 §3; Raffel et al.
+# 2020 §3.4.3): sample source s with probability ∝ n_s^α, α ∈ (0, 1),
+# which up-weights small sources relative to byte-proportional sampling
+# without letting any source dominate. α = 0.5 here. Targets are
+# integerized by largest-remainder apportionment so they sum EXACTLY to
+# the corpus size.
+#
+# Engine portability: weights are quantized to int64 BEFORE any ratio
+# (wt_q = floor(sqrt(n)·2^20 + 0.5)); shares, remainders, and the
+# apportionment all run in exact int64 arithmetic, so Spark and DuckDB
+# agree bit-for-bit with no float-summation-order hazard.
+#
+# Scale shape: one count-by-source aggregate (|sources| rows) carries the
+# whole computation; the windows run over that tiny aggregate.
+# --------------------------------------------------------------------------
+
+MIX_ALPHA_SQRT = True  # α = 0.5 realized as sqrt(n)
+
+
+@register(
+    "q_mix_temperature",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    w AS (SELECT source, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0 + 0.5)
+                      AS BIGINT) AS wt_q
+          FROM c),
+    s AS (SELECT source, n, wt_q,
+                 SUM(wt_q) OVER () AS sw, SUM(n) OVER () AS tot
+          FROM w),
+    sh AS (SELECT source, n, wt_q, sw, tot,
+                  (tot * wt_q) // sw AS base,
+                  (tot * wt_q) % sw AS rem
+           FROM s),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+                 SUM(base) OVER () AS base_sum
+          FROM sh)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST((wt_q * 1048576) // sw AS BIGINT) AS weight_q20,
+           CAST(base + CASE WHEN rk <= tot - base_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS target_docs
+    FROM r ORDER BY source
+    """,
+    doc="temperature-scaled (α=0.5) mixture targets per source with "
+    "exact largest-remainder apportionment: weights ∝ sqrt(n_docs), "
+    "quantized to int64 before any ratio so both engines agree exactly; "
+    "targets sum to the corpus size by construction. One |sources|-row "
+    "aggregate carries everything.",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w = c.withColumn(
+        "wt_q",
+        F.floor(F.sqrt(F.col("n").cast("double")) * F.lit(1048576.0) + F.lit(0.5))
+        .cast("bigint"),
+    )
+    every = Window.partitionBy()
+    s = w.select(
+        "source",
+        "n",
+        "wt_q",
+        F.sum("wt_q").over(every).alias("sw"),
+        F.sum("n").over(every).alias("tot"),
+    )
+    sh = s.select(
+        "source",
+        "n",
+        "wt_q",
+        "sw",
+        "tot",
+        F.expr("(tot * wt_q) div sw").alias("base"),
+        (F.col("tot") * F.col("wt_q") % F.col("sw")).alias("rem"),
+    )
+    r = sh.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "source")).alias("rk"),
+        F.sum("base").over(every).alias("base_sum"),
+    )
+    return r.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.expr("(wt_q * 1048576) div sw").cast("bigint").alias("weight_q20"),
+        (
+            F.col("base")
+            + F.when(
+                F.col("rk") <= F.col("tot") - F.col("base_sum"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("target_docs"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Leakage-free train/val/test split — the training-hygiene twin of the
+# random split: assigning SPLITS BY DOCUMENT leaks duplicated content
+# across the boundary (a val doc whose twin sits in train is a free
+# answer). The fix every serious pipeline ships: group near-identical
+# docs (here: the word-set fingerprint, the same normalization the
+# cross-source leakage matrix uses), elect a representative per group,
+# and hash THE REPRESENTATIVE into a split so every member of a dup
+# group lands on the same side by construction.
+#
+# Portability: the split hash is the first hex nibble of
+# md5(cast(rep AS string)) — identical strings, identical md5, in both
+# engines; 13/16 nibbles → train, 2/16 → val, 1/16 → test.
+#
+# Scale shape: one fingerprint aggregate (min-doc_id window over the
+# fingerprint key, one shuffle), then a pure projection; no joins.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_split_leakage_free",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(trim(text), ' '))), ' '))
+               AS fp
+      FROM documents
+    ),
+    r AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS rep
+          FROM f),
+    s AS (SELECT doc_id, rep,
+                 CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1)
+                           BETWEEN '0' AND 'c' THEN 'train'
+                      WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1)
+                           IN ('d', 'e') THEN 'val'
+                      ELSE 'test' END AS split
+          FROM r)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups
+    FROM s GROUP BY split ORDER BY split
+    """,
+    doc="dup-group-aware train/val/test split: word-set-fingerprint "
+    "groups elect a min-doc_id representative (one window shuffle) and "
+    "the REPRESENTATIVE's md5 nibble decides the split, so duplicate "
+    "content can never straddle a split boundary; counts per split plus "
+    "distinct groups. No joins, no RNG state.",
+)
+def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(F.trim("text"), " ")))
+        )
+    )
+    f = docs.select("doc_id", fp.alias("fp"))
+    r = f.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("fp")).alias("rep"),
+    )
+    nib = F.substring(F.md5(F.col("rep").cast("string")), 1, 1)
+    s = r.select(
+        "doc_id",
+        "rep",
+        F.when(nib.between("0", "c"), "train")
+        .when(nib.isin("d", "e"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("rep").cast("bigint").alias("n_groups"),
+        )
+        .orderBy("split")
+    )

@@ -82,6 +82,7 @@ def bm25_topk(
     k: int = BM25_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k docs per query by Okapi BM25.
 
@@ -109,7 +110,7 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "t")
         .agg(F.count("*").alias("tf"))
     )
-    return score_postings(tf, stats, queries, k=k, k1=k1, b=b)
+    return score_postings(tf, stats, queries, k=k, k1=k1, b=b, exclude_self=exclude_self)
 
 
 def score_postings(
@@ -119,6 +120,7 @@ def score_postings(
     k: int = BM25_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """BM25-score a postings table against queries — shared by the inline
     path (postings just built) and the persisted-index path (postings read
@@ -154,6 +156,8 @@ def score_postings(
         F.floor(contrib * F.lit(Q20) + F.lit(0.5)).cast("bigint").alias("c_q20"),
     )
     total = per_term.groupBy("qid", "doc_id").agg(F.sum("c_q20").alias("score_q20"))
+    if exclude_self:  # doc-anchored queries: the query doc itself is not a hit
+        total = total.where(F.col("doc_id") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(F.desc("score_q20"), "doc_id")
     return (
         total.withColumn("rank", F.row_number().over(w))
@@ -359,6 +363,7 @@ def bm25_topk_from_index(
     k: int = BM25_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Probe a persisted index. The query terms' bucket ids are computed
     with the SAME hash the writer used and pushed as a partition filter —
@@ -383,7 +388,7 @@ def bm25_topk_from_index(
         .select("doc_id", "dl", "t", "tf")
     )
     stats = spark.read.parquet(os.path.join(path, "stats"))
-    return score_postings(tf, stats, queries, k=k, k1=k1, b=b)
+    return score_postings(tf, stats, queries, k=k, k1=k1, b=b, exclude_self=exclude_self)
 
 
 @register(
@@ -498,3 +503,164 @@ def q_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("score_q20").cast("bigint").alias("score_q20"),
     ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# vector (cosine) rankers — the stock first-stage of a modern RAG /
+# search pipeline (Cormack et al. 2009's RRF; every hybrid search engine
+# ships this fusion because it needs no score calibration, only ranks).
+# Queries are doc-anchored (the query is a document's own text and its
+# embedding), the corpus-standard way to build a deterministic benchmark
+# without an external query log; the query doc itself is excluded from
+# both rankers BEFORE ranking.
+#
+# Scale shape: the lexical list reuses the inline BM25 path (one
+# query-term-postings shuffle); the vector list is broadcast-queries ×
+# one corpus scan with a per-query top-DEPTH window; the fusion joins
+# two ≤DEPTH-per-query rank lists — O(|queries| · depth), corpus-free.
+# Determinism: both rankers rank on Q20-quantized integers, and the RRF
+# score 1/(K+r) sums exactly two IEEE terms from integer ranks, then is
+# itself quantized before the final ranking.
+# --------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank smoothing constant
+RRF_DEPTH = 50  # fuse the top-50 of each ranker
+RRF_TOP_K = 10
+RRF_QUERY_MOD = 100  # query docs: doc_id % 100 == 0
+
+
+def _rrf_oracle_sql() -> str:
+    from .dedup import _SQL_NORMALIZED, _SQL_SEQ_DOT
+
+    dot = _SQL_SEQ_DOT.format(a="qv.qe", b="u.ue")
+    return f"""
+    WITH docs_q AS (
+      SELECT doc_id AS qid, text AS qtext FROM documents
+      WHERE doc_id % {RRF_QUERY_MOD} = 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qterms AS (SELECT DISTINCT qid, unnest(string_split(trim(qtext), ' ')) AS t
+               FROM docs_q),
+    post AS (SELECT tf.* FROM tf SEMI JOIN qterms ON tf.t = qterms.t),
+    dfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+    per_term AS (
+      SELECT qterms.qid, post.doc_id,
+             CAST(floor(
+               ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (post.tf * {BM25_K1 + 1.0})
+               / (post.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+               * {Q20} + 0.5) AS BIGINT) AS c_q20
+      FROM post
+      JOIN qterms ON post.t = qterms.t
+      JOIN dfq ON post.t = dfq.t
+      JOIN dl ON post.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    lex_scores AS (SELECT qid, doc_id, SUM(c_q20) AS score_q20
+                   FROM per_term WHERE doc_id <> qid GROUP BY 1, 2),
+    ltop AS (SELECT qid, doc_id, rl FROM (
+               SELECT qid, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY score_q20 DESC, doc_id) AS rl
+               FROM lex_scores
+             ) WHERE rl <= {RRF_DEPTH}),
+    u AS (SELECT vec_id, {_SQL_NORMALIZED.format(v="embedding")} AS ue
+          FROM embeddings),
+    qv AS (SELECT vec_id AS qid, ue AS qe FROM u
+           WHERE vec_id % {RRF_QUERY_MOD} = 0),
+    vc AS (SELECT qv.qid, u.vec_id AS doc_id,
+                  CAST(floor({dot} * {Q20} + 0.5) AS BIGINT) AS cos_q20
+           FROM qv JOIN u ON u.vec_id <> qv.qid),
+    vtop AS (SELECT qid, doc_id, rv FROM (
+               SELECT qid, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos_q20 DESC, doc_id) AS rv
+               FROM vc
+             ) WHERE rv <= {RRF_DEPTH}),
+    fused AS (
+      SELECT COALESCE(l.qid, v.qid) AS qid,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1.0 / ({RRF_K} + l.rl), 0)
+               + COALESCE(1.0 / ({RRF_K} + v.rv), 0) AS rrf
+      FROM ltop l FULL OUTER JOIN vtop v
+        ON l.qid = v.qid AND l.doc_id = v.doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id,
+             CAST(floor(rrf * {Q20} + 0.5) AS BIGINT) AS rrf_q20,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY CAST(floor(rrf * {Q20} + 0.5) AS BIGINT)
+                                           DESC, doc_id) AS rk
+      FROM fused
+    )
+    SELECT qid, CAST(rk AS INTEGER) AS rank, doc_id, rrf_q20
+    FROM ranked WHERE rk <= {RRF_TOP_K}
+    ORDER BY qid, rank
+    """
+
+
+def _register_hybrid_rrf() -> None:
+    @register(
+        "q_hybrid_rrf_topk",
+        _rrf_oracle_sql(),
+        doc="reciprocal-rank fusion (k=60) of BM25 top-50 and cosine "
+        "top-50 for doc-anchored queries, self excluded from both "
+        "rankers; fusion cost is O(|queries| x depth) regardless of "
+        "corpus size, and every ranking key is an exact integer.",
+    )
+    def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import dot, normalized
+
+        docs = tp(spark, sf_dir, "documents")
+        emb = tp(spark, sf_dir, "embeddings")
+        queries = docs.where(F.col("doc_id") % RRF_QUERY_MOD == 0).select(
+            F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+        )
+        ltop = bm25_topk(
+            docs, queries, k=RRF_DEPTH, exclude_self=True
+        ).select("qid", "doc_id", F.col("rank").alias("rl"))
+
+        u = emb.select("vec_id", normalized(F.col("embedding")).alias("ue"))
+        qv = u.where(F.col("vec_id") % RRF_QUERY_MOD == 0).select(
+            F.col("vec_id").alias("qid"), F.col("ue").alias("qe")
+        )
+        vc = u.join(F.broadcast(qv), F.col("vec_id") != F.col("qid")).select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(dot(F.col("qe"), F.col("ue")) * F.lit(Q20) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cos_q20"),
+        )
+        wv = Window.partitionBy("qid").orderBy(F.desc("cos_q20"), "doc_id")
+        vtop = (
+            vc.withColumn("rv", F.row_number().over(wv))
+            .where(F.col("rv") <= RRF_DEPTH)
+            .select("qid", "doc_id", "rv")
+        )
+
+        fused = ltop.join(vtop, ["qid", "doc_id"], "full_outer").select(
+            "qid",
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rl")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rv")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        rrf_q20 = F.floor(F.col("rrf") * F.lit(Q20) + F.lit(0.5)).cast("bigint")
+        wr = Window.partitionBy("qid").orderBy(F.desc(rrf_q20), "doc_id")
+        return (
+            fused.withColumn("rrf_q20", rrf_q20)
+            .withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= RRF_TOP_K)
+            .select("qid", F.col("rank").cast("int").alias("rank"), "doc_id", "rrf_q20")
+            .orderBy("qid", "rank")
+        )
+
+
+_register_hybrid_rrf()

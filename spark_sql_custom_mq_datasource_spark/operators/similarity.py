@@ -971,3 +971,142 @@ def q_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --------------------------------------------------------------------------
+# Vector-store maintenance: per-dimension moments of the embedding
+# column. The read-out every embedding pipeline runs before indexing —
+# dead dimensions (zero variance) mean a broken encoder export,
+# off-center means bias the quantizer, and per-dim min/max feed scalar
+# quantization (int8) calibration. One corpus scan, posexplode to
+# (dim, value), one |dims|-key shuffle; every moment is an exact int64
+# sum of Q20/Q40-quantized values, so engines agree bit-for-bit (the
+# repo-wide answer to float-summation order).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_dim_stats",
+    """
+    WITH x AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT dim,
+                 CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5)
+                      AS BIGINT) AS vq,
+                 CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                            * 1099511627776.0 + 0.5) AS BIGINT) AS vq2
+          FROM x)
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vq) AS BIGINT) AS sum_q20,
+           CAST(MIN(vq) AS BIGINT) AS min_q20,
+           CAST(MAX(vq) AS BIGINT) AS max_q20,
+           CAST(SUM(vq2) AS BIGINT) AS sumsq_q40
+    FROM q GROUP BY dim ORDER BY dim
+    """,
+    doc="per-dimension embedding moments (count, Q20 sum/min/max, Q40 "
+    "sum of squares — mean and variance derive exactly): posexplode to "
+    "(dim, value), one |dims|-key shuffle, integer-exact reductions; "
+    "the scalar-quantization calibration pass of a vector store.",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    v = F.col("v").cast("double")
+    q = x.select(
+        "dim",
+        F.floor(v * F.lit(1048576.0) + F.lit(0.5)).cast("bigint").alias("vq"),
+        F.floor(v * v * F.lit(1099511627776.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq2"),
+    )
+    return (
+        q.groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("vq").cast("bigint").alias("sum_q20"),
+            F.min("vq").cast("bigint").alias("min_q20"),
+            F.max("vq").cast("bigint").alias("max_q20"),
+            F.sum("vq2").cast("bigint").alias("sumsq_q40"),
+        )
+        .orderBy("dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for embedding/contrastive training: for each
+# anchor vector, the most similar vector with a DIFFERENT label — the
+# negatives that actually move a contrastive loss (random negatives are
+# trivially separable; the hardest in-batch negative per anchor is the
+# standard curriculum, e.g. DPR/SimCSE practice).
+#
+# Scale shape: anchors are a bounded slice (vec_id % ANCHOR_MOD), ride
+# broadcast into a nested-loop join against ONE corpus scan (|corpus| ×
+# |anchors| fan-out with |anchors| small — the same shape as the ANN
+# brute-force baseline); the per-anchor arg-max is a window over the
+# anchor key. Similarities are Q20-quantized BEFORE ranking so the
+# rank order is integer-deterministic in both engines.
+# --------------------------------------------------------------------------
+
+HARD_NEG_ANCHOR_MOD = 50  # anchors = vec_id % 50 == 0 (2% of the corpus)
+
+from .dedup import _SQL_NORMALIZED as _DEDUP_SQL_NORMALIZED  # noqa: E402
+from .dedup import _SQL_SEQ_DOT as _DEDUP_SQL_SEQ_DOT  # noqa: E402
+
+_SQL_NORMALIZED_EMB = _DEDUP_SQL_NORMALIZED.format(v="embedding")
+_SQL_SEQ_DOT_AB = _DEDUP_SQL_SEQ_DOT.format(a="a.ue", b="b.ue")
+
+
+@register(
+    "q_hard_negative_mining",
+    f"""
+    WITH u AS (
+      SELECT vec_id, label,
+             {_SQL_NORMALIZED_EMB} AS ue
+      FROM embeddings
+    ),
+    a AS (SELECT * FROM u WHERE vec_id % {HARD_NEG_ANCHOR_MOD} = 0),
+    c AS (SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+                 CAST(floor({_SQL_SEQ_DOT_AB} * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+          FROM a JOIN u b ON a.label <> b.label),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos_q20 DESC, cand_id) AS rk
+          FROM c)
+    SELECT anchor_id, cand_id AS negative_id, cos_q20
+    FROM r WHERE rk = 1 ORDER BY anchor_id
+    """,
+    doc="hard-negative mining: per anchor (a bounded vec_id slice), the "
+    "highest-cosine vector with a different label; broadcast anchors × "
+    "one corpus scan, Q20-quantized before the per-anchor arg-max "
+    "window so ranking is integer-deterministic.",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dot, normalized
+
+    emb = tp(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", normalized(F.col("embedding")).alias("ue")
+    )
+    anchors = emb.where(F.col("vec_id") % HARD_NEG_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("ue").alias("ua"),
+    )
+    cand = emb.join(
+        F.broadcast(anchors), F.col("label") != F.col("a_label"), "inner"
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("cand_id"),
+        F.floor(dot(F.col("ua"), F.col("ue")) * F.lit(1048576.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cos_q20"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_q20"), "cand_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("anchor_id", F.col("cand_id").alias("negative_id"), "cos_q20")
+        .orderBy("anchor_id")
+    )

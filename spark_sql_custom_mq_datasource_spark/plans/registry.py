@@ -156,6 +156,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_quality",
     "q_multimodal_binary_meta",
     "q_udf_scalar_tokens",
+    # -- ADDED this round: never driver-checked, highest priority --------
+    "q_text_repetition_scores",
+    "q_source_divergence_kl",
+    "q_mix_temperature",
+    "q_split_leakage_free",
+    "q_embedding_dim_stats",
+    "q_hard_negative_mining",
+    "q_hybrid_rrf_topk",
     # -- r04-stale fill (oldest families first: core dedup, ANN, mq) -----
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
@@ -163,13 +171,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_dedup_incremental",
     "q_ann_ivf",
-    "q_ann_recall_lsh",
-    "q_mqlog_roundtrip",
-    "q_stream_mq_replay",
-    "q_fuzzy_source_pairs",
-    "q_asof_join_last_order",
-    "q_decontaminate_ngram",
-    "q_stream_tumbling_watermark",
 )
 
 

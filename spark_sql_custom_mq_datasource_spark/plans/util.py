@@ -104,6 +104,32 @@ def work_dir(name: str) -> str:
     return path
 
 
+def cached_fixture_dir(name: str, sf_dir: str, spec: str, build) -> str:
+    """Build ONCE (per name+sf_dir+spec) a fixture directory via
+    build(path); reuse on every later invocation and across sessions.
+    The _READY marker records the spec, so any spec change rebuilds.
+    Underscore-prefixed marker files are invisible to Spark's readers."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_inbox", f"{name}_{tag}"
+    )
+    marker = os.path.join(path, "_READY")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == spec:
+                return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    build(path)
+    with open(marker, "w") as f:
+        f.write(spec)
+    return path
+
+
 def stream_inbox(df: DataFrame, name: str, sf_dir: str, slices: int = 4) -> str:
     """Build ONCE a deterministic micro-batch arrival directory for the
     streaming queries (N parquet slices + maxFilesPerTrigger=1 = N real

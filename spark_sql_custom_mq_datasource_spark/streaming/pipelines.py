@@ -1743,34 +1743,43 @@ def _register_stream_funnel() -> None:
         import os
         import shutil
 
+        from ..plans.util import cached_fixture_dir
+
         configure_state_store(spark)
-        root = work_dir("funnel_state")
-        inbox = os.path.join(root, "inbox")
-        os.makedirs(inbox, exist_ok=True)
 
         ev = t(spark, sf_dir, "events").select(
             "user_id", "event_type", F.unix_micros(F.col("ts")).alias("tsu")
         ).where(F.col("event_type").isin(list(FUNNEL)))
         # 4 DISJOINT, time-ordered day slices -> 4 micro-batches whose
-        # arrival order matches event time (mtimes pinned ascending)
+        # arrival order matches event time (mtimes pinned ascending).
+        # Built ONCE per (sf, spec) and reused, so the timed body is the
+        # stateful fold, not fixture I/O (VERDICT r06 item 4).
         bounds = [(1, 8), (9, 15), (16, 23), (24, 31)]
         base_mtime = 1_600_000_000
-        for i, (d0, d1) in enumerate(bounds):
-            part = os.path.join(root, f"slice{i}")
-            (
-                ev.where(
-                    F.dayofmonth(F.timestamp_micros("tsu")).between(d0, d1)
+
+        def build(inbox: str) -> None:
+            scratch = os.path.join(inbox, "_scratch")
+            for i, (d0, d1) in enumerate(bounds):
+                part = os.path.join(scratch, f"slice{i}")
+                (
+                    ev.where(
+                        F.dayofmonth(F.timestamp_micros("tsu")).between(d0, d1)
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(part)
                 )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(part)
-            )
-            src = next(
-                f for f in os.listdir(part) if f.endswith(".parquet")
-            )
-            dst = os.path.join(inbox, f"{i:02d}.parquet")
-            shutil.copyfile(os.path.join(part, src), dst)
-            os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+                src = next(
+                    f for f in os.listdir(part) if f.endswith(".parquet")
+                )
+                dst = os.path.join(inbox, f"{i:02d}.parquet")
+                shutil.copyfile(os.path.join(part, src), dst)
+                os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+            shutil.rmtree(scratch, ignore_errors=True)
+
+        inbox = cached_fixture_dir(
+            "funnel_state", sf_dir, f"funnel-v1 {FUNNEL} {bounds}", build
+        )
 
         stream = (
             spark.readStream.schema(

@@ -1356,3 +1356,256 @@ class TestCrossSourceMatrix:
         }
         _cache.clear()
         assert got == {("s1", "s2"): (1, 2), ("s2", "s3"): (1, 1)}
+
+
+class TestRepetitionScores:
+    def test_known_repetition(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_text_repetition_scores,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # doc 1: "a a a a" -> 2-grams [aa, aa, aa]: tot=3, mx=3, dup=3
+        #   top_q20 = floor(3/3*2^20+.5) = 2^20; dup_q20 = 2^20; flagged
+        # doc 2: 7 distinct words -> 6 distinct grams: mx=1, dup=0
+        #   top_q20 = floor(2^20/6+.5) = 174763 (<20%): not flagged
+        d = spark.createDataFrame(
+            [(1, "a a a a", "s1"), (2, "a b c d e f g", "s1")],
+            "doc_id long, text string, source string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        rows = {r["source"]: r for r in q_text_repetition_scores(spark, sf).collect()}
+        _cache.clear()
+        r = rows["s1"]
+        assert r["n_docs"] == 2
+        assert r["top2_q20_sum"] == 1048576 + 174763
+        assert r["dup2_q20_sum"] == 1048576
+        assert r["n_flagged"] == 1
+
+    def test_single_word_docs_excluded(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_text_repetition_scores,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        d = spark.createDataFrame(
+            [(1, "solo", "s1"), (2, "x y", "s1")],
+            "doc_id long, text string, source string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        rows = q_text_repetition_scores(spark, sf).collect()
+        _cache.clear()
+        assert rows[0]["n_docs"] == 1  # the 1-gram doc has no 2-grams
+
+
+class TestSourceDivergence:
+    def test_identical_distributions_zero_kl(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_source_divergence_kl,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # both sources have the exact same word distribution -> P_s == P_c
+        # for every term -> every quantized contribution is floor(0.5)=0
+        d = spark.createDataFrame(
+            [(1, "a a b", "s1"), (2, "a a b", "s2")],
+            "doc_id long, text string, source string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        rows = {r["source"]: r["kl_q20"] for r in q_source_divergence_kl(spark, sf).collect()}
+        _cache.clear()
+        assert rows == {"s1": 0, "s2": 0}
+
+    def test_disjoint_source_diverges(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_source_divergence_kl,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        d = spark.createDataFrame(
+            [(1, "a a a a", "s1"), (2, "b b b b", "s2")],
+            "doc_id long, text string, source string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        rows = {r["source"]: r["kl_q20"] for r in q_source_divergence_kl(spark, sf).collect()}
+        _cache.clear()
+        # P_s(w)=1, P_c(w)=0.5 -> KL = ln 2 ≈ 0.693; Q20 ≈ 726817
+        import math
+
+        expect = math.floor(math.log(2.0) * 1048576 + 0.5)
+        assert rows == {"s1": expect, "s2": expect}
+
+
+class TestMixTemperature:
+    def test_targets_apportion_exactly(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            q_mix_temperature,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        rows = [(i, "t", "big") for i in range(90)] + [
+            (100 + i, "t", "small") for i in range(10)
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        out = {r["source"]: r for r in q_mix_temperature(spark, sf).collect()}
+        _cache.clear()
+        # targets sum EXACTLY to the corpus size (largest remainder)
+        assert sum(r["target_docs"] for r in out.values()) == 100
+        # α=0.5 upweights the small source: its target share must exceed
+        # its count share (10%) and the big source's must shrink below 90%
+        assert out["small"]["target_docs"] > 10
+        assert out["big"]["target_docs"] < 90
+        # weights ∝ sqrt: 3:1 ratio -> small weight ≈ 25% of the mass
+        assert abs(out["small"]["weight_q20"] / 1048576 - 0.25) < 0.01
+
+
+class TestSplitLeakageFree:
+    def test_dup_groups_never_straddle(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            q_split_leakage_free,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache, t
+
+        # 40 dup groups of 3 members each (word-set-identical texts)
+        rows = []
+        for g in range(40):
+            base = f"w{g} x{g} y{g}"
+            rows += [
+                (g * 3, base, "s"),
+                (g * 3 + 1, base + f" x{g}", "s"),  # same word SET
+                (g * 3 + 2, base, "s"),
+            ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        out = {r["split"]: r for r in q_split_leakage_free(spark, sf).collect()}
+        # every group is whole: each split's doc count is 3x its groups
+        assert sum(r["n_docs"] for r in out.values()) == 120
+        for r in out.values():
+            assert r["n_docs"] == 3 * r["n_groups"]
+        _cache.clear()
+
+
+class TestEmbeddingDimStats:
+    def test_exact_moments(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            q_embedding_dim_stats,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        d = spark.createDataFrame(
+            [(0, [1.0, -0.5], 0), (1, [0.5, 0.25], 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/embeddings.parquet")
+        _cache.clear()
+        rows = {r["dim"]: r for r in q_embedding_dim_stats(spark, sf).collect()}
+        _cache.clear()
+        q = 1 << 20
+        assert rows[0]["n"] == 2
+        assert rows[0]["sum_q20"] == q + q // 2  # 1.0 + 0.5
+        assert rows[0]["min_q20"] == q // 2 and rows[0]["max_q20"] == q
+        assert rows[0]["sumsq_q40"] == (1 << 40) + (1 << 40) // 4
+        assert rows[1]["sum_q20"] == -q // 2 + q // 4
+        assert rows[1]["min_q20"] == -q // 2
+
+
+class TestHardNegativeMining:
+    def test_nearest_other_label_wins(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            q_hard_negative_mining,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # anchor 0 (label 0) points +x; vec 1 (label 0) is its twin but
+        # SAME label -> ineligible; vec 2 (label 1) at 45° is the hard
+        # negative; vec 3 (label 1) is orthogonal (easier).
+        d = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),
+                (1, [1.0, 0.01], 0),
+                (2, [1.0, 1.0], 1),
+                (3, [0.0, 1.0], 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/embeddings.parquet")
+        _cache.clear()
+        rows = q_hard_negative_mining(spark, sf).collect()
+        _cache.clear()
+        assert len(rows) == 1  # only vec 0 is an anchor (id % 50 == 0)
+        assert rows[0]["anchor_id"] == 0 and rows[0]["negative_id"] == 2
+        import math
+
+        assert abs(rows[0]["cos_q20"] / 1048576 - math.sqrt(0.5)) < 1e-5
+
+
+class TestHybridRRF:
+    def test_both_rankers_beat_one(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.retrieval import RRF_K
+        from spark_sql_custom_mq_datasource_spark.plans.registry import get_queries
+
+        rows = get_queries()["q_hybrid_rrf_topk"](spark, sf_dir).collect()
+        assert rows, "fixture corpus must produce fused results"
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        q20 = 1 << 20
+        both_floor = int(2 * (1.0 / (RRF_K + 50)) * q20)  # worst dual-list
+        single_cap = int((1.0 / (RRF_K + 1)) * q20 + 0.5)  # best single-list
+        for qid, lst in by_q.items():
+            # ranks are 1..k dense and scores non-increasing
+            assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
+            scores = [r["rrf_q20"] for r in lst]
+            assert scores == sorted(scores, reverse=True)
+            # a doc in BOTH lists (score > best-possible single-list
+            # score) must outrank every single-list doc; verify the
+            # ordering property on the boundary when present
+            dual = [s for s in scores if s > single_cap]
+            single = [s for s in scores if s <= single_cap]
+            if dual and single:
+                assert min(dual) > max(single)
+
+
+class TestCachedFixtureDir:
+    def test_build_runs_once_and_spec_change_rebuilds(self, tmp_path, monkeypatch):
+        import tempfile as _tf
+
+        from spark_sql_custom_mq_datasource_spark.plans.util import (
+            cached_fixture_dir,
+        )
+
+        monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+        calls = []
+
+        def build(path):
+            calls.append(path)
+            open(f"{path}/data.txt", "w").write("x")
+
+        p1 = cached_fixture_dir("unit_fix", "/sf/a", "v1", build)
+        import os
+
+        mtime = os.path.getmtime(f"{p1}/data.txt")
+        p2 = cached_fixture_dir("unit_fix", "/sf/a", "v1", build)
+        # second invocation reuses: no rebuild, file untouched
+        assert p1 == p2 and len(calls) == 1
+        assert os.path.getmtime(f"{p2}/data.txt") == mtime
+        # spec change rebuilds; different sf_dir gets its own dir
+        cached_fixture_dir("unit_fix", "/sf/a", "v2", build)
+        assert len(calls) == 2
+        p3 = cached_fixture_dir("unit_fix", "/sf/b", "v1", build)
+        assert p3 != p1 and len(calls) == 3

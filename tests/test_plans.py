@@ -304,3 +304,66 @@ class TestLateRound6Ops:
         assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
         assert "Join" not in p
         assert "Generate" in p  # the bounded per-hash pair explode
+
+
+class TestRound7Plans:
+    def test_repetition_scores_doc_keyed_no_join(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_text_repetition_scores")
+        # explode -> two doc-keyed aggregations -> source rollup; no join
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        assert "Join" not in p
+        # partial aggregation (map-side combine) before each exchange
+        assert "HashAggregate" in p
+
+    def test_source_kl_single_scan(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_source_divergence_kl")
+        # corpus marginals come from windows over the SAME (source, word)
+        # aggregate — one scan, no join, no second corpus shuffle
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        assert "Join" not in p
+
+    def test_mix_temperature_single_tiny_aggregate(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_mix_temperature")
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        # the whole apportionment runs over the |sources|-row aggregate
+        assert "Join" not in p
+        # only the source column is read from the corpus
+        assert "text" not in p.split("ReadSchema")[1].splitlines()[0]
+
+    def test_split_leakage_free_no_join(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_split_leakage_free")
+        # rep election is a window over the fingerprint key, not a
+        # group+join-back (one shuffle instead of two + join)
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        assert "Join" not in p
+        assert "Window" in p
+
+    def test_embedding_dim_stats_partial_agg(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_embedding_dim_stats")
+        assert "Generate" in p  # posexplode
+        assert "Join" not in p
+        # dim-keyed aggregate combines map-side before the exchange
+        assert p.count("HashAggregate") >= 2
+
+    def test_hard_negative_anchors_broadcast(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_hard_negative_mining")
+        # bounded anchor slice rides broadcast; corpus scanned once per
+        # side of the nested-loop (anchors × corpus is the intended
+        # fan-out; the BUILD side must be the anchors, never the corpus)
+        assert "BroadcastNestedLoopJoin" in p and "BuildRight" in p
+
+    def test_hybrid_rrf_fusion_joins_are_rank_lists(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_hybrid_rrf_topk")
+        # the lexical path's postings cut: query terms broadcast into the
+        # corpus token stream before the tf shuffle
+        assert "BroadcastHashJoin" in p
+        # final fusion ranks Q20 integers, never raw doubles
+        assert "rrf_q20" in p
