@@ -804,3 +804,68 @@ def q_source_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility per language — the multilingual-budget read-out:
+# fertility = subword units per whitespace word. High-fertility languages
+# consume disproportionate context-window/token budget for the same text,
+# so mixture designers weight by TOKENS, not documents or bytes; a
+# fertility shift after a tokenizer change is the canonical regression
+# check. Both ratios are Q20-quantized from exact integer sums.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_tokenizer_fertility",
+    r"""
+    WITH d AS (
+      SELECT lang,
+             len(string_split(trim(text), ' ')) AS n_words,
+             len(regexp_extract_all(
+                 text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_units,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS word_sum,
+           CAST(SUM(n_units) AS BIGINT) AS unit_sum,
+           CAST(floor(SUM(n_units) * 1048576.0 / SUM(n_words) + 0.5)
+                AS BIGINT) AS fertility_q20,
+           CAST(floor(SUM(n_chars) * 1048576.0 / SUM(n_units) + 0.5)
+                AS BIGINT) AS chars_per_unit_q20
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    doc="tokenizer fertility per language: BPE-ish subword units per "
+    "whitespace word and chars per unit (Q20 ratios of exact integer "
+    "sums) — the token-budget/mixture-design read-out; one projection "
+    "+ one |langs|-key aggregate.",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(F.split(F.trim("text"), " ")).alias("n_words"),
+        bpe_ish_token_count("text").alias("n_units"),
+        "n_chars",
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("word_sum"),
+            F.sum("n_units").cast("bigint").alias("unit_sum"),
+            F.floor(
+                F.sum("n_units") * F.lit(1048576.0) / F.sum("n_words") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("fertility_q20"),
+            F.floor(
+                F.sum("n_chars") * F.lit(1048576.0) / F.sum("n_units") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("chars_per_unit_q20"),
+        )
+        .orderBy("lang")
+    )

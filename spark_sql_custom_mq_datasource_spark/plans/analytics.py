@@ -902,3 +902,71 @@ def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Event debouncing — collapse rapid-fire repeats of the same action
+# (double-clicks, retry storms, at-least-once producer duplicates) into
+# one logical event: within each (user, event_type), an event belongs to
+# the same BURST as its predecessor when the gap is <= 300 s; only the
+# first event of each burst is kept. This is the batch twin of the
+# stream's dropDuplicatesWithinWatermark, but with burst semantics
+# (chained gaps extend the burst) and an exact oracle.
+#
+# Scale shape: one (user_id, event_type) shuffle; burst ids come from a
+# running sum over the lag flags — both windows share the same
+# partitioning, so Spark plans ONE exchange and two window passes.
+# --------------------------------------------------------------------------
+
+DEBOUNCE_GAP_S = 300
+
+
+@register(
+    "q_events_debounce",
+    f"""
+    WITH g AS (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > {DEBOUNCE_GAP_S}
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(SUM(new_burst) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - new_burst) AS BIGINT) AS n_dropped
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+    doc=f"event debouncing: within (user, type), chained gaps <= "
+    f"{DEBOUNCE_GAP_S}s form one burst and only its first event "
+    "survives (double-click / retry-storm / at-least-once collapse); "
+    "one key shuffle, the lag flag and burst-id running sum share the "
+    "same window partitioning.",
+)
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > DEBOUNCE_GAP_S
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_burst"),
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.sum("new_burst").cast("bigint").alias("n_kept"),
+            F.sum(1 - F.col("new_burst")).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )

@@ -633,3 +633,92 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution — the complement of the last-touch
+# model (operators/joins.py q_attribution_last_view): each purchase
+# splits one unit of credit EQUALLY across every touch (view or click)
+# in its 24 h lookback, instead of crediting only the final view. The
+# read-out is credit per touch type — the number marketing compares
+# across models to see how much the last-touch lens under-credits
+# upper-funnel actions.
+#
+# Portability: per-touch credit is floor(2^20 / n + 0.5) with n the
+# purchase's touch count — an integer function of an integer, summed
+# exactly; no float accumulation anywhere.
+#
+# Scale shape: purchases equi-join touches on user_id (SMJ) with the
+# time-window filter applied on the joined rows; fan-out is bounded by
+# per-user activity inside 24 h (the same bound every attribution system
+# relies on); the per-purchase touch count is a window keyed by the
+# purchase id over that bounded fan-out.
+# --------------------------------------------------------------------------
+
+MTA_WINDOW_H = 24
+MTA_TOUCH_TYPES = ("click", "view")
+
+
+@register(
+    "q_attribution_linear",
+    f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id, event_type, ts AS tts FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.pid, tch.event_type
+      FROM p JOIN tch ON p.user_id = tch.user_id
+      WHERE tch.tts <= p.pts
+        AND epoch_us(p.pts) - epoch_us(tch.tts)
+              <= CAST({MTA_WINDOW_H} AS BIGINT) * 3600 * 1000000
+    ),
+    n AS (SELECT pid, event_type,
+                 COUNT(*) OVER (PARTITION BY pid) AS n_touches
+          FROM j)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CAST(floor(1048576.0 / n_touches + 0.5) AS BIGINT))
+                AS BIGINT) AS credit_q20_sum
+    FROM n GROUP BY event_type ORDER BY event_type
+    """,
+    doc=f"linear multi-touch attribution: each purchase splits unit "
+    f"credit equally over its clicks+views in the {MTA_WINDOW_H}h "
+    "lookback (per-touch credit exact-integer Q20); user-keyed SMJ with "
+    "a window-bounded fan-out, per-purchase counts via a pid window.",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    tch = ev.where(F.col("event_type").isin(list(MTA_TOUCH_TYPES))).select(
+        "user_id", "event_type", F.col("ts").alias("tts")
+    )
+    window_us = MTA_WINDOW_H * 3600 * 1_000_000
+    j = p.join(tch, "user_id").where(
+        (F.col("tts") <= F.col("pts"))
+        & (F.unix_micros("pts") - F.unix_micros("tts") <= window_us)
+    )
+    n = j.select(
+        "pid",
+        "event_type",
+        F.count("*").over(Window.partitionBy("pid")).alias("n_touches"),
+    )
+    credit = F.floor(F.lit(1048576.0) / F.col("n_touches") + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        n.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum(credit).cast("bigint").alias("credit_q20_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -164,13 +164,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_embedding_dim_stats",
     "q_hard_negative_mining",
     "q_hybrid_rrf_topk",
-    # -- r04-stale fill (oldest families first: core dedup, ANN, mq) -----
+    "q_manifest_compact",
+    "q_stream_split_route",
+    "q_tokenizer_fertility",
+    "q_events_debounce",
+    "q_attribution_linear",
+    # -- r04-stale fill (the oldest family's representative) -------------
     "q_dedup_exact",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    "q_ann_ivf",
 )
 
 

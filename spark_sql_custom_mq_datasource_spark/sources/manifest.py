@@ -959,3 +959,58 @@ def q_manifest_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_manifest_compact",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE user_id >= 5
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="atomic small-file compaction of a manifest table: events land "
+    "in 4 append commits (one file set per batch — the streaming-ingest "
+    "layout), users 0-4 are erased merge-on-read, then compaction folds "
+    "the delete vectors in and rewrites the current snapshot as few "
+    "files in ONE atomic commit; the compacted read must equal the "
+    "recompute, the file count must shrink, and the pre-compaction "
+    "snapshot stays time-travel-readable (readers never see a mix).",
+)
+def q_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = work_dir("manifest_compact")
+    ev = t(spark, sf_dir, "events")
+    for i in range(4):
+        append_snapshot(ev.where(F.col("event_id") % 4 == i), table, batch_id=i)
+    delete_rows(
+        table, ev.where(F.col("user_id") < 5).select("event_id"), "event_id"
+    )
+    v_before = current_version(table)
+    files_before = len(read_manifest(table, v_before)["files"])
+    v_after = compact_append_table(spark, table, target_files=2)
+    m_after = read_manifest(table, v_after)
+    if len(m_after["files"]) >= files_before:
+        raise RuntimeError(
+            f"compaction must shrink the file count "
+            f"({files_before} -> {len(m_after['files'])})"
+        )
+    if m_after.get("delete_files"):
+        raise RuntimeError("compaction must fold delete vectors in")
+    # the pre-compaction snapshot is still consistent (old files + its
+    # delete vectors), readable until GC
+    if read_append_table_mor(spark, table, v_before).count() != (
+        read_append_table(spark, table, v_after).count()
+    ):
+        raise RuntimeError("old and compacted snapshots must read identically")
+    out = read_append_table(spark, table, v_after)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -1998,3 +1998,121 @@ def _register_stream_gram_mv() -> None:
 
 
 _register_stream_gram_mv()
+
+
+def _register_stream_split_route() -> None:
+    from ..sources.manifest import append_snapshot, read_append_table
+
+    # The routing gate: cheap per-row shape rules (token count floor,
+    # mean-word-length ceiling) — pure projection, evaluable identically
+    # in the oracle. Docs failing the gate are NOT dropped: a production
+    # pipeline quarantines them for audit/reprocessing.
+    _MIN_TOKENS = 12
+    _MAX_MEAN_WORD_LEN_X16 = 6 * 16  # mean word length <= 6.0, in 1/16 units
+
+    @register(
+        "q_stream_split_route",
+        f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 len(string_split(trim(text), ' ')) AS n_tokens,
+                 len(replace(trim(text), ' ', '')) AS n_letters
+          FROM documents
+        ),
+        routed AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens >= {_MIN_TOKENS}
+                       AND n_letters * 16 <= n_tokens * {_MAX_MEAN_WORD_LEN_X16}
+                      THEN 'accept' ELSE 'quarantine' END AS dest
+          FROM scored
+        )
+        SELECT dest, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS token_sum
+        FROM routed GROUP BY dest ORDER BY dest
+        """,
+        doc="STREAMING dual-sink routing with exactly-once on BOTH sinks: "
+        "each micro-batch splits on a projection-level quality gate and "
+        "appends the accepted slice to one manifest table, the rejected "
+        "slice to a quarantine table — both commits idempotent on "
+        "batch_id (a redelivered batch is a no-op on each sink "
+        "independently; exercised inline for batch 0). The union "
+        "read-back must equal the batch recompute: nothing lost, "
+        "nothing duplicated, every doc in exactly one table.",
+    )
+    def q_stream_split_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        configure_state_store(spark)
+        root = work_dir("split_route")
+        t_accept = os.path.join(root, "accept")
+        t_quar = os.path.join(root, "quarantine")
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        inbox = stream_inbox(docs, "split_route", sf_dir)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+        toks = F.split(F.trim("text"), " ")
+        letters = F.length(F.regexp_replace(F.trim("text"), " ", ""))
+        gate = (F.size(toks) >= _MIN_TOKENS) & (
+            letters * 16 <= F.size(toks) * _MAX_MEAN_WORD_LEN_X16
+        )
+
+        def route(bdf: DataFrame, batch_id: int) -> None:
+            scored = bdf.select(
+                "doc_id", F.size(toks).alias("n_tokens"), gate.alias("ok")
+            ).persist()  # one gate evaluation feeds both sinks
+            append_snapshot(
+                scored.where("ok").select("doc_id", "n_tokens"),
+                t_accept,
+                batch_id,
+            )
+            append_snapshot(
+                scored.where(~F.col("ok")).select("doc_id", "n_tokens"),
+                t_quar,
+                batch_id,
+            )
+            if batch_id == 0:  # redelivery is a no-op on each sink
+                assert (
+                    append_snapshot(
+                        scored.where("ok").select("doc_id", "n_tokens"),
+                        t_accept,
+                        batch_id,
+                    )
+                    is None
+                )
+            scored.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("split-route stream did not drain in 300s")
+        finally:
+            if q.isActive:
+                q.stop()
+
+        acc = read_append_table(spark, t_accept).withColumn(
+            "dest", F.lit("accept")
+        )
+        quar = read_append_table(spark, t_quar).withColumn(
+            "dest", F.lit("quarantine")
+        )
+        return (
+            acc.unionByName(quar)
+            .groupBy("dest")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("token_sum"),
+            )
+            .orderBy("dest")
+        )
+
+
+_register_stream_split_route()

@@ -1609,3 +1609,127 @@ class TestCachedFixtureDir:
         assert len(calls) == 2
         p3 = cached_fixture_dir("unit_fix", "/sf/b", "v1", build)
         assert p3 != p1 and len(calls) == 3
+
+
+class TestReplacePartitions:
+    def test_atomic_dynamic_overwrite_with_ledger(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.sources.manifest import (
+            read_manifest,
+            read_snapshot,
+            replace_partitions,
+        )
+
+        table = str(tmp_path / "tbl")
+        d0 = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 10)], "p string, v int"
+        )
+        replace_partitions(d0, table, "p", batch_id=0)
+        # replace partition a only; b's entries must carry over untouched
+        m0 = read_manifest(table)
+        b_files = {e["path"] for e in m0["files"] if e["p"] == "b"}
+        d1 = spark.createDataFrame([("a", 99)], "p string, v int")
+        replace_partitions(d1, table, "p", batch_id=1)
+        m1 = read_manifest(table)
+        assert {e["path"] for e in m1["files"] if e["p"] == "b"} == b_files
+        rows = {
+            (r["p"], r["v"]) for r in read_snapshot(spark, table).collect()
+        }
+        assert rows == {("a", 99), ("b", 10)}
+        # ledger: redelivery is a no-op, version does not advance
+        assert replace_partitions(d1, table, "p", batch_id=1) is None
+        assert read_manifest(table)["version"] == m1["version"]
+        # time travel: the pre-replacement snapshot still reads a=1,2
+        old = {
+            (r["p"], r["v"])
+            for r in read_snapshot(spark, table, m0["version"]).collect()
+        }
+        assert old == {("a", 1), ("a", 2), ("b", 10)}
+
+
+class TestEventsDebounce:
+    def test_burst_semantics(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.plans.analytics import (
+            q_events_debounce,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ev(i, sec, typ="click", uid=1):
+            return (i, t0 + dt.timedelta(seconds=sec), uid, typ, 1.0, "{}")
+
+        # user 1 clicks at 0s, 100s, 250s (one burst: chained gaps<=300)
+        # then 700s (new burst); user 2's single view is its own burst
+        d = spark.createDataFrame(
+            [ev(1, 0), ev(2, 100), ev(3, 250), ev(4, 700), ev(5, 0, "view", 2)],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/events.parquet")
+        _cache.clear()
+        out = {r["event_type"]: r for r in q_events_debounce(spark, sf).collect()}
+        _cache.clear()
+        assert out["click"]["n_kept"] == 2 and out["click"]["n_dropped"] == 2
+        assert out["view"]["n_kept"] == 1 and out["view"]["n_dropped"] == 0
+
+
+class TestAttributionLinear:
+    def test_equal_split(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.plans.product_analytics import (
+            q_attribution_linear,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ev(i, hours, typ, uid=1):
+            return (i, t0 + dt.timedelta(hours=hours), uid, typ, 1.0, "{}")
+
+        # purchase at h=0 sees: click -1h, view -2h (in window), view -30h
+        # (outside) -> n=2, each touch credited 2^19
+        d = spark.createDataFrame(
+            [
+                ev(1, -30, "view"),
+                ev(2, -2, "view"),
+                ev(3, -1, "click"),
+                ev(4, 0, "purchase"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/events.parquet")
+        _cache.clear()
+        out = {r["event_type"]: r for r in q_attribution_linear(spark, sf).collect()}
+        _cache.clear()
+        assert out["click"]["n_touches"] == 1
+        assert out["click"]["credit_q20_sum"] == 1 << 19
+        assert out["view"]["n_touches"] == 1  # only the in-window view
+        assert out["view"]["credit_q20_sum"] == 1 << 19
+
+
+class TestTokenizerFertility:
+    def test_ratios(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_tokenizer_fertility,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # "ab-cd ef" -> words=2; BPE-ish units: ab,-,cd,ef = 4; fertility 2.0
+        d = spark.createDataFrame(
+            [(1, "ab-cd ef", "xx", "s", 8)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        r = q_tokenizer_fertility(spark, sf).collect()[0]
+        _cache.clear()
+        assert r["word_sum"] == 2 and r["unit_sum"] == 4
+        assert r["fertility_q20"] == 2 << 20
+        assert r["chars_per_unit_q20"] == 2 << 20  # 8 chars / 4 units

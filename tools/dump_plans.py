@@ -218,6 +218,33 @@ SHOWCASE = [
         "over the small vocabulary aggregate — single scan, single "
         "shuffle, no join (plan-pinned).",
     ),
+    (
+        "q_text_repetition_scores",
+        "Repetition gates: explode to (doc, 2-gram), two doc-keyed "
+        "aggregations, |sources| output rows — no join anywhere; linear "
+        "in corpus tokens (plan-pinned no-join).",
+    ),
+    (
+        "q_source_divergence_kl",
+        "Source KL: ONE (source, word) shuffle; the per-source, per-word, "
+        "and corpus marginals are all windows over that aggregate — "
+        "single scan, no join; per-term contributions Q20-quantized "
+        "before an exact integer sum (plan-pinned).",
+    ),
+    (
+        "q_hard_negative_mining",
+        "Hard negatives: bounded anchor slice broadcast "
+        "(BroadcastNestedLoopJoin BuildRight — the corpus is never the "
+        "build side) against one corpus scan; Q20-quantized before the "
+        "per-anchor arg-max window (plan-pinned build side).",
+    ),
+    (
+        "q_hybrid_rrf_topk",
+        "Hybrid RRF: lexical leg = inline BM25 (query-term postings cut "
+        "broadcast BEFORE the tf shuffle); vector leg = broadcast "
+        "queries x one corpus scan; the fusion full-outer-joins two "
+        "depth-bounded rank lists — O(|queries| x depth), corpus-free.",
+    ),
 ]
 
 
