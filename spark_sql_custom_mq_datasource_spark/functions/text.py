@@ -869,3 +869,66 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation: the confusion matrix of the lexicon classifier
+# against the labeled lang column — the eval read-out that decides
+# whether a cheap classifier is good enough to route 100 TB (per-label
+# recall is what mixture quotas depend on). One scan, one
+# (labeled, detected) shuffle; the per-label share is a window over the
+# |langs|² aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_langid_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang AS labeled_lang, text,
+             {_sql_marker_hits(_LANG_MARKERS["en"])} AS h_en,
+             {_sql_marker_hits(_LANG_MARKERS["de"])} AS h_de,
+             {_sql_marker_hits(_LANG_MARKERS["es"])} AS h_es,
+             {_sql_marker_hits(_LANG_MARKERS["fr"])} AS h_fr
+      FROM documents
+    ),
+    d AS (
+      SELECT labeled_lang,
+             CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                  WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'unknown'
+                  WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                  WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+                  WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                  WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                  ELSE 'unknown' END AS detected_lang
+      FROM scored
+    ),
+    c AS (SELECT labeled_lang, detected_lang, COUNT(*) AS n_docs
+          FROM d GROUP BY 1, 2)
+    SELECT labeled_lang, detected_lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(floor(n_docs * 1048576.0 /
+                      SUM(n_docs) OVER (PARTITION BY labeled_lang) + 0.5)
+                AS BIGINT) AS label_share_q20
+    FROM c ORDER BY labeled_lang, detected_lang
+    """,
+    doc="language-ID confusion matrix: lexicon classifier vs the labeled "
+    "lang column, with each cell's Q20 share of its true-label row "
+    "(diagonal = per-label recall); one scan, one |langs|^2 aggregate.",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tp(spark, sf_dir, "documents")
+    c = docs.groupBy(
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("detected_lang"),
+    ).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("labeled_lang")
+    return c.select(
+        "labeled_lang",
+        "detected_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.floor(F.col("n_docs") * F.lit(1048576.0) / F.sum("n_docs").over(w) + F.lit(0.5))
+        .cast("bigint")
+        .alias("label_share_q20"),
+    ).orderBy("labeled_lang", "detected_lang")

@@ -107,9 +107,13 @@ def register(
 #      q_multimodal_frame_sample, q_text_quality,
 #      q_multimodal_binary_meta, q_udf_scalar_tokens — all green in
 #      CORRECTNESS_r03.json and under the local mirror).
-#   3. The remaining slots from the 48 r04-stale queries
-#      (dedup/ANN/streaming/UDF families), oldest families first.
-#   Plus, as always, anything round 7 adds or edits.
+#   3. The 13 queries round 7 ADDED (never driver-checked, highest
+#      priority) — they take the remaining slots, so the 48 r04-stale
+#      queries (dedup/ANN/streaming/UDF families) wait one more round;
+#      their last driver records are green and their code is unchanged.
+#   ROUND-8 ROTATION PLAN: lead with anything round 8 adds or edits,
+#   then the 48 r04-stale queries (oldest families first: dedup, ANN,
+#   mq/streaming, UDF), then r05-stale.
 _PRIORITY: tuple[str, ...] = (
     # ==== ROUND-7 PREFIX ================================================
     # -- never driver-checked (the 22 post-r06-freeze queries): manifest
@@ -169,8 +173,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_tokenizer_fertility",
     "q_events_debounce",
     "q_attribution_linear",
-    # -- r04-stale fill (the oldest family's representative) -------------
-    "q_dedup_exact",
+    "q_langid_confusion",
 )
 
 

@@ -1733,3 +1733,24 @@ class TestTokenizerFertility:
         assert r["word_sum"] == 2 and r["unit_sum"] == 4
         assert r["fertility_q20"] == 2 << 20
         assert r["chars_per_unit_q20"] == 2 << 20  # 8 chars / 4 units
+
+
+class TestLangidConfusion:
+    def test_shares_sum_per_label(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_langid_confusion,
+        )
+
+        rows = q_langid_confusion(spark, sf_dir).collect()
+        assert rows
+        by_label: dict = {}
+        for r in rows:
+            by_label.setdefault(r["labeled_lang"], []).append(r)
+        q20 = 1 << 20
+        for label, cells in by_label.items():
+            # per-label doc counts are whole; Q20 shares of one label sum
+            # to ~2^20 (rounding each cell independently)
+            total = sum(c["n_docs"] for c in cells)
+            assert total > 0
+            share_sum = sum(c["label_share_q20"] for c in cells)
+            assert abs(share_sum - q20) <= len(cells)

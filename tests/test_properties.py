@@ -399,3 +399,102 @@ class TestRound6KernelProperties:
         finally:
             u._cache.pop(key, None)
         assert got == {1: counts[0], 2: counts[1], 3: counts[2]}
+
+
+class TestRound7KernelProperties:
+    def test_temperature_apportionment_law_on_random_counts(self, spark, tmp_path):
+        """Largest-remainder law: targets sum EXACTLY to the corpus size
+        and each target differs from its exact (real-valued) share by
+        less than 1 — checked against a pure-Python recompute on random
+        per-source counts."""
+        import math
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            q_mix_temperature,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        rng = random.Random(7)
+        counts = {f"s{i:02d}": rng.randint(1, 400) for i in range(12)}
+        rows = [
+            (i, "t", src)
+            for i, src in enumerate(
+                s for src, n in counts.items() for s in [src] * n
+            )
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        out = {r["source"]: r for r in q_mix_temperature(spark, sf).collect()}
+        _cache.clear()
+
+        n_total = sum(counts.values())
+        wt_q = {s: math.floor(math.sqrt(n) * 1048576 + 0.5) for s, n in counts.items()}
+        sw = sum(wt_q.values())
+        assert sum(r["target_docs"] for r in out.values()) == n_total
+        for s, r in out.items():
+            exact = n_total * wt_q[s] / sw
+            assert abs(r["target_docs"] - exact) < 1.0
+        # python largest-remainder recompute matches exactly
+        base = {s: (n_total * wt_q[s]) // sw for s in counts}
+        rem = {s: (n_total * wt_q[s]) % sw for s in counts}
+        leftover = n_total - sum(base.values())
+        for s in sorted(counts, key=lambda s: (-rem[s], s))[:leftover]:
+            base[s] += 1
+        assert {s: r["target_docs"] for s, r in out.items()} == base
+
+    def test_debounce_matches_bruteforce_on_random_logs(self, spark, tmp_path):
+        """Burst law: an event survives iff its gap to the PREVIOUS event
+        of the same (user, type) exceeds the debounce window (chained
+        gaps extend a burst) — checked against a python brute force over
+        a random event log with deliberately clustered timestamps."""
+        import datetime as dt
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.plans.analytics import (
+            DEBOUNCE_GAP_S,
+            q_events_debounce,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        rng = random.Random(77)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(600):
+            uid = rng.randint(1, 5)
+            typ = rng.choice(["view", "click"])
+            # cluster half the events tightly so bursts actually chain
+            sec = rng.randint(0, 3000) if rng.random() < 0.5 else rng.randint(0, 200000)
+            rows.append((i, t0 + dt.timedelta(seconds=sec), uid, typ, 1.0, "{}"))
+        d = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/events.parquet")
+        _cache.clear()
+        got = {
+            r["event_type"]: (r["n_kept"], r["n_dropped"])
+            for r in q_events_debounce(spark, sf).collect()
+        }
+        _cache.clear()
+
+        kept = {"view": 0, "click": 0}
+        dropped = {"view": 0, "click": 0}
+        by_key: dict = {}
+        for i, ts, uid, typ, _v, _p in rows:
+            by_key.setdefault((uid, typ), []).append((ts, i))
+        for (uid, typ), evs in by_key.items():
+            prev = None
+            for ts, _i in sorted(evs):
+                if prev is None or (ts - prev).total_seconds() > DEBOUNCE_GAP_S:
+                    kept[typ] += 1
+                else:
+                    dropped[typ] += 1
+                prev = ts
+        assert got == {
+            t: (kept[t], dropped[t]) for t in kept if kept[t] + dropped[t] > 0
+        }
