@@ -963,17 +963,38 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup2"),
     )
-    wcnt = (
-        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("n"))
+    # word stats as PER-ROW folds over the sorted token array — the
+    # max-run-length of a sorted array IS the top word count, so the
+    # (doc, word) shuffle and the follow-up doc regroup both vanish
+    # (two corpus exchanges removed from the DAG; integers identical to
+    # the grouped form by construction). q20 stays float for the final
+    # quantization only.
+    ws = F.array_sort(F.split(F.trim("text"), " "))
+    run_state = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
     )
-    wstat = wcnt.groupBy("doc_id").agg(
-        F.sum("n").cast("bigint").alias("wc"),
-        F.floor(F.max("n") * q20 / F.sum("n") + F.lit(0.5))
+
+    def run_step(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(ws, run_state, run_step, lambda acc: acc["best"])
+    len_sum = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    wstat = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("wc"),
+        F.floor(top_cnt * q20 / F.size(ws) + F.lit(0.5))
         .cast("bigint")
         .alias("topw"),
-        F.floor(F.sum(F.col("n") * F.length("w")) * q20 / F.sum("n") + F.lit(0.5))
+        F.floor(len_sum * q20 / F.size(ws) + F.lit(0.5))
         .cast("bigint")
         .alias("mwl"),
     )
