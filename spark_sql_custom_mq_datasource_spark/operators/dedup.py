@@ -1307,3 +1307,76 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware survivor selection — the other half of dedup policy.
+# q_dedup_apply_clusters keeps the MIN-ID member of each duplicate
+# group (arbitrary but deterministic); real pipelines keep the BEST
+# member: near-dup web dumps differ by truncation, and keeping the
+# longest (most complete) variant preserves more signal at identical
+# dedup rate. Groups here are word-set-fingerprint groups (the same
+# normalization as the cross-source matrix / leakage-free split);
+# survivor = max token count, doc_id as the tiebreak.
+#
+# Scale shape: ONE fingerprint-key window shuffle elects the survivor
+# (no group+join-back); the per-source inventory aggregates the
+# survivor set. No joins, no driver work.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_keep_longest",
+    """
+    WITH f AS (
+      SELECT doc_id, source,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(trim(text), ' '))), ' '))
+               AS fp
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY fp
+                                ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(n_tokens) AS BIGINT) AS token_sum
+    FROM r WHERE rk = 1
+    GROUP BY source ORDER BY source
+    """,
+    doc="quality-aware dedup survivors: within each word-set-fingerprint "
+    "duplicate group, keep the LONGEST member (doc_id tiebreak) instead "
+    "of the arbitrary min-id — the most-complete-variant policy; one "
+    "fingerprint-key window shuffle, no joins; per-source survivor "
+    "inventory.",
+)
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(F.trim("text"), " ")))
+        )
+    )
+    f = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),
+        fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        f.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_survivors"),
+            F.sum("n_tokens").cast("bigint").alias("token_sum"),
+        )
+        .orderBy("source")
+    )

@@ -147,8 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_mv_merge",
     "q_manifest_retention_prune",
     "q_manifest_stats_skip",
-    # -- r03-stale (oldest remaining driver records) ---------------------
-    "q_range_join_acctbal",
+    # -- r03-stale (oldest remaining driver records; range-join steps
+    #    aside for the round-7 additions, stays green in r03's record) --
     "q_bucketed_join_revenue",
     "q_text_normalize",
     "q_text_lang_agg",
@@ -174,6 +174,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_events_debounce",
     "q_attribution_linear",
     "q_langid_confusion",
+    "q_dedup_keep_longest",
 )
 
 

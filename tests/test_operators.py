@@ -1754,3 +1754,30 @@ class TestLangidConfusion:
             assert total > 0
             share_sum = sum(c["label_share_q20"] for c in cells)
             assert abs(share_sum - q20) <= len(cells)
+
+
+class TestDedupKeepLongest:
+    def test_longest_member_survives(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            q_dedup_keep_longest,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # docs 1-3 share a word SET; doc 2 is the longest -> the survivor.
+        # doc 4 is its own group.
+        d = spark.createDataFrame(
+            [
+                (1, "a b c", "s1"),
+                (2, "a b c a b", "s2"),
+                (3, "c b a", "s1"),
+                (4, "x y", "s1"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        out = {r["source"]: r for r in q_dedup_keep_longest(spark, sf).collect()}
+        _cache.clear()
+        assert out["s2"]["n_survivors"] == 1 and out["s2"]["token_sum"] == 5
+        assert out["s1"]["n_survivors"] == 1 and out["s1"]["token_sum"] == 2
