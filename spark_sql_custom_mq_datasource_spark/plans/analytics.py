@@ -927,7 +927,8 @@ DEBOUNCE_GAP_S = 300
     WITH g AS (
       SELECT event_id, user_id, event_type, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(LAG(ts) OVER w) > {DEBOUNCE_GAP_S}
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                        > CAST({DEBOUNCE_GAP_S} AS BIGINT) * 1000000
                   THEN 1 ELSE 0 END AS new_burst
       FROM events
       WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
@@ -951,11 +952,14 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
+        # microsecond gaps (the fixture's timestamps carry sub-second
+        # micros): whole-second epochs would truncate a 300.5s gap to
+        # 300 and mis-classify the boundary
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > DEBOUNCE_GAP_S
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > DEBOUNCE_GAP_S * 1_000_000
             ),
             1,
         )

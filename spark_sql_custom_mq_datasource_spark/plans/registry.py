@@ -148,8 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_retention_prune",
     "q_manifest_stats_skip",
     # -- r03-stale (oldest remaining driver records; range-join steps
-    #    aside for the round-7 additions, stays green in r03's record) --
-    "q_bucketed_join_revenue",
+    #    aside for the round-7 additions, stays green in r03's record;
+    #    so does the bucketed join) --
     "q_text_normalize",
     "q_text_lang_agg",
     "q_mix_upsample",
@@ -175,6 +175,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_attribution_linear",
     "q_langid_confusion",
     "q_dedup_keep_longest",
+    "q_stream_debounce",
 )
 
 

@@ -2148,3 +2148,148 @@ def _register_stream_split_route() -> None:
 
 
 _register_stream_split_route()
+
+
+def _register_stream_debounce() -> None:
+    from ..plans.analytics import DEBOUNCE_GAP_S
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("kept", LongType()),
+            StructField("dropped", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_tsu", LongType()),
+            StructField("kept", LongType()),
+            StructField("dropped", LongType()),
+        ]
+    )
+    gap_us = DEBOUNCE_GAP_S * 1_000_000
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        last, kept, dropped = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        frames = [pdf for pdf in pdfs]
+        rows = (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame({"tsu": [], "event_id": []})
+        )
+        rows = rows.sort_values(["tsu", "event_id"])
+        for tsu in rows["tsu"]:
+            tsu = int(tsu)
+            if last is None or tsu - last > gap_us:
+                kept += 1
+            else:
+                dropped += 1
+            last = tsu
+        state.update((last, int(kept), int(dropped)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "event_type": [str(key[1])],
+                "kept": [int(kept)],
+                "dropped": [int(dropped)],
+            }
+        )
+
+    @register(
+        "q_stream_debounce",
+        f"""
+        WITH g AS (
+          SELECT event_type,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > CAST({DEBOUNCE_GAP_S} AS BIGINT) * 1000000
+                      THEN 1 ELSE 0 END AS new_burst
+          FROM events
+          WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type,
+               CAST(SUM(new_burst) AS BIGINT) AS n_kept,
+               CAST(SUM(1 - new_burst) AS BIGINT) AS n_dropped
+        FROM g GROUP BY event_type ORDER BY event_type
+        """,
+        doc="STREAMING debounce: per-(user, type) burst state (last event "
+        "time + running kept/dropped counts) evolves ACROSS micro-batches "
+        "via applyInPandasWithState — history arrives as 4 time-ordered "
+        "day slices, so bursts straddling a batch boundary are only "
+        "collapsed correctly if the state carries over (state is O(#keys), "
+        "hash-spread across executors). The converged per-type counts "
+        "must equal the batch debounce exactly. Every path — the "
+        "stateful fold, the batch twin, and both oracles — compares "
+        "MICROSECOND gaps (the fixture's timestamps carry sub-second "
+        "micros; whole-second epochs would truncate boundary gaps).",
+    )
+    def q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+
+        from ..plans.util import cached_fixture_dir
+
+        configure_state_store(spark)
+
+        ev = t(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("tsu"),
+        )
+        bounds = [(1, 8), (9, 15), (16, 23), (24, 31)]
+
+        def build(inbox: str) -> None:
+            scratch = _os.path.join(inbox, "_scratch")
+            base_mtime = 1_600_000_000
+            for i, (d0, d1) in enumerate(bounds):
+                part = _os.path.join(scratch, f"slice{i}")
+                (
+                    ev.where(
+                        F.dayofmonth(F.timestamp_micros("tsu")).between(d0, d1)
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(part)
+                )
+                src = next(
+                    f for f in _os.listdir(part) if f.endswith(".parquet")
+                )
+                dst = _os.path.join(inbox, f"{i:02d}.parquet")
+                _shutil.copyfile(_os.path.join(part, src), dst)
+                _os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+            _shutil.rmtree(scratch, ignore_errors=True)
+
+        inbox = cached_fixture_dir(
+            "stream_debounce", sf_dir, f"debounce-v1 {bounds}", build
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, tsu long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(inbox)
+        )
+        updates = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+            fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        out = run_to_table(spark, updates, "update")
+        # kept/dropped are monotone per key; the max update is converged
+        conv = out.groupBy("user_id", "event_type").agg(
+            F.max("kept").alias("kept"), F.max("dropped").alias("dropped")
+        )
+        return (
+            conv.groupBy("event_type")
+            .agg(
+                F.sum("kept").cast("bigint").alias("n_kept"),
+                F.sum("dropped").cast("bigint").alias("n_dropped"),
+            )
+            .orderBy("event_type")
+        )
+
+
+_register_stream_debounce()
