@@ -107,7 +107,7 @@ def register(
 #      q_multimodal_frame_sample, q_text_quality,
 #      q_multimodal_binary_meta, q_udf_scalar_tokens — all green in
 #      CORRECTNESS_r03.json and under the local mirror).
-#   3. The 13 queries round 7 ADDED (never driver-checked, highest
+#   3. The 16 queries round 7 ADDED (never driver-checked, highest
 #      priority) — they take the remaining slots, so the 48 r04-stale
 #      queries (dedup/ANN/streaming/UDF families) wait one more round;
 #      their last driver records are green and their code is unchanged.
