@@ -782,15 +782,21 @@ def q_source_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "w")
         .agg(F.count("*").alias("c"))
+        .persist()  # feeds the marginal windows AND the corpus total
     )
+    # ts and cw are source-/word-keyed windows (they distribute); the
+    # corpus total must NOT be a global window — that moves the whole
+    # (source x vocab) aggregate through one partition. A scalar
+    # aggregate over the PERSISTED aggregate (no corpus rescan) crossed
+    # in broadcast costs one partial-agg reduce instead.
+    tc = sw.agg(F.sum("c").alias("tc"))
     tot = sw.select(
         "source",
         "w",
         "c",
         F.sum("c").over(Window.partitionBy("source")).alias("ts"),
         F.sum("c").over(Window.partitionBy("w")).alias("cw"),
-        F.sum("c").over(Window.partitionBy()).alias("tc"),
-    )
+    ).crossJoin(F.broadcast(tc))
     p_s = F.col("c") * F.lit(1.0) / F.col("ts")
     p_c = F.col("cw") * F.lit(1.0) / F.col("tc")
     term_q20 = F.floor(p_s * F.log(p_s / p_c) * F.lit(1048576.0) + F.lit(0.5)).cast(

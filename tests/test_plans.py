@@ -321,10 +321,15 @@ class TestRound7Plans:
         import re
 
         p = plan(spark, sf_dir, "q_source_divergence_kl")
-        # corpus marginals come from windows over the SAME (source, word)
-        # aggregate — one scan, no join, no second corpus shuffle
+        # corpus marginals come from windows over the SAME persisted
+        # (source, word) aggregate — one corpus scan; the corpus total is
+        # a 1-row broadcast crossed in (NOT a global window, which would
+        # move the whole aggregate through one partition), and the only
+        # join is that 1-row nested loop
         assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
-        assert "Join" not in p
+        assert "InMemoryTableScan" in p  # both branches reuse the aggregate
+        assert "BroadcastNestedLoopJoin" in p
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
     def test_mix_temperature_single_tiny_aggregate(self, spark, sf_dir):
         import re
