@@ -605,18 +605,25 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
+        .persist()  # feeds the bounded top-k AND the corpus total
     )
+    # top-VOCAB_TOP FIRST (TakeOrderedAndProject — a per-partition top-k
+    # + one k-row reduce), THEN rank/cumsum windows over those k rows
+    # only. The previous shape ranked the FULL vocabulary through a
+    # partition-less window — the whole aggregate through one task; the
+    # cumulative sum at rank r needs only the top-r counts, so the
+    # bounded slice is sufficient by construction. Corpus total = 1-row
+    # scalar over the persisted aggregate, crossed in broadcast.
+    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_TOP)
+    n = cnt.agg(F.sum("cnt").alias("n"))
     order = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    # total tokens = a global-frame sum window over the SAME vocabulary
-    # aggregate — one corpus scan + one shuffle total (a separate agg()
-    # branch would re-scan the corpus; pinned in tests/test_plans.py)
-    ranked = cnt.select(
+    ranked = top.crossJoin(F.broadcast(n)).select(
         F.row_number().over(order).cast("bigint").alias("rank"),
         "token",
         "cnt",
         F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("n"),
-    ).where(F.col("rank") <= VOCAB_TOP)
+        "n",
+    )
     return (
         ranked
         .select(

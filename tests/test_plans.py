@@ -269,11 +269,16 @@ class TestLateRound6Ops:
         p = plan(spark, sf_dir, "q_vocab_coverage")
         # token counting must be a partial (map-side) + final aggregate pair
         assert p.count("HashAggregate") >= 2
-        # the corpus is scanned once; rank/cumsum windows run over the
-        # aggregated vocabulary only
+        # the corpus is scanned once; the persisted aggregate feeds both
+        # the bounded top-k and the 1-row total
         assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
-        # the total is a window over the same aggregate — no join at all
-        assert "Join" not in p and "CartesianProduct" not in p
+        assert "InMemoryTableScan" in p
+        # top-k BEFORE the windows: TakeOrderedAndProject, never a full
+        # vocabulary sort through one partition; the only join is the
+        # broadcast 1-row total
+        assert "TakeOrderedAndProject" in p
+        assert "BroadcastNestedLoopJoin" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
         # unreferenced document columns pruned
         assert "lang" not in p and "source" not in p and "n_chars" not in p
 
