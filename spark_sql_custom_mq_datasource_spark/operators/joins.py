@@ -477,28 +477,35 @@ SKEW_TOP = 10
     LIMIT {SKEW_TOP}
     """,
     doc="join-key skew diagnostic: top-10 hottest events.user_id keys "
-    "with corpus share and multiple-of-average (Q20) — one key shuffle, "
-    "totals via a window over the same aggregate, no second scan.",
+    "with corpus share and multiple-of-average (Q20) — one key shuffle "
+    "into a persisted aggregate; top-k via TakeOrderedAndProject and "
+    "totals via a broadcast 1-row scalar (no partition-less window).",
 )
 def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    g = Window.partitionBy()
+    # the key aggregate feeds the bounded top-k AND the 1-row totals;
+    # a partition-less window here would move EVERY key through one
+    # task (at 100 TB the key aggregate is itself huge) — instead the
+    # top-k is TakeOrderedAndProject and the totals cross in broadcast
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
+    tot = c.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("n_keys")
+    )
     q20 = F.lit(1048576.0)
+    top = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(SKEW_TOP)
     return (
-        c.select(
+        top.crossJoin(F.broadcast(tot))
+        .select(
             "user_id",
             "cnt",
-            F.floor(F.col("cnt") * q20 / F.sum("cnt").over(g) + F.lit(0.5))
+            F.floor(F.col("cnt") * q20 / F.col("n") + F.lit(0.5))
             .cast("bigint")
             .alias("share_q20"),
             F.floor(
-                F.col("cnt") * F.count("*").over(g) * q20 / F.sum("cnt").over(g)
-                + F.lit(0.5)
+                F.col("cnt") * F.col("n_keys") * q20 / F.col("n") + F.lit(0.5)
             )
             .cast("bigint")
             .alias("x_avg_q20"),
         )
         .orderBy(F.desc("cnt"), F.asc("user_id"))
-        .limit(SKEW_TOP)
     )

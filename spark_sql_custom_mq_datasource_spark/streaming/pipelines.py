@@ -2018,13 +2018,14 @@ def _register_stream_gram_mv() -> None:
             if q.isActive:
                 q.stop()
 
+        # top-20 via orderBy+limit (TakeOrderedAndProject): the converged
+        # count table is vocabulary-scale, and a partition-less ranking
+        # window would drag all of it through one task
         counts = read_snapshot(spark, table)
-        w = Window.orderBy(F.desc("cnt"), "gram")
         return (
-            counts.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 20)
-            .select("gram", F.col("cnt").cast("bigint").alias("cnt"))
+            counts.select("gram", F.col("cnt").cast("bigint").alias("cnt"))
             .orderBy(F.desc("cnt"), "gram")
+            .limit(20)
         )
 
 

@@ -297,7 +297,13 @@ class TestLateRound6Ops:
 
         p = plan(spark, sf_dir, "q_join_key_skew_report")
         assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
-        assert "Join" not in p  # totals via window over the same aggregate
+        # the persisted key aggregate feeds the bounded top-k AND the
+        # 1-row totals; only join = the broadcast 1-row nested loop
+        # (a partition-less window here would move every key through
+        # one task)
+        assert "InMemoryTableScan" in p
+        assert "BroadcastNestedLoopJoin" in p
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
         assert "TakeOrderedAndProject" in p
 
     def test_cross_source_matrix_single_scan_no_join(self, spark, sf_dir):
