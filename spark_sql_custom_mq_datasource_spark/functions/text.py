@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..plans.util import t, tp
+from ..plans.util import materialize_small, t, tp
 
 # Small embedded stopword lists per language — marker words for the n-gram /
 # lexicon language-ID heuristic. Deterministic, no external model.
@@ -624,7 +624,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
         "n",
     )
-    return (
+    out = (
         ranked
         .select(
             "rank",
@@ -636,6 +636,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+    # top-100 rows: materialize locally so the vocabulary aggregate's
+    # persist doesn't outlive the query (ADVICE r07 item 2)
+    return materialize_small(spark, out, cnt)
 
 
 # --------------------------------------------------------------------------
@@ -809,7 +812,7 @@ def q_source_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_q20 = F.floor(p_s * F.log(p_s / p_c) * F.lit(1048576.0) + F.lit(0.5)).cast(
         "bigint"
     )
-    return (
+    out = (
         tot.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_terms"),
@@ -817,6 +820,9 @@ def q_source_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    # |sources| rows: materialize locally so the (source, word) aggregate's
+    # persist doesn't outlive the query (ADVICE r07 item 2)
+    return materialize_small(spark, out, sw)
 
 
 # --------------------------------------------------------------------------
@@ -844,9 +850,9 @@ def q_source_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_words) AS BIGINT) AS word_sum,
            CAST(SUM(n_units) AS BIGINT) AS unit_sum,
-           CAST(floor(SUM(n_units) * 1048576.0 / SUM(n_words) + 0.5)
+           CAST(floor(SUM(n_units) * 1048576.0 / NULLIF(SUM(n_words), 0) + 0.5)
                 AS BIGINT) AS fertility_q20,
-           CAST(floor(SUM(n_chars) * 1048576.0 / SUM(n_units) + 0.5)
+           CAST(floor(SUM(n_chars) * 1048576.0 / NULLIF(SUM(n_units), 0) + 0.5)
                 AS BIGINT) AS chars_per_unit_q20
     FROM d GROUP BY lang ORDER BY lang
     """,
@@ -869,13 +875,24 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_words").cast("bigint").alias("word_sum"),
             F.sum("n_units").cast("bigint").alias("unit_sum"),
+            # NULLIF-style guards: a lang group whose texts are whitespace-
+            # only has SUM(n_units)=0 — the oracle's NULLIF yields NULL
+            # there while an unguarded Spark division also NULLs, but only
+            # by the non-ANSI accident; F.when pins NULL deliberately in
+            # BOTH semantics (ADVICE r07 item 5).
             F.floor(
-                F.sum("n_units") * F.lit(1048576.0) / F.sum("n_words") + F.lit(0.5)
+                F.sum("n_units")
+                * F.lit(1048576.0)
+                / F.when(F.sum("n_words") != 0, F.sum("n_words"))
+                + F.lit(0.5)
             )
             .cast("bigint")
             .alias("fertility_q20"),
             F.floor(
-                F.sum("n_chars") * F.lit(1048576.0) / F.sum("n_units") + F.lit(0.5)
+                F.sum("n_chars")
+                * F.lit(1048576.0)
+                / F.when(F.sum("n_units") != 0, F.sum("n_units"))
+                + F.lit(0.5)
             )
             .cast("bigint")
             .alias("chars_per_unit_q20"),

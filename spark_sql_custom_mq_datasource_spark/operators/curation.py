@@ -1077,8 +1077,13 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Engine portability: weights are quantized to int64 BEFORE any ratio
 # (wt_q = floor(sqrt(n)·2^20 + 0.5)); shares, remainders, and the
-# apportionment all run in exact int64 arithmetic, so Spark and DuckDB
-# agree bit-for-bit with no float-summation-order hazard.
+# apportionment run in exact 128-bit integer arithmetic — the products
+# tot*wt_q and wt_q*2^20 overflow int64 once tot*sqrt(n_source) passes
+# ~8.8e12 (a ~1e9-doc corpus with a dominant source; ADVICE r07 item 1),
+# where non-ANSI Spark would wrap silently while DuckDB errors. DuckDB
+# computes them in HUGEINT, Spark in DECIMAL(38,0) (both exact 128-bit);
+# base ≤ tot and rem < sw both fit int64, so the RESULTS cast back
+# losslessly and the engines agree bit-for-bit at any corpus size.
 #
 # Scale shape: one count-by-source aggregate (|sources| rows) carries the
 # whole computation; the windows run over that tiny aggregate.
@@ -1099,15 +1104,15 @@ MIX_ALPHA_SQRT = True  # α = 0.5 realized as sqrt(n)
                  SUM(wt_q) OVER () AS sw, SUM(n) OVER () AS tot
           FROM w),
     sh AS (SELECT source, n, wt_q, sw, tot,
-                  (tot * wt_q) // sw AS base,
-                  (tot * wt_q) % sw AS rem
+                  CAST((CAST(tot AS HUGEINT) * wt_q) // sw AS BIGINT) AS base,
+                  CAST((CAST(tot AS HUGEINT) * wt_q) % sw AS BIGINT) AS rem
            FROM s),
     r AS (SELECT *,
                  ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
                  SUM(base) OVER () AS base_sum
           FROM sh)
     SELECT source, CAST(n AS BIGINT) AS n_docs,
-           CAST((wt_q * 1048576) // sw AS BIGINT) AS weight_q20,
+           CAST((CAST(wt_q AS HUGEINT) * 1048576) // sw AS BIGINT) AS weight_q20,
            CAST(base + CASE WHEN rk <= tot - base_sum THEN 1 ELSE 0 END
                 AS BIGINT) AS target_docs
     FROM r ORDER BY source
@@ -1140,8 +1145,12 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wt_q",
         "sw",
         "tot",
-        F.expr("(tot * wt_q) div sw").alias("base"),
-        (F.col("tot") * F.col("wt_q") % F.col("sw")).alias("rem"),
+        F.expr(
+            "CAST((CAST(tot AS DECIMAL(38,0)) * wt_q) div sw AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "CAST((CAST(tot AS DECIMAL(38,0)) * wt_q) % sw AS BIGINT)"
+        ).alias("rem"),
     )
     r = sh.select(
         "*",
@@ -1151,7 +1160,9 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "source",
         F.col("n").cast("bigint").alias("n_docs"),
-        F.expr("(wt_q * 1048576) div sw").cast("bigint").alias("weight_q20"),
+        F.expr(
+            "CAST((CAST(wt_q AS DECIMAL(38,0)) * 1048576) div sw AS BIGINT)"
+        ).alias("weight_q20"),
         (
             F.col("base")
             + F.when(

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import register
-from ..plans.util import t
+from ..plans.util import materialize_small, t
 
 # --------------------------------------------------------------------------
 # Generic as-of join
@@ -493,7 +493,7 @@ def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q20 = F.lit(1048576.0)
     top = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(SKEW_TOP)
-    return (
+    out = (
         top.crossJoin(F.broadcast(tot))
         .select(
             "user_id",
@@ -509,3 +509,6 @@ def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), F.asc("user_id"))
     )
+    # top-10 rows: materialize locally so the key aggregate's persist
+    # doesn't outlive the query (ADVICE r07 item 2)
+    return materialize_small(spark, out, c)

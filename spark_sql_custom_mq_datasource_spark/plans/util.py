@@ -104,30 +104,83 @@ def work_dir(name: str) -> str:
     return path
 
 
-def cached_fixture_dir(name: str, sf_dir: str, spec: str, build) -> str:
-    """Build ONCE (per name+sf_dir+spec) a fixture directory via
-    build(path); reuse on every later invocation and across sessions.
-    The _READY marker records the spec, so any spec change rebuilds.
-    Underscore-prefixed marker files are invisible to Spark's readers."""
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the source fixture: (name, size, mtime_ns)
+    of every parquet entry under sf_dir. Keying the derived-fixture cache
+    on this (not just the PATH) means regenerating the fixture in place
+    at the same sf_dir invalidates every derived slice (ADVICE r07
+    item 3). One directory scan — no file reads."""
     import hashlib
+
+    entries = []
+    try:
+        for e in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if e.name.endswith(".parquet"):
+                st = e.stat()
+                entries.append((e.name, st.st_size, st.st_mtime_ns))
+                if e.is_dir():  # directory-style parquet dataset
+                    for p in sorted(os.scandir(e.path), key=lambda p: p.name):
+                        ps = p.stat()
+                        entries.append((p.name, ps.st_size, ps.st_mtime_ns))
+    except FileNotFoundError:
+        pass
+    return hashlib.md5(repr(entries).encode()).hexdigest()
+
+
+def _build_cached_dir(path: str, spec: str, build) -> str:
+    """Reuse `path` if its _READY marker records `spec`; otherwise build
+    into a scratch sibling and RENAME it into place, the marker written
+    BEFORE the rename so the rename is the atomic commit — a reader (or
+    concurrent builder) never observes a half-built directory the way
+    the old rmtree→build→marker sequence allowed (ADVICE r07 item 3).
+    If a concurrent builder wins the rename, its same-spec result is
+    reused."""
     import shutil
+
+    marker = os.path.join(path, "_READY")
+
+    def ready() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read() == spec
+        except OSError:
+            return False
+
+    if ready():
+        return path
+    tmp = f"{path}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    build(tmp)
+    with open(os.path.join(tmp, "_READY"), "w") as f:
+        f.write(spec)
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not ready():  # loser of a DIFFERENT-spec race: genuine failure
+            raise
+    return path
+
+
+def cached_fixture_dir(name: str, sf_dir: str, spec: str, build) -> str:
+    """Build ONCE (per name + sf_dir CONTENT + spec) a fixture directory
+    via build(path); reuse on every later invocation and across sessions.
+    The _READY marker records spec + source fingerprint, so a spec change
+    OR an in-place fixture regeneration rebuilds; the build is committed
+    by an atomic rename. Underscore-prefixed marker files are invisible
+    to Spark's readers."""
+    import hashlib
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_inbox", f"{name}_{tag}"
     )
-    marker = os.path.join(path, "_READY")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read() == spec:
-                return path
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    build(path)
-    with open(marker, "w") as f:
-        f.write(spec)
-    return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    full_spec = f"{spec}\nsrc={_fixture_fingerprint(sf_dir)}"
+    return _build_cached_dir(path, full_spec, build)
 
 
 def stream_inbox(df: DataFrame, name: str, sf_dir: str, slices: int = 4) -> str:
@@ -139,29 +192,35 @@ def stream_inbox(df: DataFrame, name: str, sf_dir: str, slices: int = 4) -> str:
     fixture-write dominate the timed body, so the streaming family could
     never join the bench without measuring harness I/O (VERDICT r06
     "what's wrong" item 2). The slice content is a deterministic function
-    of (fixture sf_dir, column set, slice count), so a _READY marker
-    recording that spec makes reuse safe across invocations AND across
-    sessions; any spec change rebuilds."""
-    import hashlib
+    of (fixture CONTENT, column set, slice count) — cached via
+    cached_fixture_dir, which fingerprints the source parquet and commits
+    builds atomically."""
     import json
-    import shutil
-    import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_inbox", f"{name}_{tag}"
-    )
-    marker = os.path.join(path, "_READY")
     spec = json.dumps({"slices": slices, "cols": df.columns, "sf_dir": sf_dir})
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read() == spec:
-                return path
-    shutil.rmtree(path, ignore_errors=True)
-    df.repartition(slices).write.mode("overwrite").parquet(path)
-    with open(marker, "w") as f:
-        f.write(spec)
-    return path
+    return cached_fixture_dir(
+        name,
+        sf_dir,
+        spec,
+        lambda p: df.repartition(slices).write.mode("overwrite").parquet(p),
+    )
+
+
+def materialize_small(
+    spark: SparkSession, df: DataFrame, *unpersist: DataFrame
+) -> DataFrame:
+    """Collect a CONTRACTUALLY BOUNDED result (top-k slice, per-source
+    rollup — never corpus-sized) into a local relation so the persisted
+    intermediates that fed it can be unpersisted before the query
+    returns. Without this, queries that .persist() a shared aggregate
+    leak it into the session cache for the rest of a 50+ query
+    bench/correctness run (ADVICE r07 item 2); with it, the cache
+    lifetime is exactly the query's own execution."""
+    rows = df.collect()
+    out = spark.createDataFrame(rows, df.schema)
+    for d in unpersist:
+        d.unpersist()
+    return out
 
 
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:

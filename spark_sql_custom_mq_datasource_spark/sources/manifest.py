@@ -998,9 +998,17 @@ def q_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     if m_after.get("delete_files"):
         raise RuntimeError("compaction must fold delete vectors in")
     # the pre-compaction snapshot is still consistent (old files + its
-    # delete vectors), readable until GC
-    if read_append_table_mor(spark, table, v_before).count() != (
-        read_append_table(spark, table, v_after).count()
+    # delete vectors), readable until GC. CONTENT equality, not just
+    # count — a compaction that dropped and duplicated equal numbers of
+    # rows would pass a count compare (ADVICE r07 item 4). exceptAll
+    # keeps duplicate multiplicity honest; at scale this check is
+    # O(table) and would run as a sampled/per-partition audit, but the
+    # assertion itself is the contract.
+    before = read_append_table_mor(spark, table, v_before)
+    after = read_append_table(spark, table, v_after)
+    if (
+        before.exceptAll(after).limit(1).count() > 0
+        or after.exceptAll(before).limit(1).count() > 0
     ):
         raise RuntimeError("old and compacted snapshots must read identically")
     out = read_append_table(spark, table, v_after)
