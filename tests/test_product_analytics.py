@@ -151,3 +151,42 @@ class TestSessionPaths:
         }
         _cache.clear()
         assert got == {"a>b": 2, "c": 1, ">".join(["x"] * 12): 1}
+
+
+class TestAttributionCap:
+    def test_bot_user_fanout_is_capped_to_most_recent(self, spark, tmp_path):
+        """Adversarial hot key (VERDICT r07 item 3): one bot user with 200
+        touches inside the 24h lookback of a single purchase. The pid
+        window must keep exactly MTA_MAX_TOUCHES rows — the MOST RECENT
+        ones — so per-purchase state is bounded no matter the key's heat,
+        and total credit still sums to ~one Q20 unit."""
+        from spark_sql_custom_mq_datasource_spark.plans import (
+            product_analytics as pa,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        cap = pa.MTA_MAX_TOUCHES
+        purchase_ts = dt.datetime(2024, 1, 2, 12, 0, 0)
+        rows = [(1_000_000, 7, "purchase", purchase_ts)]
+        # 200 touches, one per minute counting back from the purchase:
+        # the newest `cap` are clicks, everything older is a view — only
+        # clicks may survive the recency cap.
+        for i in range(200):
+            ts = purchase_ts - dt.timedelta(minutes=i + 1)
+            etype = "click" if i < cap else "view"
+            rows.append((i, 7, etype, ts))
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        sf_dir = str(tmp_path)
+        ev.write.parquet(f"{sf_dir}/events.parquet")
+        _cache.clear()
+        got = {
+            r["event_type"]: (r["n_touches"], r["credit_q20_sum"])
+            for r in pa.q_attribution_linear(spark, sf_dir).collect()
+        }
+        _cache.clear()
+        assert set(got) == {"click"}  # the 136 older views were cut
+        n, credit = got["click"]
+        assert n == cap
+        assert credit == cap * (1048576 // cap)  # floor(2^20/64)=16384 each
