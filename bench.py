@@ -45,6 +45,14 @@ LEGACY_HEADLINE = frozenset(
     }
 )
 
+# Stateful-streaming representative(s), timed LAST in their own group and
+# summed in `streaming_total` only — state-store (RocksDB +
+# applyInPandasWithState) regressions become visible without polluting
+# the batch trend lines (VERDICT r07 item 3). The debounce inbox is
+# cached (plans/util.stream_inbox), so the timed body is the stateful
+# fold, not fixture I/O.
+STREAMING_HEADLINE = frozenset({"q_stream_debounce"})
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,8 +111,13 @@ def main() -> None:
     # regressions (observed ~10% drift when interleaved, round 7).
     times: dict[str, float] = {}
     legacy_first = [n for n in headline if n in LEGACY_HEADLINE]
-    extended_rest = [n for n in headline if n not in LEGACY_HEADLINE]
-    for group in (legacy_first, extended_rest):
+    streaming_last = [n for n in headline if n in STREAMING_HEADLINE]
+    extended_rest = [
+        n
+        for n in headline
+        if n not in LEGACY_HEADLINE and n not in STREAMING_HEADLINE
+    ]
+    for group in (legacy_first, extended_rest, streaming_last):
         for _ in range(2):
             for name in group:
                 t0 = time.perf_counter()
@@ -143,7 +156,14 @@ def main() -> None:
         "extended_r6_total": round(
             sum(v for n, v in times.items() if n in r6_set), 3
         ),
-        "extended_total": round(sum(times.values()), 3),
+        # batch queries only — the streaming group reports separately so
+        # both trend lines stay comparable round-over-round
+        "extended_total": round(
+            sum(v for n, v in times.items() if n not in STREAMING_HEADLINE), 3
+        ),
+        "streaming_total": round(
+            sum(times.get(n, 0.0) for n in streaming_last), 3
+        ),
         "legacy_queries": legacy,
         "queries": times,
         "sf": float(sf),

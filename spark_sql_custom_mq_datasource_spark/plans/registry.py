@@ -111,71 +111,91 @@ def register(
 #      priority) — they take the remaining slots, so the 48 r04-stale
 #      queries (dedup/ANN/streaming/UDF families) wait one more round;
 #      their last driver records are green and their code is unchanged.
-#   ROUND-8 ROTATION PLAN: lead with anything round 8 adds or edits,
-#   then the 48 r04-stale queries (oldest families first: dedup, ANN,
-#   mq/streaming, UDF), then r05-stale.
+# ROUND-8 prefix (executes VERDICT r07 item 1 / the round-7 ROTATION
+# PLAN): lead with the 3 queries round 8 ADDED (never driver-checked)
+# and the 8 whose code or oracle CHANGED this round (temperature mixing
+# moved to 128-bit apportionment; fertility gained NULLIF guards; vocab/
+# KL/skew materialize-and-unpersist; manifest-compact's content-equality
+# assert; attribution's MTA_MAX_TOUCHES cap; the LSH index gained the
+# label payload that q_ann_lsh_persisted now reads). Then the 2 r03-stale
+# records (the oldest anywhere), then 37 of the 48 r04-stale queries,
+# oldest families first per the round-7 plan: dedup, ANN, mq/streaming,
+# UDF. Eleven r04 greens wait one more round to make room, each with
+# family cover in-prefix or fresh-sibling cover: q_dedup_ngram_jaccard +
+# q_dedup_minhash_lsh (the new q_dedup_incremental_minhash re-exercises
+# the identical shingle/minhash/verify machinery; 4 dedup siblings stay
+# in), q_stream_rate_source (13 streaming siblings stay in),
+# q_events_json_extract / q_events_sliding_6h / q_events_pivot_daily
+# (tumbling_1d + sessionize stay in), q_wordcount_topk (bench-exercised
+# every round + q_stream_mq_wordcount r05-green), q_fuzzy_source_pairs,
+# q_mqlog_roundtrip, q_map_functions, q_partition_pruned_day. All eleven
+# stay green in CORRECTNESS_r04.json with code unchanged.
+#   ROUND-9 ROTATION PLAN: lead with anything round 9 adds or edits,
+#   then the 11 r04-stale queries above, then the r05-stale block
+#   (the round-5 additions: PII, runtime-filter, TF-IDF, chunking,
+#   JSONL, BM25, DSIR, heavy hitters, quality gates), then r06-stale.
 _PRIORITY: tuple[str, ...] = (
-    # ==== ROUND-7 PREFIX ================================================
-    # -- never driver-checked (the 22 post-r06-freeze queries): manifest
-    #    family, streaming five, product analytics, read-outs ------------
-    "q_manifest_row_deletes",
-    "q_manifest_snapshot_diff",
-    "q_cdf_incremental_consumer",
-    "q_manifest_partition_evolution",
-    "q_stream_manifest_ingest",
-    "q_stream_mq_to_manifest",
-    "q_stream_funnel_stateful",
-    "q_stream_kmeans_assign",
-    "q_stream_gram_counts_mv",
-    "q_pipeline_end_to_end",
-    "q_dedup_rerank_cosine",
-    "q_dedup_cross_source_matrix",
-    "q_sample_weighted_per_source",
-    "q_attribution_last_view",
-    "q_ab_experiment_readout",
-    "q_funnel_time_to_convert",
-    "q_gapfill_user_daily",
-    "q_gapfill_locf",
-    "q_event_transitions",
-    "q_vocab_coverage",
-    "q_session_paths_topk",
-    "q_join_key_skew_report",
-    # -- code changed THIS round: re-check despite r06 green -------------
-    # (mv-merge rewritten onto the manifest exactly-once commit path;
-    # retention-prune gained the null-partition guard; stats-skip the
-    # empty-stats guard; every manifest query sits on the re-pinned CAS)
-    "q_stream_mv_merge",
-    "q_manifest_retention_prune",
-    "q_manifest_stats_skip",
-    # -- r03-stale (oldest remaining driver records; range-join steps
-    #    aside for the round-7 additions, stays green in r03's record;
-    #    so does the bucketed join) --
-    "q_text_normalize",
-    "q_text_lang_agg",
-    "q_mix_upsample",
-    "q_pack_sequences",
-    "q_text_fingerprint",
-    "q_text_bpeish_tokens",
-    "q_multimodal_frame_sample",
-    "q_text_quality",
-    "q_multimodal_binary_meta",
-    "q_udf_scalar_tokens",
+    # ==== ROUND-8 PREFIX ================================================
     # -- ADDED this round: never driver-checked, highest priority --------
-    "q_text_repetition_scores",
-    "q_source_divergence_kl",
+    "q_dedup_incremental_minhash",
+    "q_hard_negative_ann",
+    "q_stream_dedup_incremental",
+    # -- code/oracle changed THIS round: re-check despite green records --
     "q_mix_temperature",
-    "q_split_leakage_free",
-    "q_embedding_dim_stats",
-    "q_hard_negative_mining",
-    "q_hybrid_rrf_topk",
-    "q_manifest_compact",
-    "q_stream_split_route",
     "q_tokenizer_fertility",
-    "q_events_debounce",
+    "q_vocab_coverage",
+    "q_source_divergence_kl",
+    "q_join_key_skew_report",
+    "q_manifest_compact",
     "q_attribution_linear",
-    "q_langid_confusion",
-    "q_dedup_keep_longest",
-    "q_stream_debounce",
+    "q_ann_lsh_persisted",
+    # -- r03-stale: the two oldest driver records in the repo ------------
+    "q_range_join_acctbal",
+    "q_bucketed_join_revenue",
+    # -- r04-stale, oldest families first: dedup ------------------------
+    "q_text_lang_id",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_embedding_cosine",
+    "q_dedup_clusters",
+    # -- r04-stale: ANN --------------------------------------------------
+    "q_ann_bruteforce_topk",
+    "q_ann_lsh_bucketed",
+    "q_ann_ivf",
+    "q_embedding_quantize",
+    "q_ann_recall_lsh",
+    # -- r04-stale: curation/selection -----------------------------------
+    "q_split_train_val_test",
+    "q_curation_pipeline",
+    "q_decontaminate_ngram",
+    "q_stratified_sample",
+    "q_dedup_incremental",
+    "q_token_budget_mix",
+    # -- r04-stale: UDF surface ------------------------------------------
+    "q_udf_grouped_user_stats",
+    "q_udf_grouped_agg_geomean",
+    "q_udtf_tokenize",
+    "q_multimodal_decode",
+    # -- r04-stale: joins ------------------------------------------------
+    "q_asof_join_last_order",
+    "q_salted_join_event_stats",
+    # -- r04-stale: mq/streaming ----------------------------------------
+    "q_stream_tumbling_1d",
+    "q_stream_tumbling_watermark",
+    "q_stream_sliding_6h",
+    "q_stream_dedup_pairs",
+    "q_stream_dedup_within_watermark",
+    "q_stream_stream_join",
+    "q_stream_stateful_stats",
+    "q_stream_session_windows",
+    "q_stream_static_join",
+    "q_stream_mq_replay",
+    "q_stream_foreachbatch_parquet",
+    "q_stream_transform_with_state",
+    "q_stream_stream_left_outer",
+    # -- r04-stale: events -----------------------------------------------
+    "q_events_tumbling_1d",
+    "q_events_sessionize",
 )
 
 

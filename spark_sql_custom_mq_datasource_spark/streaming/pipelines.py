@@ -2239,6 +2239,7 @@ def _register_stream_debounce() -> None:
         "stateful fold, the batch twin, and both oracles — compares "
         "MICROSECOND gaps (the fixture's timestamps carry sub-second "
         "micros; whole-second epochs would truncate boundary gaps).",
+        headline=True,  # the bench's stateful-streaming representative
     )
     def q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os as _os
@@ -2307,3 +2308,172 @@ def _register_stream_debounce() -> None:
 
 
 _register_stream_debounce()
+
+
+# --------------------------------------------------------------------------
+# STREAMING incremental dedup — the continuous-ingest flagship: documents
+# arrive as doc_id-ordered micro-batches; each batch is near-dup-checked
+# against a PERSISTED index (MinHash band table + shingle store) that
+# GROWS as batches commit — the daily-ingest loop of
+# q_dedup_incremental_minhash run as a stream. Per batch the work is
+# O(batch + collisions): batch bands probe index ∪ batch bands, exact
+# verification reads corpus shingles from the store, survivors append to
+# the output, and the batch's OWN sets/bands append to the index
+# (dups included — Jaccard is not transitive, so future arrivals must
+# still see every earlier doc, not just survivors). Because batches
+# arrive in doc_id order, "dup iff an earlier-id partner exists" folds
+# across batches exactly, and the converged result must equal the
+# one-shot batch dedup of the whole corpus — which is the oracle.
+# --------------------------------------------------------------------------
+
+
+def _register_stream_dedup_incremental() -> None:
+    from ..operators.dedup import (
+        _SQL_SHINGLES,
+        JACCARD_THRESHOLD,
+        _shingle_sets,
+        _verify_pairs,
+        banded_signatures,
+    )
+    from ..plans.util import cached_fixture_dir
+
+    @register(
+        "q_stream_dedup_incremental",
+        f"""
+        {_SQL_SHINGLES},
+        pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        dup AS (SELECT DISTINCT db AS doc_id FROM pairs
+                JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+                WHERE CAST(common AS DOUBLE) / (x.n + y.n - common)
+                        >= {JACCARD_THRESHOLD}),
+        d AS (SELECT doc_id, source FROM documents)
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_arrived,
+               CAST(SUM(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_surviving
+        FROM d LEFT JOIN dup ON dup.doc_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source
+        """,
+        doc="STREAMING incremental near-dup: doc_id-ordered micro-batches "
+        "probe a persisted MinHash index that grows batch-over-batch "
+        "(O(batch) work per trigger, corpus text never re-read); "
+        "survivors per source after the drain must equal the one-shot "
+        "batch dedup of the whole corpus — the oracle is that full "
+        "recompute.",
+    )
+    def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+        def build(inbox: str) -> None:
+            mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+            cuts = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
+            scratch = _os.path.join(inbox, "_scratch")
+            base_mtime = 1_600_000_000
+            for i in range(4):
+                part = _os.path.join(scratch, f"slice{i}")
+                (
+                    docs.where(
+                        (F.col("doc_id") >= cuts[i])
+                        & (F.col("doc_id") < cuts[i + 1])
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(part)
+                )
+                src = next(
+                    f for f in _os.listdir(part) if f.endswith(".parquet")
+                )
+                dst = _os.path.join(inbox, f"{i:02d}.parquet")
+                _shutil.copyfile(_os.path.join(part, src), dst)
+                _os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+            _shutil.rmtree(scratch, ignore_errors=True)
+
+        inbox = cached_fixture_dir(
+            "stream_dedup_inc", sf_dir, "dedup-inc-v1 quartiles", build
+        )
+        state = work_dir("stream_dedup_inc_state")
+        bands_dir = _os.path.join(state, "bands")
+        sets_dir = _os.path.join(state, "sets")
+        surv_dir = _os.path.join(state, "surv")
+
+        def fold(bdf: DataFrame, batch_id: int) -> None:
+            bsets = _shingle_sets(bdf).persist()
+            bbands = banded_signatures(bsets).persist()
+            try:
+                if _os.path.exists(_os.path.join(bands_dir, "_SUCCESS")):
+                    all_bands = spark.read.parquet(bands_dir).unionByName(bbands)
+                    all_sets = spark.read.parquet(sets_dir).unionByName(bsets)
+                else:
+                    all_bands, all_sets = bbands, bsets
+                l, r = bbands.alias("l"), all_bands.alias("r")
+                cand = (
+                    l.join(
+                        r,
+                        (F.col("l.band") == F.col("r.band"))
+                        & (F.col("l.sig") == F.col("r.sig"))
+                        & (F.col("r.doc_id") < F.col("l.doc_id")),
+                    )
+                    .select(
+                        F.col("r.doc_id").alias("da"),
+                        F.col("l.doc_id").alias("db"),
+                    )
+                    .distinct()
+                )
+                dups = (
+                    _verify_pairs(cand, all_sets, JACCARD_THRESHOLD)
+                    .select("db")
+                    .distinct()
+                )
+                surv = bdf.join(
+                    dups, bdf["doc_id"] == dups["db"], "left_anti"
+                ).select("doc_id", "source")
+                surv.write.mode("append").parquet(surv_dir)
+                bsets.write.mode("append").parquet(sets_dir)
+                bbands.write.mode("append").parquet(bands_dir)
+            finally:
+                bsets.unpersist()
+                bbands.unpersist()
+
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", _ckpt("dedup_inc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("stream_dedup_incremental did not drain")
+        finally:
+            q.stop()
+        surv = spark.read.parquet(surv_dir)
+        arrived = docs.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_arrived")
+        )
+        kept = surv.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_surviving")
+        )
+        return (
+            arrived.join(kept, "source", "left")
+            .select(
+                "source",
+                "n_arrived",
+                F.coalesce(F.col("n_surviving"), F.lit(0))
+                .cast("bigint")
+                .alias("n_surviving"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_stream_dedup_incremental()

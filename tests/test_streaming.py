@@ -271,3 +271,47 @@ class TestLateDataAccounting:
         # dropped straggler's 00:00 window never appears
         assert rows.get(dt.datetime(2024, 1, 1, 10, 0)) == 1
         assert dt.datetime(2024, 1, 1, 0, 0) not in rows
+
+
+class TestStreamDedupIncremental:
+    def test_cross_batch_dups_fold_exactly(self, spark, tmp_path):
+        """Dup pairs that STRADDLE micro-batch boundaries must be caught
+        by the growing persisted index: doc 30 (batch 2) duplicates doc 1
+        (batch 1), doc 90 (batch 4) duplicates doc 31 (batch 2), and an
+        in-batch pair (40, 41) dedups within its own trigger. The
+        converged per-source survivors must equal the one-shot batch
+        dedup of the whole corpus."""
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+        from spark_sql_custom_mq_datasource_spark.streaming import pipelines
+        from spark_sql_custom_mq_datasource_spark.plans.registry import QUERIES
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        uniq = [
+            f"unique document number {i} with entirely distinct words "
+            f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g"
+            for i in range(8)
+        ]
+        rows = [
+            (1, "s1", base),                     # batch 1 (ids 0-24)
+            (2, "s1", uniq[0]),
+            (10, "s2", uniq[1]),
+            (30, "s1", base),                    # batch 2 (25-49): dup of 1
+            (31, "s2", base + " extra"),         # J(31, base)=10/11 >= .8
+            (40, "s2", uniq[2] + " tail"),       # in-batch pair with 41
+            (41, "s2", uniq[2] + " tail"),
+            (60, "s1", uniq[3]),                 # batch 3 (50-74)
+            (90, "s2", base + " extra"),         # batch 4 (75-100): dup of 31
+            (95, "s1", uniq[4]),
+            (100, "s2", uniq[5]),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        sf = str(tmp_path)
+        df.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        got = {
+            r["source"]: (r["n_arrived"], r["n_surviving"])
+            for r in QUERIES["q_stream_dedup_incremental"].fn(spark, sf).collect()
+        }
+        _cache.clear()
+        # dups: 30 (vs 1), 31 (vs 1/30), 41 (vs 40), 90 (vs 31)
+        assert got == {"s1": (5, 4), "s2": (6, 3)}
