@@ -1251,3 +1251,102 @@ def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level (training-sequence) exact dedup — the granularity real
+# pretraining pipelines dedup at AFTER document dedup: two distinct
+# documents often share a boilerplate block that document-level Jaccard
+# keeps (the docs differ) but that still repeats verbatim in the token
+# stream the model trains on. Chunks here are NON-overlapping
+# CHUNK_WINDOW-token windows (overlap would duplicate by construction);
+# the keeper of each repeated chunk is its earliest (doc_id, chunk_id)
+# occurrence, and the read-out attributes kept/dropped chunks per
+# source — the "how many tokens does sequence-level dedup save" number.
+#
+# Scale shape: the chunking is a pure per-row projection (zero
+# shuffles); global keeper election is ONE md5-key window shuffle; the
+# rollup touches |sources| rows. Linear in corpus tokens.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_chunk_exact",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, source, ws,
+             unnest(generate_series(
+               0, CAST(floor((len(ws) - 1) / {CHUNK_WINDOW}) AS INTEGER)))
+               AS k
+      FROM w
+    ),
+    c AS (
+      SELECT doc_id, source, k AS chunk_id,
+             md5(array_to_string(
+               ws[k * {CHUNK_WINDOW} + 1 : k * {CHUNK_WINDOW} + {CHUNK_WINDOW}],
+               ' ')) AS h
+      FROM k
+    ),
+    r AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY doc_id, chunk_id) AS rk
+      FROM c
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM r GROUP BY source ORDER BY source
+    """,
+    doc="sequence-level exact dedup: non-overlapping "
+    f"{CHUNK_WINDOW}-token chunks, global keeper = earliest "
+    "(doc_id, chunk_id) per chunk hash (one md5-key window shuffle over "
+    "a zero-shuffle chunk projection); kept/dropped chunks per source — "
+    "the cross-document boilerplate that doc-level dedup can't see.",
+)
+def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ws = F.split(F.trim("text"), " ")
+    ks = F.sequence(
+        F.lit(0),
+        F.floor((F.size(ws) - 1) / F.lit(CHUNK_WINDOW)).cast("int"),
+    )
+    c = docs.select(
+        "doc_id", "source", ws.alias("ws"), F.explode(ks).alias("k")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("k").cast("int").alias("chunk_id"),
+        F.md5(
+            F.array_join(
+                F.slice("ws", F.col("k") * CHUNK_WINDOW + 1, CHUNK_WINDOW), " "
+            )
+        ).alias("h"),
+    )
+    r = c.select(
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("h").orderBy("doc_id", "chunk_id"))
+        .alias("rk"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

@@ -1234,3 +1234,92 @@ def q_hard_negative_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Multiprobe LSH — the recall knob of the persisted index (standard
+# practice in production ANN: probe the query's own bucket PLUS the
+# buckets at Hamming distance 1 in sign-signature space, i.e. the
+# neighbors most likely to hold near-misses of the hyperplane cuts).
+# 7 probes (1 + LSH_PLANES) multiply candidate cost by a small constant
+# while recovering most of the recall single-bucket probing loses;
+# because probe buckets are DISTINCT bucket ids and each candidate lives
+# in exactly one bucket, no candidate dedup step is needed. The probe
+# remains a bucket-key equi-join against the bucket-partitioned index —
+# at scale each probe prunes to its partition directory. Bucket ids are
+# exact int64 arithmetic, so the whole path stays fully value-checked.
+# --------------------------------------------------------------------------
+
+
+def _multiprobe_oracle_sql() -> str:
+    dot = _SQL_SEQ_DOT.format(a="p.qe", b="c.ue")
+    return f"""
+    WITH {_sql_bucket_ctes()},
+    b AS (SELECT e.vec_id, {_SQL_UNIT} AS ue, bk.bucket
+          FROM embeddings e JOIN buckets bk USING (vec_id)),
+    q0 AS (SELECT vec_id AS qid, ue AS qe, bucket AS qb
+           FROM b WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT qid, qe,
+             CASE WHEN j = 0 THEN qb ELSE xor(qb, 1 << (j - 1)) END AS pb
+      FROM q0, generate_series(0, {LSH_PLANES}) g(j)
+    ),
+    cand AS (
+      SELECT p.qid, c.vec_id AS neighbor_id, {dot} AS sim
+      FROM probes p JOIN b c ON c.bucket = p.pb AND c.vec_id != p.qid
+    )
+    SELECT qid, neighbor_id, rk FROM (
+      SELECT qid, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, neighbor_id) AS INT)
+               AS rk
+      FROM cand
+    ) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """
+
+
+@register(
+    "q_ann_lsh_multiprobe",
+    _multiprobe_oracle_sql(),
+    doc="multiprobe ANN over the persisted LSH index: each query probes "
+    "its own bucket + the 6 Hamming-1 buckets (7 distinct bucket-key "
+    "equi-joins' worth of candidates, no dedup needed since buckets "
+    "partition the corpus) — the standard recall knob that recovers "
+    "near-misses of the hyperplane cuts at a small constant cost; "
+    "fully value-checked via exact int64 bucket arithmetic.",
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dot
+
+    idx = spark.read.parquet(lsh_index_path(spark, sf_dir))
+    probes = F.array(
+        F.col("qb"),
+        *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_PLANES)],
+    )
+    queries = (
+        idx.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("ue").alias("qe"),
+            F.col("bucket").alias("qb"),
+        )
+        .select("qid", "qe", F.explode(probes).alias("pb"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        F.broadcast(queries)
+        .join(
+            idx,
+            (F.col("pb") == F.col("bucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .withColumn("sim", dot(F.col("qe"), F.col("ue")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
+    )

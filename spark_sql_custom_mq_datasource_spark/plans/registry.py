@@ -128,8 +128,11 @@ def register(
 # q_events_json_extract / q_events_sliding_6h / q_events_pivot_daily
 # (tumbling_1d + sessionize stay in), q_wordcount_topk (bench-exercised
 # every round + q_stream_mq_wordcount r05-green), q_fuzzy_source_pairs,
-# q_mqlog_roundtrip, q_map_functions, q_partition_pruned_day. All eleven
-# stay green in CORRECTNESS_r04.json with code unchanged.
+# q_mqlog_roundtrip, q_map_functions, q_partition_pruned_day — plus,
+# for the two late round-8 additions (multiprobe ANN, chunk dedup),
+# q_stream_sliding_6h and q_stream_static_join (11 streaming siblings
+# stay in). All thirteen stay green in CORRECTNESS_r04.json with code
+# unchanged.
 #   ROUND-9 ROTATION PLAN: lead with anything round 9 adds or edits,
 #   then the 11 r04-stale queries above, then the r05-stale block
 #   (the round-5 additions: PII, runtime-filter, TF-IDF, chunking,
@@ -140,6 +143,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_incremental_minhash",
     "q_hard_negative_ann",
     "q_stream_dedup_incremental",
+    "q_ann_lsh_multiprobe",
+    "q_dedup_chunk_exact",
     # -- code/oracle changed THIS round: re-check despite green records --
     "q_mix_temperature",
     "q_tokenizer_fertility",
@@ -182,13 +187,11 @@ _PRIORITY: tuple[str, ...] = (
     # -- r04-stale: mq/streaming ----------------------------------------
     "q_stream_tumbling_1d",
     "q_stream_tumbling_watermark",
-    "q_stream_sliding_6h",
     "q_stream_dedup_pairs",
     "q_stream_dedup_within_watermark",
     "q_stream_stream_join",
     "q_stream_stateful_stats",
     "q_stream_session_windows",
-    "q_stream_static_join",
     "q_stream_mq_replay",
     "q_stream_foreachbatch_parquet",
     "q_stream_transform_with_state",

@@ -1781,3 +1781,34 @@ class TestDedupKeepLongest:
         _cache.clear()
         assert out["s2"]["n_survivors"] == 1 and out["s2"]["token_sum"] == 5
         assert out["s1"]["n_survivors"] == 1 and out["s1"]["token_sum"] == 2
+
+
+class TestMultiprobeLsh:
+    def test_multiprobe_recall_dominates_single_bucket(self, spark, sf_dir):
+        """Multiprobe candidates are a superset of the single-bucket
+        candidates (probe j=0 IS the query's own bucket), so per-query
+        recall vs exact brute force must never drop — the property that
+        makes multiprobe a pure recall knob."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            ann_recall_at_k,
+            q_ann_bruteforce_topk,
+            q_ann_lsh_multiprobe,
+            q_ann_lsh_persisted,
+        )
+
+        exact = q_ann_bruteforce_topk(spark, sf_dir)
+        single = {
+            r["qid"]: r["recall"]
+            for r in ann_recall_at_k(
+                exact, q_ann_lsh_persisted(spark, sf_dir)
+            ).collect()
+        }
+        multi = {
+            r["qid"]: r["recall"]
+            for r in ann_recall_at_k(
+                exact, q_ann_lsh_multiprobe(spark, sf_dir)
+            ).collect()
+        }
+        assert set(multi) == set(single)
+        for qid in single:
+            assert multi[qid] >= single[qid], (qid, single[qid], multi[qid])
