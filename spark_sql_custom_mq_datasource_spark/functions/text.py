@@ -598,6 +598,17 @@ VOCAB_TOP = 100
     "rows returned.",
 )
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, cnt = _vocab_coverage_lazy(spark, sf_dir)
+    # top-100 rows: materialize locally so the vocabulary aggregate's
+    # persist doesn't outlive the query (ADVICE r07 item 2)
+    return materialize_small(spark, out, cnt)
+
+
+def _vocab_coverage_lazy(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy plan + its persisted intermediate (for plan tests and the
+    registered wrapper, which materializes then unpersists)."""
     from pyspark.sql import Window
 
     docs = tp(spark, sf_dir, "documents")
@@ -636,9 +647,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
-    # top-100 rows: materialize locally so the vocabulary aggregate's
-    # persist doesn't outlive the query (ADVICE r07 item 2)
-    return materialize_small(spark, out, cnt)
+    return out, cnt
 
 
 # --------------------------------------------------------------------------
@@ -783,6 +792,17 @@ def q_text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "marginal dominates every source term.",
 )
 def q_source_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, sw = _source_divergence_kl_lazy(spark, sf_dir)
+    # |sources| rows: materialize locally so the (source, word) aggregate's
+    # persist doesn't outlive the query (ADVICE r07 item 2)
+    return materialize_small(spark, out, sw)
+
+
+def _source_divergence_kl_lazy(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy plan + its persisted intermediate (for plan tests and the
+    registered wrapper, which materializes then unpersists)."""
     from pyspark.sql import Window
 
     docs = tp(spark, sf_dir, "documents")
@@ -820,9 +840,7 @@ def q_source_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-    # |sources| rows: materialize locally so the (source, word) aggregate's
-    # persist doesn't outlive the query (ADVICE r07 item 2)
-    return materialize_small(spark, out, sw)
+    return out, sw
 
 
 # --------------------------------------------------------------------------

@@ -482,6 +482,17 @@ SKEW_TOP = 10
     "totals via a broadcast 1-row scalar (no partition-less window).",
 )
 def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, c = _join_key_skew_report_lazy(spark, sf_dir)
+    # top-10 rows: materialize locally so the key aggregate's persist
+    # doesn't outlive the query (ADVICE r07 item 2)
+    return materialize_small(spark, out, c)
+
+
+def _join_key_skew_report_lazy(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy plan + its persisted intermediate (for plan tests and the
+    registered wrapper, which materializes then unpersists)."""
     ev = t(spark, sf_dir, "events")
     # the key aggregate feeds the bounded top-k AND the 1-row totals;
     # a partition-less window here would move EVERY key through one
@@ -509,6 +520,4 @@ def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), F.asc("user_id"))
     )
-    # top-10 rows: materialize locally so the key aggregate's persist
-    # doesn't outlive the query (ADVICE r07 item 2)
-    return materialize_small(spark, out, c)
+    return out, c

@@ -20,6 +20,13 @@ from spark_sql_custom_mq_datasource_spark.plans.registry import QUERIES, get_que
 def plan(spark, sf_dir: str, name: str) -> str:
     get_queries()
     df = QUERIES[name].fn(spark, sf_dir)
+    return df_plan(spark, df)
+
+
+def df_plan(spark, df) -> str:
+    """Plan of a lazy DataFrame — for queries whose registered wrapper
+    materializes the (bounded) result to unpersist intermediates; their
+    lazy builders are asserted on directly."""
     return spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
@@ -266,7 +273,13 @@ class TestLateRound6Ops:
     def test_vocab_coverage_partial_agg_and_small_windows(self, spark, sf_dir):
         import re
 
-        p = plan(spark, sf_dir, "q_vocab_coverage")
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _vocab_coverage_lazy,
+        )
+
+        out, cnt = _vocab_coverage_lazy(spark, sf_dir)
+        p = df_plan(spark, out)
+        cnt.unpersist()
         # token counting must be a partial (map-side) + final aggregate pair
         assert p.count("HashAggregate") >= 2
         # the corpus is scanned once; the persisted aggregate feeds both
@@ -295,7 +308,13 @@ class TestLateRound6Ops:
     def test_skew_report_single_scan_no_join(self, spark, sf_dir):
         import re
 
-        p = plan(spark, sf_dir, "q_join_key_skew_report")
+        from spark_sql_custom_mq_datasource_spark.operators.joins import (
+            _join_key_skew_report_lazy,
+        )
+
+        out, c = _join_key_skew_report_lazy(spark, sf_dir)
+        p = df_plan(spark, out)
+        c.unpersist()
         assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
         # the persisted key aggregate feeds the bounded top-k AND the
         # 1-row totals; only join = the broadcast 1-row nested loop
@@ -331,7 +350,13 @@ class TestRound7Plans:
     def test_source_kl_single_scan(self, spark, sf_dir):
         import re
 
-        p = plan(spark, sf_dir, "q_source_divergence_kl")
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _source_divergence_kl_lazy,
+        )
+
+        out, sw = _source_divergence_kl_lazy(spark, sf_dir)
+        p = df_plan(spark, out)
+        sw.unpersist()
         # corpus marginals come from windows over the SAME persisted
         # (source, word) aggregate — one corpus scan; the corpus total is
         # a 1-row broadcast crossed in (NOT a global window, which would
@@ -383,3 +408,47 @@ class TestRound7Plans:
         assert "BroadcastHashJoin" in p
         # final fusion ranks Q20 integers, never raw doubles
         assert "rrf_q20" in p
+
+
+class TestRound8Plans:
+    def test_incremental_minhash_probe_is_equi_join(self, spark, sf_dir):
+        """Candidate generation must be a (band, sig)-keyed HASH equi-join
+        of batch bands against the persisted index — never a nested-loop
+        or cartesian fallback (the 100 TB cliff for a band probe)."""
+        p = plan(spark, sf_dir, "q_dedup_incremental_minhash")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert (
+            "SortMergeJoin" in p
+            or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p
+        )
+
+    def test_hard_negative_ann_probe_is_hash_join(self, spark, sf_dir):
+        """The combined plan carries the exact leg's single anchor-
+        broadcast nested loop (the fixture-scale verification); the ANN
+        leg's bucket probe must be a hash equi-join, so exactly one BNLJ
+        detail node may appear (formatted explain lists each node twice:
+        tree + detail — count the detail headers)."""
+        import re
+
+        p = plan(spark, sf_dir, "q_hard_negative_ann")
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+        assert "BroadcastHashJoin" in p
+
+    def test_multiprobe_join_is_bucket_equi(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_ann_lsh_multiprobe")
+        # probes explode (Generate) then equi-join the index on bucket
+        assert "Generate" in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+
+    def test_chunk_dedup_single_scan_no_join(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_dedup_chunk_exact")
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        assert "Join" not in p
+        assert "Window" in p  # keeper election = one md5-key window
+        assert "Generate" in p  # zero-shuffle chunk explode
