@@ -154,3 +154,83 @@ class TestAdversarialSkew:
         # None when the cap empties the index entirely (all-boilerplate) —
         # vacuously balanced; otherwise every key is at or under the cap.
         assert max_df_capped is None or max_df_capped <= cap
+
+
+class TestIncrementalMinhashEquivalence:
+    def test_planted_straddling_pairs_match_full_recompute(
+        self, spark, tmp_path
+    ):
+        """Adversarial corpus for the incremental index: near-dup pairs
+        planted to straddle the corpus/batch cut (including one at
+        J=8/9, just above threshold, and one at J=8/11, below), plus an
+        in-batch pair and an exact cross-cut dup. The incremental result
+        must equal the full-recompute classification per source."""
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            JACCARD_THRESHOLD,
+            jaccard_pairs,
+            q_dedup_incremental_minhash,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+        from pyspark.sql import functions as F
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        far = "one two three four five six seven eight nine ten eleven"
+        rows = [
+            # corpus (cut = floor(100*3/4) = 75)
+            (10, "s1", base),
+            (20, "s2", far),
+            (30, "s1", "completely different text with its own words here"),
+            # batch: exact dup of corpus doc
+            (80, "s1", base),
+            # batch: near dup of corpus doc, J = 8/9 >= 0.8
+            (85, "s2", base + " extra"),
+            # batch: NOT a dup, J = 8/11 < 0.8 (three appended words)
+            (90, "s1", base + " one two three"),
+            # batch: in-batch pair (95 earlier, 99 dup) — text disjoint
+            # from every corpus doc so the pair stays batch-internal
+            (95, "s2", "special pair body shared by two batch docs only"),
+            (99, "s2", "special pair body shared by two batch docs only"),
+            (100, "s1", "a fresh unique batch document nothing like others"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        sf = str(tmp_path)
+        df.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        got = {
+            r["source"]: (
+                r["n_batch"],
+                r["n_dup_vs_corpus"],
+                r["n_dup_in_batch"],
+                r["n_new_unique"],
+            )
+            for r in q_dedup_incremental_minhash(spark, sf).collect()
+        }
+        # full recompute with the exact inverted-index path
+        pairs = jaccard_pairs(df, JACCARD_THRESHOLD).collect()
+        cut = 75
+        vs_corpus = {p.db for p in pairs if p.da <= cut and p.db > cut}
+        in_batch = {
+            p.db for p in pairs if p.da > cut and p.db > cut
+        } - vs_corpus
+        batch = [(r[0], r[1]) for r in rows if r[0] > cut]
+        want = {}
+        for src in ("s1", "s2"):
+            ids = [i for i, s in batch if s == src]
+            want[src] = (
+                len(ids),
+                sum(1 for i in ids if i in vs_corpus),
+                sum(1 for i in ids if i in in_batch),
+                sum(1 for i in ids if i not in vs_corpus and i not in in_batch),
+            )
+        _cache.clear()
+        from spark_sql_custom_mq_datasource_spark.operators import dedup as dd
+
+        # release the tmp corpus's session shingle cache
+        for k in [k for k in dd._sets_cache if k[1] == sf]:
+            dd._sets_cache.pop(k).unpersist()
+        assert got == want
+        # sanity: the adversarial plants actually exercise every class
+        assert want["s1"] == (3, 1, 0, 2)   # 80 dup, 90 survives (J<0.8)
+        assert want["s2"] == (3, 1, 1, 1)   # 85 vs corpus, 99 in-batch

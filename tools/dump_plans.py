@@ -16,6 +16,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHOWCASE = [
     (
+        "q_dedup_incremental_minhash",
+        "Incremental near-dup vs a PERSISTED MinHash index: batch bands "
+        "equi-join index+batch bands on (band, sig) — hash/sort-merge, "
+        "never nested-loop; exact verification joins the persisted "
+        "shingle store by doc id. O(batch) compute, zero corpus rescan.",
+    ),
+    (
+        "q_hard_negative_ann",
+        "ANN-probed hard negatives: anchors equi-join the bucket-"
+        "partitioned LSH index (BroadcastHashJoin on bucket, label "
+        "filter on the index payload); the one BroadcastNestedLoopJoin "
+        "is the exact-verification leg, anchors-build-right.",
+    ),
+    (
+        "q_ann_lsh_multiprobe",
+        "Multiprobe ANN: 7 probe buckets per query via Generate "
+        "(explode), then ONE bucket-key equi-join against the persisted "
+        "index — no candidate dedup needed (buckets partition the "
+        "corpus), no nested loop.",
+    ),
+    (
+        "q_dedup_chunk_exact",
+        "Sequence-level dedup: zero-shuffle chunk projection (Generate "
+        "inside the scan stage), one md5-key Window for keeper "
+        "election, partial-agg rollup. Single corpus scan, no joins.",
+    ),
+    (
         "q1_pricing_summary",
         "Scan-heavy agg: filter pushed to parquet (PushedFilters), 7 of 16 "
         "columns read (ReadSchema), partial_sum below the exchange — the "
