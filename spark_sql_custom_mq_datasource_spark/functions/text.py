@@ -980,3 +980,67 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("label_share_q20"),
     ).orderBy("labeled_lang", "detected_lang")
+
+
+# --------------------------------------------------------------------------
+# BPE merge-pair counting — the inner loop of BPE tokenizer training
+# (Sennrich et al. 2016): the most frequent ADJACENT symbol pair,
+# counted over the VOCABULARY table weighted by word frequency — never
+# over the corpus (the classic trick: one corpus scan builds the word
+# table; every merge iteration after that runs on |vocab| rows). This
+# query is iteration 1 (character-level symbols), the shape every
+# further merge repeats; the top pair is what a real trainer would
+# merge next.
+#
+# Scale: corpus → vocab is ONE (word) shuffle with map-side combine;
+# vocab → pairs is ONE (pair) shuffle over |vocab| rows (vocab ≪
+# corpus); top-k plans as TakeOrderedAndProject. Words shorter than 2
+# chars carry no pair and are filtered (Spark's sequence(1, 0) would
+# DESCEND, not return empty — the filter pins one semantic for both
+# engines).
+# --------------------------------------------------------------------------
+
+BPE_TOP = 50
+
+
+@register(
+    "q_bpe_pair_counts",
+    f"""
+    WITH v AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+      ) WHERE len(word) >= 2 GROUP BY word
+    ),
+    p AS (
+      SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair, cnt
+      FROM v
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOP}
+    """,
+    doc="BPE merge-pair counting (tokenizer-training iteration 1): "
+    "adjacent character pairs counted over the word-frequency table — "
+    "corpus scanned once into the vocab, pairs aggregated over |vocab| "
+    "rows only; top-50 pairs by weighted count, the next-merge ranking.",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    p = v.select(F.explode(pairs).alias("pair"), "cnt")
+    return (
+        p.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )

@@ -131,8 +131,9 @@ def register(
 # q_mqlog_roundtrip, q_map_functions, q_partition_pruned_day — plus,
 # for the two late round-8 additions (multiprobe ANN, chunk dedup),
 # q_stream_sliding_6h and q_stream_static_join (11 streaming siblings
-# stay in). All thirteen stay green in CORRECTNESS_r04.json with code
-# unchanged.
+# stay in) — and for q_bpe_pair_counts, q_multimodal_decode
+# (frame-sample + binary-meta siblings are r07-green). All fourteen
+# stay green in CORRECTNESS_r04.json with code unchanged.
 #   ROUND-9 ROTATION PLAN: lead with anything round 9 adds or edits,
 #   then the 11 r04-stale queries above, then the r05-stale block
 #   (the round-5 additions: PII, runtime-filter, TF-IDF, chunking,
@@ -145,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_dedup_incremental",
     "q_ann_lsh_multiprobe",
     "q_dedup_chunk_exact",
+    "q_bpe_pair_counts",
     # -- code/oracle changed THIS round: re-check despite green records --
     "q_mix_temperature",
     "q_tokenizer_fertility",
@@ -180,7 +182,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_udf_grouped_user_stats",
     "q_udf_grouped_agg_geomean",
     "q_udtf_tokenize",
-    "q_multimodal_decode",
     # -- r04-stale: joins ------------------------------------------------
     "q_asof_join_last_order",
     "q_salted_join_event_stats",
