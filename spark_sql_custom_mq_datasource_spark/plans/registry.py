@@ -135,9 +135,15 @@ def register(
 # (frame-sample + binary-meta siblings are r07-green). All fourteen
 # stay green in CORRECTNESS_r04.json with code unchanged.
 #   ROUND-9 ROTATION PLAN: lead with anything round 9 adds or edits,
-#   then the 11 r04-stale queries above, then the r05-stale block
-#   (the round-5 additions: PII, runtime-filter, TF-IDF, chunking,
-#   JSONL, BM25, DSIR, heavy hitters, quality gates), then r06-stale.
+#   then the 14 deferred r04-stale queries above
+#   (q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_stream_rate_source,
+#   q_stream_sliding_6h, q_stream_static_join, q_events_json_extract,
+#   q_events_sliding_6h, q_events_pivot_daily, q_wordcount_topk,
+#   q_fuzzy_source_pairs, q_mqlog_roundtrip, q_map_functions,
+#   q_partition_pruned_day, q_multimodal_decode), then the r05-stale
+#   block (the round-5 additions: PII, runtime-filter, TF-IDF,
+#   chunking, JSONL, BM25, DSIR, heavy hitters, quality gates), then
+#   r06-stale.
 _PRIORITY: tuple[str, ...] = (
     # ==== ROUND-8 PREFIX ================================================
     # -- ADDED this round: never driver-checked, highest priority --------
