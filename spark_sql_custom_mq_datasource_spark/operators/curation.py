@@ -1126,6 +1126,13 @@ MIX_ALPHA_SQRT = True  # α = 0.5 realized as sqrt(n)
 def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    return temperature_targets(c)
+
+
+def temperature_targets(c: DataFrame) -> DataFrame:
+    """α=0.5 largest-remainder apportionment over a (source, n) counts
+    DataFrame — exposed separately so the 128-bit arithmetic can be
+    unit-tested at corpus sizes (tot·wt_q > int64) no fixture reaches."""
     w = c.withColumn(
         "wt_q",
         F.floor(F.sqrt(F.col("n").cast("double")) * F.lit(1048576.0) + F.lit(0.5))

@@ -148,7 +148,13 @@ def _build_cached_dir(path: str, spec: str, build) -> str:
 
     if ready():
         return path
-    tmp = f"{path}.build-{os.getpid()}"
+    # scratch must be unique per BUILDER, not per process — two threads
+    # of one process racing the same fixture otherwise share the scratch
+    # dir and delete each other's half-built files (caught by
+    # tests/test_operators.py TestFixtureCacheIntegrity)
+    import threading
+
+    tmp = f"{path}.build-{os.getpid()}-{threading.get_ident()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     build(tmp)

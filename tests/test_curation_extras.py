@@ -291,3 +291,86 @@ class TestChunkDocuments:
         )
         # stride == window (no overlap): chunk tokens partition the doc
         assert total == 23
+
+
+class TestTemperatureTargets128Bit:
+    def test_apportionment_exact_beyond_int64(self, spark):
+        """ADVICE r07 item 1: tot*wt_q must not wrap at int64. A 6e9-doc
+        corpus with a dominant source drives the product to ~5.6e26 —
+        far past int64 — and every value must still match exact Python
+        big-int arithmetic, with targets summing to the corpus size."""
+        import math
+
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            temperature_targets,
+        )
+
+        counts = {"web": 6_000_000_000, "books": 40_000_000, "code": 7}
+        c = spark.createDataFrame(
+            [(s, n) for s, n in counts.items()], "source string, n long"
+        )
+        got = {
+            r["source"]: (r["n_docs"], r["weight_q20"], r["target_docs"])
+            for r in temperature_targets(c).collect()
+        }
+        # exact reference in Python big ints
+        wt = {s: int(math.floor(math.sqrt(n) * 1048576 + 0.5)) for s, n in counts.items()}
+        sw, tot = sum(wt.values()), sum(counts.values())
+        base = {s: (tot * wt[s]) // sw for s in counts}
+        rem = {s: (tot * wt[s]) % sw for s in counts}
+        residue = tot - sum(base.values())
+        order = sorted(counts, key=lambda s: (-rem[s], s))
+        target = {
+            s: base[s] + (1 if order.index(s) < residue else 0) for s in counts
+        }
+        for s in counts:
+            assert got[s] == (counts[s], (wt[s] * 1048576) // sw, target[s]), s
+        assert sum(v[2] for v in got.values()) == tot
+
+
+class TestFertilityWhitespaceGuard:
+    def test_whitespace_only_lang_group_yields_null_in_both_engines(
+        self, spark, tmp_path
+    ):
+        """ADVICE r07 item 5: a lang whose texts contain no
+        letters/digits/punctuation has SUM(n_units)=0 — the ratio must
+        be NULL (not an error) in BOTH engines, and the engines must
+        agree on every cell."""
+        import duckdb
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        get_queries()
+        rows = [
+            (1, "xx", "   ", 3),          # whitespace-only: n_units = 0
+            (2, "xx", " \t ", 3),
+            (3, "en", "hello world ok", 14),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string, n_chars int"
+        )
+        sf = str(tmp_path)
+        df.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        q = QUERIES["q_tokenizer_fertility"]
+        srows = {r["lang"]: tuple(r) for r in q.fn(spark, sf).collect()}
+        _cache.clear()
+        # split(trim(ws-only)) yields [""], so n_words = 1 per doc and
+        # fertility is a defined 0; chars-per-unit divides by the zero
+        # unit count and must be the guarded NULL in both engines
+        assert srows["xx"][4] == 0
+        assert srows["xx"][5] is None
+        assert srows["en"][5] is not None
+        con = duckdb.connect()
+        # Spark wrote a directory dataset — glob its part files
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet/*.parquet')"
+        )
+        res = con.execute(q.oracle)
+        drows = {r[0]: tuple(r) for r in res.fetchall()}
+        assert srows == drows

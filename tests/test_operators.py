@@ -1812,3 +1812,113 @@ class TestMultiprobeLsh:
         assert set(multi) == set(single)
         for qid in single:
             assert multi[qid] >= single[qid], (qid, single[qid], multi[qid])
+
+
+class TestFixtureCacheIntegrity:
+    def _patch_tmp(self, tmp_path, monkeypatch):
+        import tempfile as _tf
+
+        monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+
+    def test_source_content_change_invalidates(self, tmp_path, monkeypatch):
+        """ADVICE r07 item 3: regenerating the fixture in place at the
+        SAME sf_dir must rebuild the derived directory."""
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.plans.util import (
+            cached_fixture_dir,
+        )
+
+        self._patch_tmp(tmp_path, monkeypatch)
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        src = sf / "documents.parquet"
+        src.write_bytes(b"one")
+        calls = []
+
+        def build(path):
+            calls.append(path)
+            open(f"{path}/data.txt", "w").write("x")
+
+        cached_fixture_dir("fp_fix", str(sf), "v1", build)
+        cached_fixture_dir("fp_fix", str(sf), "v1", build)
+        assert len(calls) == 1
+        # in-place regeneration: same name, new content + mtime
+        src.write_bytes(b"two-longer")
+        os.utime(src, (src.stat().st_atime, src.stat().st_mtime + 5))
+        cached_fixture_dir("fp_fix", str(sf), "v1", build)
+        assert len(calls) == 2
+
+    def test_failed_build_leaves_previous_fixture_intact(
+        self, tmp_path, monkeypatch
+    ):
+        """The rename commit means a crashing rebuild can never expose a
+        half-built directory: the old READY fixture stays readable."""
+        import os
+        import pytest
+
+        from spark_sql_custom_mq_datasource_spark.plans.util import (
+            cached_fixture_dir,
+        )
+
+        self._patch_tmp(tmp_path, monkeypatch)
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        (sf / "t.parquet").write_bytes(b"a")
+
+        def good(path):
+            open(f"{path}/data.txt", "w").write("good")
+
+        p = cached_fixture_dir("atomic_fix", str(sf), "v1", good)
+        assert open(f"{p}/data.txt").read() == "good"
+
+        def bad(path):
+            open(f"{path}/data.txt", "w").write("half")
+            raise RuntimeError("builder crash")
+
+        with pytest.raises(RuntimeError):
+            cached_fixture_dir("atomic_fix", str(sf), "v2", bad)
+        # the old committed fixture is untouched and still spec-v1
+        assert open(f"{p}/data.txt").read() == "good"
+        assert open(f"{p}/_READY").read().startswith("v1")
+        # and a later good build with the new spec succeeds
+        p2 = cached_fixture_dir("atomic_fix", str(sf), "v2", good)
+        assert open(f"{p2}/data.txt").read() == "good"
+
+    def test_concurrent_builders_one_winner(self, tmp_path, monkeypatch):
+        """Two threads racing the same (name, sf_dir, spec) must both
+        return a READY directory with the full spec — the loser reuses
+        the winner's rename, never observes a partial dir."""
+        import threading
+
+        from spark_sql_custom_mq_datasource_spark.plans.util import (
+            cached_fixture_dir,
+        )
+
+        self._patch_tmp(tmp_path, monkeypatch)
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        (sf / "t.parquet").write_bytes(b"a")
+        barrier = threading.Barrier(2)
+        results, errors = [], []
+
+        def build(path):
+            open(f"{path}/data.txt", "w").write("x")
+
+        def worker():
+            try:
+                barrier.wait()
+                results.append(
+                    cached_fixture_dir("race_fix", str(sf), "v1", build)
+                )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        ts = [threading.Thread(target=worker) for _ in range(2)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errors
+        assert len(set(results)) == 1
+        p = results[0]
+        assert open(f"{p}/data.txt").read() == "x"
+        assert open(f"{p}/_READY").read().startswith("v1")
