@@ -133,7 +133,14 @@ def register(
 # q_stream_sliding_6h and q_stream_static_join (11 streaming siblings
 # stay in) — and for q_bpe_pair_counts, q_multimodal_decode
 # (frame-sample + binary-meta siblings are r07-green). All fourteen
-# stay green in CORRECTNESS_r04.json with code unchanged.
+# stay green in CORRECTNESS_r04.json. Query-level code is unchanged
+# for eleven of them; the three deferred STREAMING queries
+# (rate_source, sliding_6h, static_join) were touched only by the
+# shared checkpoint-path helper (_ckpt), and the 13 in-prefix
+# streaming queries exercise exactly those changed lines, so the
+# shared-plumbing change is driver-re-checked through them. All 14
+# were also green in this round's local full battery (199/199 at
+# sf0.01, BASELINE.md round-8 closing block).
 #   ROUND-9 ROTATION PLAN: lead with anything round 9 adds or edits,
 #   then the 14 deferred r04-stale queries above
 #   (q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_stream_rate_source,
