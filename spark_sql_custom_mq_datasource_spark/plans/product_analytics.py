@@ -751,3 +751,94 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Daily-count anomaly detection — the metrics monitor every event
+# pipeline runs: flag a (event_type, day) whose count deviates more
+# than 2σ from its own trailing week. Exactness discipline: the z-test
+# is algebraically cleared of divisions and square roots —
+#   |x − μ| > 2σ  ⇔  (x·m − s1)²·(m−1) > 4·m·(m·s2 − s1²)
+# with s1 = Σn, s2 = Σn² over the 7 PRIOR days (RANGE frame on the
+# epoch-day index, so calendar gaps never misalign the window) — all
+# INTEGER arithmetic, computed in 128-bit (HUGEINT / DECIMAL(38,0))
+# because (x·m − s1)² passes int64 once daily counts reach ~1e9 (the
+# same overflow discipline as temperature mixing). Days without a full
+# 7-day baseline are never flagged.
+#
+# Scale: one (type, day) aggregate off the events scan (map-side
+# combine), then one type-keyed window over the tiny daily table.
+# --------------------------------------------------------------------------
+
+ANOMALY_BASELINE_DAYS = 7
+ANOMALY_SIGMA_SQ = 4  # flag beyond 2 sigma
+
+
+@register(
+    "q_events_anomaly_zscore",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    i AS (SELECT event_type, day, n,
+                 date_diff('day', DATE '1970-01-01', day) AS di
+          FROM d),
+    w AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER win AS s1,
+             SUM(n * n) OVER win AS s2,
+             COUNT(*) OVER win AS m
+      FROM i
+      WINDOW win AS (PARTITION BY event_type ORDER BY di
+                     RANGE BETWEEN {ANOMALY_BASELINE_DAYS} PRECEDING
+                               AND 1 PRECEDING)
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           CAST(COALESCE(m, 0) AS INTEGER) AS baseline_days,
+           (m = {ANOMALY_BASELINE_DAYS}
+            AND CAST(n * m - s1 AS HUGEINT) * (n * m - s1) * (m - 1)
+                > {ANOMALY_SIGMA_SQ} * CAST(m AS HUGEINT) * (m * s2 - s1 * s1))
+             AS is_anomaly
+    FROM w ORDER BY event_type, day
+    """,
+    doc="daily event-count anomaly flags: a (type, day) is anomalous "
+    "when its count deviates >2 sigma from its own trailing 7 days — "
+    "the z-test cleared of divisions/roots into exact 128-bit integer "
+    "arithmetic (both engines bit-agree at any count scale); RANGE "
+    "frame on the epoch-day index so calendar gaps never misalign the "
+    "baseline; one (type, day) aggregate + one type-keyed window.",
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    i = d.withColumn("di", F.datediff("day", F.lit("1970-01-01")))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rangeBetween(-ANOMALY_BASELINE_DAYS, -1)
+    )
+    w = i.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(win).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(win).alias("s2"),
+        F.count("n").over(win).alias("m"),
+    )
+    flag = F.expr(
+        f"m = {ANOMALY_BASELINE_DAYS} AND "
+        "CAST(n * m - s1 AS DECIMAL(38,0)) * (n * m - s1) * (m - 1) > "
+        f"{ANOMALY_SIGMA_SQ} * CAST(m AS DECIMAL(38,0)) * (m * s2 - s1 * s1)"
+    )
+    return w.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.coalesce(F.col("m"), F.lit(0)).cast("int").alias("baseline_days"),
+        flag.alias("is_anomaly"),
+    ).orderBy("event_type", "day")

@@ -133,11 +133,15 @@ def register(
 # q_stream_sliding_6h and q_stream_static_join (11 streaming siblings
 # stay in) — and for q_bpe_pair_counts, q_multimodal_decode
 # (frame-sample + binary-meta siblings are r07-green). All fourteen
-# stay green in CORRECTNESS_r04.json. Query-level code is unchanged
+# stay green in CORRECTNESS_r04.json — as does q_dedup_simhash,
+# deferred for the late anomaly-zscore addition (dedup family keeps
+# exact/cosine/clusters in-prefix plus the three new round-8 dedup
+# members). Query-level code is unchanged
 # for eleven of them; the three deferred STREAMING queries
 # (rate_source, sliding_6h, static_join) were touched only by the
-# shared checkpoint-path helper (_ckpt), and the 13 in-prefix
-# streaming queries exercise exactly those changed lines, so the
+# shared checkpoint-path helper (_ckpt), and the 11 in-prefix
+# r04-stale streaming queries (plus the new
+# q_stream_dedup_incremental) exercise exactly those changed lines, so the
 # shared-plumbing change is driver-re-checked through them. All 14
 # were also green in this round's local full battery (199/199 at
 # sf0.01, BASELINE.md round-8 closing block).
@@ -160,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_lsh_multiprobe",
     "q_dedup_chunk_exact",
     "q_bpe_pair_counts",
+    "q_events_anomaly_zscore",
     # -- code/oracle changed THIS round: re-check despite green records --
     "q_mix_temperature",
     "q_tokenizer_fertility",
@@ -175,7 +180,6 @@ _PRIORITY: tuple[str, ...] = (
     # -- r04-stale, oldest families first: dedup ------------------------
     "q_text_lang_id",
     "q_dedup_exact",
-    "q_dedup_simhash",
     "q_dedup_embedding_cosine",
     "q_dedup_clusters",
     # -- r04-stale: ANN --------------------------------------------------
