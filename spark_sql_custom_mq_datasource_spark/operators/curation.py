@@ -1357,3 +1357,89 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Balanced shard assignment — the dataset-build step before training:
+# route every document to one of SHARD_N output shards so that shard
+# TOKEN loads (not doc counts) come out even, deterministically, with
+# no global coordination. The classic greedy global-LPT needs a global
+# rank (a partition-less window — the exact single-task funnel this
+# repo keeps removing); instead docs are bucketed into token-length
+# BANDS (a pure projection), ranked WITHIN their band (a band-keyed
+# window — distributes), and dealt round-robin with a band-dependent
+# offset so band boundaries don't align hot shards. Within a band all
+# docs have near-equal size, so round-robin is near-optimal there, and
+# band sums stack independently — imbalance is bounded by one band-width
+# per shard. The read-out is per-shard docs, tokens, and the Q20 skew
+# vs the ideal equal split (1048576 = perfectly balanced).
+#
+# Scale: one projection + one (band)-keyed window + one |shards|-row
+# rollup; the skew ratio's corpus total is a window over the SHARD_N-row
+# aggregate. No global window ever sees corpus rows.
+# --------------------------------------------------------------------------
+
+SHARD_N = 16
+SHARD_BAND_TOKENS = 8  # band = tokens div 8: within-band sizes differ < 8
+
+
+@register(
+    "q_shard_balanced",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS tokens
+      FROM documents
+    ),
+    b AS (SELECT doc_id, tokens, tokens // {SHARD_BAND_TOKENS} AS band FROM d),
+    r AS (SELECT doc_id, tokens, band,
+                 ROW_NUMBER() OVER (PARTITION BY band
+                                    ORDER BY tokens DESC, doc_id) AS rk
+          FROM b),
+    a AS (SELECT tokens, CAST((rk - 1 + band) % {SHARD_N} AS INTEGER) AS shard
+          FROM r),
+    s AS (SELECT shard, COUNT(*) AS n_docs, SUM(tokens) AS token_sum
+          FROM a GROUP BY shard)
+    SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(token_sum AS BIGINT) AS token_sum,
+           CAST(floor(token_sum * {SHARD_N} * 1048576.0
+                      / SUM(token_sum) OVER () + 0.5) AS BIGINT) AS skew_q20
+    FROM s ORDER BY shard
+    """,
+    doc=f"balanced shard assignment: docs dealt to {SHARD_N} shards "
+    "round-robin within token-length bands (band-keyed window — no "
+    "global rank ever funnels corpus rows through one task), band "
+    "offsets de-align boundaries; per-shard docs/tokens plus Q20 skew "
+    "vs the ideal equal split.",
+)
+def q_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("tokens")
+    )
+    b = d.withColumn(
+        "band", (F.col("tokens") / SHARD_BAND_TOKENS).cast("bigint")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("band").orderBy(F.desc("tokens"), F.asc("doc_id"))
+    )
+    a = b.select(
+        "tokens",
+        ((rk - 1 + F.col("band")) % SHARD_N).cast("int").alias("shard"),
+    )
+    s = a.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("token_sum"),
+    )
+    # the skew total is a window over the SHARD_N-row aggregate
+    tot = F.sum("token_sum").over(Window.partitionBy())
+    return s.select(
+        "shard",
+        "n_docs",
+        "token_sum",
+        F.floor(
+            F.col("token_sum") * F.lit(float(SHARD_N)) * F.lit(1048576.0) / tot
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("skew_q20"),
+    ).orderBy("shard")

@@ -136,7 +136,9 @@ def register(
 # stay green in CORRECTNESS_r04.json — as does q_dedup_simhash,
 # deferred for the late anomaly-zscore addition (dedup family keeps
 # exact/cosine/clusters in-prefix plus the three new round-8 dedup
-# members). Query-level code is unchanged
+# members), and q_embedding_quantize, deferred for the balanced-
+# sharding addition (a pure projection; 4 ANN siblings stay in plus
+# the new multiprobe and the re-checked persisted index). Query-level code is unchanged
 # for eleven of them; the three deferred STREAMING queries
 # (rate_source, sliding_6h, static_join) were touched only by the
 # shared checkpoint-path helper (_ckpt), and the 11 in-prefix
@@ -165,6 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_chunk_exact",
     "q_bpe_pair_counts",
     "q_events_anomaly_zscore",
+    "q_shard_balanced",
     # -- code/oracle changed THIS round: re-check despite green records --
     "q_mix_temperature",
     "q_tokenizer_fertility",
@@ -186,7 +189,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_bruteforce_topk",
     "q_ann_lsh_bucketed",
     "q_ann_ivf",
-    "q_embedding_quantize",
     "q_ann_recall_lsh",
     # -- r04-stale: curation/selection -----------------------------------
     "q_split_train_val_test",
