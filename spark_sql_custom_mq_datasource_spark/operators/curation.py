@@ -1443,3 +1443,79 @@ def q_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("skew_q20"),
     ).orderBy("shard")
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching audit — the training-efficiency read-out:
+# batches pad every sequence to its bucket boundary, so padding waste
+# is a direct GPU-hours tax. For the standard power-of-two bucket
+# ladder (8/16/32/64, docs truncated at the 64-token context), report
+# per bucket: docs, real tokens, padding tokens, and the Q20 waste
+# fraction pad/(pad+tokens) — the number that decides whether to add a
+# bucket boundary. Pure projection + one |buckets|-row aggregate.
+# --------------------------------------------------------------------------
+
+PAD_BUCKETS = (8, 16, 32, 64)  # doc truncated at the last boundary
+
+
+@register(
+    "q_batch_padding_audit",
+    f"""
+    WITH d AS (
+      SELECT LEAST(len(string_split(trim(text), ' ')), {PAD_BUCKETS[-1]})
+               AS t
+      FROM documents
+    ),
+    b AS (
+      SELECT t,
+             CASE WHEN t <= 8 THEN 8 WHEN t <= 16 THEN 16
+                  WHEN t <= 32 THEN 32 ELSE 64 END AS bucket
+      FROM d
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS token_sum,
+           CAST(SUM(bucket - t) AS BIGINT) AS pad_sum,
+           CAST(floor(SUM(bucket - t) * 1048576.0
+                      / NULLIF(SUM(CAST(bucket AS BIGINT)), 0) + 0.5)
+                AS BIGINT) AS waste_q20
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="length-bucketed batching audit: docs truncated at the 64-token "
+    "context and padded to the 8/16/32/64 bucket ladder; per bucket the "
+    "doc count, real tokens, padding tokens, and Q20 waste fraction — "
+    "the GPU-efficiency number bucket ladders are tuned by. Pure "
+    "projection + one tiny aggregate.",
+)
+def q_batch_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    t_col = F.least(
+        F.size(F.split(F.trim("text"), " ")), F.lit(PAD_BUCKETS[-1])
+    )
+    bucket = (
+        F.when(t_col <= 8, 8)
+        .when(t_col <= 16, 16)
+        .when(t_col <= 32, 32)
+        .otherwise(64)
+    )
+    b = docs.select(t_col.alias("t"), bucket.alias("bucket"))
+    return (
+        b.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("token_sum"),
+            F.sum(F.col("bucket") - F.col("t")).cast("bigint").alias("pad_sum"),
+            F.floor(
+                F.sum(F.col("bucket") - F.col("t"))
+                * F.lit(1048576.0)
+                / F.when(
+                    F.sum(F.col("bucket").cast("bigint")) != 0,
+                    F.sum(F.col("bucket").cast("bigint")),
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("waste_q20"),
+        )
+        .orderBy("bucket")
+    )

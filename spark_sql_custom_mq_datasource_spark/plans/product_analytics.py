@@ -774,9 +774,7 @@ ANOMALY_BASELINE_DAYS = 7
 ANOMALY_SIGMA_SQ = 4  # flag beyond 2 sigma
 
 
-@register(
-    "q_events_anomaly_zscore",
-    f"""
+ANOMALY_ORACLE_SQL = f"""
     WITH d AS (
       SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
       FROM events GROUP BY 1, 2
@@ -801,7 +799,12 @@ ANOMALY_SIGMA_SQ = 4  # flag beyond 2 sigma
                 > {ANOMALY_SIGMA_SQ} * CAST(m AS HUGEINT) * (m * s2 - s1 * s1))
              AS is_anomaly
     FROM w ORDER BY event_type, day
-    """,
+    """
+
+
+@register(
+    "q_events_anomaly_zscore",
+    ANOMALY_ORACLE_SQL,
     doc="daily event-count anomaly flags: a (type, day) is anomalous "
     "when its count deviates >2 sigma from its own trailing 7 days — "
     "the z-test cleared of divisions/roots into exact 128-bit integer "

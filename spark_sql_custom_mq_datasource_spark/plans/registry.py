@@ -147,8 +147,11 @@ def register(
 # shared-plumbing change is driver-re-checked through them. All 14
 # were also green in this round's local full battery (199/199 at
 # sf0.01, BASELINE.md round-8 closing block).
-#   ROUND-9 ROTATION PLAN: lead with anything round 9 adds or edits,
-#   then the 14 deferred r04-stale queries above
+#   ROUND-9 ROTATION PLAN: lead with the two post-freeze round-8
+#   additions (q_batch_padding_audit, q_stream_anomaly_zscore —
+#   never driver-checked; both locally green at sf0.001 AND sf0.01)
+#   and anything round 9 adds or edits, then the deferred r04-stale
+#   queries above (now also q_dedup_simhash, q_embedding_quantize)
 #   (q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_stream_rate_source,
 #   q_stream_sliding_6h, q_stream_static_join, q_events_json_extract,
 #   q_events_sliding_6h, q_events_pivot_daily, q_wordcount_topk,

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -2477,3 +2479,160 @@ def _register_stream_dedup_incremental() -> None:
 
 
 _register_stream_dedup_incremental()
+
+
+# --------------------------------------------------------------------------
+# STREAMING anomaly monitor — the stateful twin of
+# q_events_anomaly_zscore: daily (event_type, day) counts arrive as
+# day-complete micro-batches and each day is judged against the
+# trailing week held in per-type state (applyInPandasWithState,
+# O(|event types|) state: at most 7 (day, count) pairs per key). The
+# z-test runs in arbitrary-precision Python ints inside the fold — the
+# same division-free algebra as the batch twin, so the converged flags
+# must equal the batch recompute bit-for-bit, which is the shared
+# oracle. Keeping only the 7 newest days per key is lossless: a future
+# day's baseline window can only contain days newer than anything
+# pruned.
+# --------------------------------------------------------------------------
+
+
+def _register_stream_anomaly() -> None:
+    from ..plans.product_analytics import (
+        ANOMALY_BASELINE_DAYS,
+        ANOMALY_ORACLE_SQL,
+        ANOMALY_SIGMA_SQ,
+    )
+    from ..plans.util import cached_fixture_dir
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("di", LongType()),
+            StructField("n_events", LongType()),
+            StructField("baseline_days", LongType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("dis", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
+        ]
+    )
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            dis, ns = state.get
+            hist = dict(zip(list(dis), list(ns)))
+        else:
+            hist = {}
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames) if frames else pd.DataFrame({"di": []})
+        counts = rows.groupby("di").size().sort_index()
+        out = []
+        for di, n in counts.items():
+            di, n = int(di), int(n)
+            win = [
+                hist[d]
+                for d in hist
+                if di - ANOMALY_BASELINE_DAYS <= d <= di - 1
+            ]
+            m, s1 = len(win), sum(win)
+            s2 = sum(v * v for v in win)
+            flag = bool(
+                m == ANOMALY_BASELINE_DAYS
+                and (n * m - s1) ** 2 * (m - 1)
+                > ANOMALY_SIGMA_SQ * m * (m * s2 - s1 * s1)
+            )
+            out.append((str(key[0]), di, n, m, flag))
+            hist[di] = n
+            if len(hist) > ANOMALY_BASELINE_DAYS:
+                for stale in sorted(hist)[: len(hist) - ANOMALY_BASELINE_DAYS]:
+                    del hist[stale]
+        keep = sorted(hist)
+        state.update(([int(d) for d in keep], [int(hist[d]) for d in keep]))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_type",
+                    "di",
+                    "n_events",
+                    "baseline_days",
+                    "is_anomaly",
+                ],
+            )
+
+    @register(
+        "q_stream_anomaly_zscore",
+        ANOMALY_ORACLE_SQL,
+        doc="STREAMING daily-count anomaly flags: day-complete "
+        "micro-batches judged against the trailing week in per-type "
+        "state (applyInPandasWithState, <=7 (day, count) pairs per "
+        "key); the division-free integer z-test runs in arbitrary-"
+        "precision Python inside the fold, so the converged flags "
+        "equal the batch twin bit-for-bit — the oracle is shared.",
+    )
+    def q_stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+
+        configure_state_store(spark)
+        ev = t(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di"),
+        )
+        bounds = [(1, 8), (9, 15), (16, 23), (24, 31)]
+
+        def build(inbox: str) -> None:
+            scratch = _os.path.join(inbox, "_scratch")
+            base_mtime = 1_600_000_000
+            day = F.dayofmonth(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("di").cast("int"))
+            )
+            for i, (d0, d1) in enumerate(bounds):
+                part = _os.path.join(scratch, f"slice{i}")
+                (
+                    ev.where(day.between(d0, d1))
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(part)
+                )
+                src = next(
+                    f for f in _os.listdir(part) if f.endswith(".parquet")
+                )
+                dst = _os.path.join(inbox, f"{i:02d}.parquet")
+                _shutil.copyfile(_os.path.join(part, src), dst)
+                _os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+            _shutil.rmtree(scratch, ignore_errors=True)
+
+        inbox = cached_fixture_dir(
+            "stream_anomaly", sf_dir, f"anomaly-v1 {bounds}", build
+        )
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, di long")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(inbox)
+        )
+        updates = stream.groupBy("event_type").applyInPandasWithState(
+            fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        out = run_to_table(spark, updates, "update")
+        # each (type, day) is emitted exactly once (its day-complete batch)
+        return (
+            out.select(
+                "event_type",
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"), F.col("di").cast("int")
+                ).alias("day"),
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("baseline_days").cast("int").alias("baseline_days"),
+                "is_anomaly",
+            )
+            .orderBy("event_type", "day")
+        )
+
+
+_register_stream_anomaly()
