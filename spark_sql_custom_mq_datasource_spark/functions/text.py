@@ -1044,3 +1044,116 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus drift (PSI) — the population-stability-index monitor every
+# data pipeline runs between ingestion epochs: bucket a feature (here
+# document token length, the highest-signal cheap feature), compare the
+# bucket distribution of the NEWER half of the corpus against the
+# OLDER half (doc_id order stands in for arrival order, as in the
+# incremental-dedup family), and report per-bucket shares plus each
+# bucket's PSI term (p−q)·ln(p/q). PSI < 0.1 is the conventional
+# "stable" line; the per-bucket terms say WHERE the drift lives.
+#
+# Exactness: shares and PSI terms are Q20-quantized from exact integer
+# bucket counts; Laplace-style +1 on both counts keeps ln() defined for
+# empty buckets identically in both engines.
+#
+# Scale: one scan into a |buckets|-row (is_new, bucket) aggregate; the
+# split point is a 1-row broadcast scalar (no global window).
+# --------------------------------------------------------------------------
+
+PSI_BUCKETS = (4, 8, 16, 32, 64)  # upper edges; last bucket is open
+
+
+@register(
+    "q_corpus_drift_psi",
+    f"""
+    WITH lim AS (SELECT CAST(FLOOR(max(doc_id) / 2.0) AS BIGINT) AS cut
+                 FROM documents),
+    d AS (
+      SELECT CASE WHEN doc_id > (SELECT cut FROM lim) THEN 1 ELSE 0 END
+               AS is_new,
+             len(string_split(trim(text), ' ')) AS t
+      FROM documents
+    ),
+    b AS (
+      SELECT is_new,
+             CASE WHEN t <= 4 THEN 0 WHEN t <= 8 THEN 1 WHEN t <= 16 THEN 2
+                  WHEN t <= 32 THEN 3 WHEN t <= 64 THEN 4 ELSE 5 END AS bucket
+      FROM d
+    ),
+    c AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) + 1 AS n_old,
+             SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) + 1 AS n_new
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_old) AS so, SUM(n_new) AS sn FROM c)
+    SELECT bucket,
+           CAST(n_old - 1 AS BIGINT) AS n_old,
+           CAST(n_new - 1 AS BIGINT) AS n_new,
+           CAST(floor(n_old * 1048576.0 / tot.so + 0.5) AS BIGINT)
+             AS p_old_q20,
+           CAST(floor(n_new * 1048576.0 / tot.sn + 0.5) AS BIGINT)
+             AS p_new_q20,
+           CAST(floor((n_new * 1.0 / tot.sn - n_old * 1.0 / tot.so)
+                      * ln((n_new * 1.0 / tot.sn) / (n_old * 1.0 / tot.so))
+                      * 1048576.0 + 0.5) AS BIGINT) AS psi_term_q20
+    FROM c CROSS JOIN tot
+    ORDER BY bucket
+    """,
+    doc="corpus drift (PSI) between the older and newer corpus halves "
+    "over token-length buckets: per-bucket Q20 shares and PSI terms "
+    "(p-q)*ln(p/q) with +1 smoothing so empty buckets stay defined; "
+    "one scan into a |buckets|-row aggregate, totals via a 1-row "
+    "broadcast — the standard epoch-over-epoch stability monitor.",
+)
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    cut = int(
+        docs.agg(F.floor(F.max("doc_id") / 2).cast("bigint").alias("c"))
+        .collect()[0]["c"]
+    )
+    t_col = F.size(F.split(F.trim("text"), " "))
+    bucket = (
+        F.when(t_col <= 4, 0)
+        .when(t_col <= 8, 1)
+        .when(t_col <= 16, 2)
+        .when(t_col <= 32, 3)
+        .when(t_col <= 64, 4)
+        .otherwise(5)
+    )
+    b = docs.select(
+        (F.col("doc_id") > cut).cast("int").alias("is_new"),
+        bucket.alias("bucket"),
+    )
+    c = b.groupBy("bucket").agg(
+        (F.sum(F.when(F.col("is_new") == 0, 1).otherwise(0)) + 1).alias("n_old"),
+        (F.sum(F.when(F.col("is_new") == 1, 1).otherwise(0)) + 1).alias("n_new"),
+    )
+    tot = c.agg(F.sum("n_old").alias("so"), F.sum("n_new").alias("sn"))
+    p_old = F.col("n_old") * F.lit(1.0) / F.col("so")
+    p_new = F.col("n_new") * F.lit(1.0) / F.col("sn")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.col("n_old") - 1).cast("bigint").alias("n_old"),
+            (F.col("n_new") - 1).cast("bigint").alias("n_new"),
+            F.floor(F.col("n_old") * F.lit(1048576.0) / F.col("so") + F.lit(0.5))
+            .cast("bigint")
+            .alias("p_old_q20"),
+            F.floor(F.col("n_new") * F.lit(1048576.0) / F.col("sn") + F.lit(0.5))
+            .cast("bigint")
+            .alias("p_new_q20"),
+            F.floor(
+                (p_new - p_old) * F.log(p_new / p_old) * F.lit(1048576.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("psi_term_q20"),
+        )
+        .orderBy("bucket")
+    )

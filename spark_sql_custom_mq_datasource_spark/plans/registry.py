@@ -148,7 +148,8 @@ def register(
 # were also green in this round's local full battery (199/199 at
 # sf0.01, BASELINE.md round-8 closing block).
 #   ROUND-9 ROTATION PLAN: lead with the two post-freeze round-8
-#   additions (q_batch_padding_audit, q_stream_anomaly_zscore —
+#   additions (q_batch_padding_audit, q_stream_anomaly_zscore,
+#   q_corpus_drift_psi —
 #   never driver-checked; both locally green at sf0.001 AND sf0.01)
 #   and anything round 9 adds or edits, then the deferred r04-stale
 #   queries above (now also q_dedup_simhash, q_embedding_quantize)
