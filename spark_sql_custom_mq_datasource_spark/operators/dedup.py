@@ -1440,7 +1440,13 @@ def minhash_index_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
 
     key = (id(spark), sf_dir, cut)
     if key not in _minhash_index_paths:
-        path = work_dir("minhash_index_" + _re.sub(r"\W+", "_", sf_dir))
+        # cut is part of the on-disk name: the memo key includes it, so a
+        # second call with a different cut for the same fixture must get a
+        # DISTINCT directory — otherwise the rebuild clears the dir the
+        # first key's cached path still points at (ADVICE r08 item 2)
+        path = work_dir(
+            f"minhash_index_{_re.sub(r'[^A-Za-z0-9]+', '_', sf_dir)}_{cut}"
+        )
         corpus_sets = shingle_sets_cached(spark, sf_dir).where(
             F.col("doc_id") <= cut
         )

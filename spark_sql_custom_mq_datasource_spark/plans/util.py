@@ -94,14 +94,59 @@ def work_dir(name: str) -> str:
     footprint: the previous run's output (already consumed — the returned
     DataFrame is collected before the query can run again) is deleted and
     rewritten. Callers that append (e.g. the BM25 incremental index) rely
-    on the clear to start from an empty directory."""
+    on the clear to start from an empty directory.
+
+    The root is discriminated PER PROCESS (pid) so two concurrent Spark
+    drivers on one machine (e.g. bench running alongside pytest) cannot
+    clear each other's live checkpoints/state (ADVICE r08 item 5);
+    within a process the bounded clear-on-entry reuse is unchanged.
+    Roots left by dead processes are garbage-collected on first use."""
     import shutil
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_work", name)
+    tmp = tempfile.gettempdir()
+    _gc_dead_work_roots(tmp)
+    path = os.path.join(tmp, f"spark_graft_work_{os.getpid()}", name)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+_WORK_GC_DONE = False
+
+
+def _gc_dead_work_roots(tmp: str) -> None:
+    """Once per process: remove spark_graft_work_<pid> roots whose owning
+    process is gone (and the legacy un-discriminated root). Best-effort —
+    a root we cannot stat or delete is skipped, never raised."""
+    global _WORK_GC_DONE
+    if _WORK_GC_DONE:
+        return
+    _WORK_GC_DONE = True
+    import shutil
+
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    for n in names:
+        if n == "spark_graft_work":  # legacy pre-discriminator root
+            shutil.rmtree(os.path.join(tmp, n), ignore_errors=True)
+            continue
+        if not n.startswith("spark_graft_work_"):
+            continue
+        try:
+            pid = int(n.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the process is dead
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, n), ignore_errors=True)
+        except OSError:
+            pass
 
 
 def _fixture_fingerprint(sf_dir: str) -> str:
@@ -160,6 +205,15 @@ def _build_cached_dir(path: str, spec: str, build) -> str:
     build(tmp)
     with open(os.path.join(tmp, "_READY"), "w") as f:
         f.write(spec)
+    # Re-check READY right before the rmtree+rename commit: in a same-spec
+    # concurrent race the loser must NOT delete the winner's just-committed
+    # directory (a caller already reading the returned path would hit
+    # FileNotFound mid-read — ADVICE r08 item 3). The window between this
+    # check and the rmtree is not zero, but the loser now has to lose the
+    # race twice in a microsecond span instead of during its whole build.
+    if ready():
+        shutil.rmtree(tmp, ignore_errors=True)
+        return path
     shutil.rmtree(path, ignore_errors=True)
     try:
         os.rename(tmp, path)
@@ -222,11 +276,16 @@ def materialize_small(
     leak it into the session cache for the rest of a 50+ query
     bench/correctness run (ADVICE r07 item 2); with it, the cache
     lifetime is exactly the query's own execution."""
-    rows = df.collect()
-    out = spark.createDataFrame(rows, df.schema)
-    for d in unpersist:
-        d.unpersist()
-    return out
+    try:
+        rows = df.collect()
+    finally:
+        # unpersist even when the collect raises (executor failure,
+        # analysis error) — otherwise the persisted intermediates leak
+        # into the session cache, the exact leak this helper was added
+        # to fix (ADVICE r08 item 4)
+        for d in unpersist:
+            d.unpersist()
+    return spark.createDataFrame(rows, df.schema)
 
 
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:

@@ -2583,18 +2583,27 @@ def _register_stream_anomaly() -> None:
             "event_type",
             F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di"),
         )
-        bounds = [(1, 8), (9, 15), (16, 23), (24, 31)]
+        # Micro-batch by ABSOLUTE epoch-day ranges (di quantile split),
+        # not day-of-month: the stateful trailing-7-day fold is
+        # order-sensitive, and day-of-month bounds would interleave days
+        # non-chronologically as soon as the fixture spans >1 month
+        # (month-2 day 1 judged before month-1 days 25-31 arrive) —
+        # ADVICE r08 item 1. Contiguous di ranges guarantee chronological
+        # day-complete batches for ANY fixture span. The min/max scan is
+        # a 1-row driver collect (bounded).
+        lo, hi = ev.agg(F.min("di"), F.max("di")).first()
+        lo, hi = int(lo), int(hi)
+        span = hi - lo + 1
+        cuts = [lo + span * i // 4 for i in range(5)]
+        bounds = [(cuts[i], cuts[i + 1] - 1) for i in range(4) if cuts[i] <= cuts[i + 1] - 1]
 
         def build(inbox: str) -> None:
             scratch = _os.path.join(inbox, "_scratch")
             base_mtime = 1_600_000_000
-            day = F.dayofmonth(
-                F.date_add(F.lit("1970-01-01").cast("date"), F.col("di").cast("int"))
-            )
             for i, (d0, d1) in enumerate(bounds):
                 part = _os.path.join(scratch, f"slice{i}")
                 (
-                    ev.where(day.between(d0, d1))
+                    ev.where(F.col("di").between(d0, d1))
                     .coalesce(1)
                     .write.mode("overwrite")
                     .parquet(part)
@@ -2608,7 +2617,7 @@ def _register_stream_anomaly() -> None:
             _shutil.rmtree(scratch, ignore_errors=True)
 
         inbox = cached_fixture_dir(
-            "stream_anomaly", sf_dir, f"anomaly-v1 {bounds}", build
+            "stream_anomaly", sf_dir, f"anomaly-v2-epochday {bounds}", build
         )
         stream = (
             spark.readStream.schema("event_id long, event_type string, di long")
