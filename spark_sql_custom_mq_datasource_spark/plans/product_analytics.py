@@ -112,68 +112,42 @@ def q_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 3, '{FUNNEL[2]}', (SELECT COUNT(*) FROM s3)
     ) ORDER BY stage
     """,
-    doc="ordered funnel view->click->purchase in ONE scan: per-user "
-    "time-sorted fold over the funnel-type events computes the stage "
-    "reach (first s1, first s2 strictly after it, first s3 strictly "
-    "after that), then a 1-row conditional count unpivots to stages. "
-    "One shuffle on user_id vs the naive per-stage scan-and-join "
-    "(VERDICT r05 item 4: 3 corpus passes halved to 1); equivalent to "
-    "the oracle's MIN-after-previous-stage CTE chain because a sorted "
-    "first-match IS the conditional min, and strict ts comparisons make "
-    "same-timestamp ordering irrelevant.",
+    doc="ordered funnel view->click->purchase as a BOUNDED three-stage "
+    "conditional-min chain (the oracle's own shape): stage k = "
+    "user-keyed MIN(ts) of stage-k events strictly after the user's "
+    "stage-(k-1) time. Per-key aggregation state is ONE timestamp "
+    "(partial-min, map-side combine) — no per-user event arrays, so a "
+    "bot key with millions of events costs nothing beyond its share of "
+    "the min fold (VERDICT r08 item 3 retired the collect_list fold: "
+    "its per-user sorted array was unbounded in a hot key). All three "
+    "aggregates and both joins shuffle on user_id, so the exchange is "
+    "reused down the chain.",
 )
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    # one type-filtered scan; per-user sorted (ts, type) array. Per-user
-    # array size is that user's funnel-event count — cap/sample per user
-    # upstream if bot traffic makes a single key unbounded.
-    per_user = (
-        ev.where(F.col("event_type").isin(list(FUNNEL)))
+    s1 = (
+        ev.where(F.col("event_type") == FUNNEL[0])
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
+        .agg(F.min("ts").alias("t1"))
     )
-    # fold: state = (t1, t2, t3); first s1 sets t1, first s2 with ts>t1
-    # sets t2, first s3 with ts>t2 sets t3 — all JVM-side HOF codegen
-    reach = per_user.select(
-        F.aggregate(
-            "evs",
-            F.expr(
-                "CAST(struct(CAST(NULL AS TIMESTAMP) AS t1,"
-                " CAST(NULL AS TIMESTAMP) AS t2,"
-                " CAST(NULL AS TIMESTAMP) AS t3) AS"
-                " STRUCT<t1: TIMESTAMP, t2: TIMESTAMP, t3: TIMESTAMP>)"
-            ),
-            lambda acc, e: F.struct(
-                F.when(
-                    acc["t1"].isNull() & (e["event_type"] == FUNNEL[0]), e["ts"]
-                )
-                .otherwise(acc["t1"])
-                .alias("t1"),
-                F.when(
-                    acc["t2"].isNull()
-                    & acc["t1"].isNotNull()
-                    & (e["event_type"] == FUNNEL[1])
-                    & (e["ts"] > acc["t1"]),
-                    e["ts"],
-                )
-                .otherwise(acc["t2"])
-                .alias("t2"),
-                F.when(
-                    acc["t3"].isNull()
-                    & acc["t2"].isNotNull()
-                    & (e["event_type"] == FUNNEL[2])
-                    & (e["ts"] > acc["t2"]),
-                    e["ts"],
-                )
-                .otherwise(acc["t3"])
-                .alias("t3"),
-            ),
-        ).alias("r")
+    s2 = (
+        ev.where(F.col("event_type") == FUNNEL[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
     )
-    counts = reach.agg(
-        F.count("r.t1").alias("u1"),
-        F.count("r.t2").alias("u2"),
-        F.count("r.t3").alias("u3"),
+    s3 = (
+        ev.where(F.col("event_type") == FUNNEL[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("u1"))
+        .crossJoin(s2.agg(F.count("*").alias("u2")))
+        .crossJoin(s3.agg(F.count("*").alias("u3")))
     )
     return (
         counts.select(
