@@ -1236,6 +1236,135 @@ def q_hard_negative_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARD_NEG_SAMPLE_N = 32  # fixed-N exact-leg sample, NOT proportional
+
+
+def _hard_negative_sampled_oracle() -> str:
+    dot_ab = _DEDUP_SQL_SEQ_DOT.format(a="a.ue", b="b.ue")
+    return f"""
+    WITH {_sql_bucket_ctes()},
+    u AS (SELECT e.vec_id, e.label, {_SQL_UNIT} AS ue, bk.bucket
+          FROM embeddings e JOIN buckets bk USING (vec_id)),
+    a0 AS (SELECT * FROM u WHERE vec_id % {HARD_NEG_ANCHOR_MOD} = 0),
+    a AS (SELECT * FROM a0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {HARD_NEG_SAMPLE_N}),
+    ec AS (SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+                  CAST(floor({dot_ab} * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+           FROM a JOIN u b ON a.label <> b.label),
+    e1 AS (SELECT anchor_id, cand_id, cos_q20,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos_q20 DESC, cand_id) AS rk
+           FROM ec),
+    ex AS (SELECT anchor_id, cos_q20 AS exact_cos_q20 FROM e1 WHERE rk = 1),
+    ac AS (SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+                  CAST(floor({dot_ab} * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+           FROM a JOIN u b ON b.bucket = a.bucket AND a.label <> b.label),
+    a1 AS (SELECT anchor_id, cand_id, cos_q20,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos_q20 DESC, cand_id) AS rk
+           FROM ac),
+    an AS (SELECT anchor_id, cand_id AS ann_negative_id,
+                  cos_q20 AS ann_cos_q20
+           FROM a1 WHERE rk = 1)
+    SELECT ex.anchor_id, an.ann_negative_id, an.ann_cos_q20,
+           ex.exact_cos_q20,
+           CAST(CASE WHEN an.ann_cos_q20 = ex.exact_cos_q20
+                     THEN 1 ELSE 0 END AS INTEGER) AS hit
+    FROM ex LEFT JOIN an ON an.anchor_id = ex.anchor_id
+    ORDER BY ex.anchor_id
+    """
+
+
+@register(
+    "q_hard_negative_ann_sampled",
+    _hard_negative_sampled_oracle(),
+    doc="the 100 TB-shaped hit-rate monitor for ANN hard negatives "
+    "(VERDICT r08 'what's wrong' 4): the exact leg runs ONLY on a "
+    "FIXED-N anchor sample — bottom-"
+    f"{HARD_NEG_SAMPLE_N} by md5(vec_id), a deterministic pseudo-random "
+    "draw both engines order identically — taken with orderBy+limit "
+    "(TakeOrderedAndProject: distributed partial top-K, no proportional "
+    "broadcast, no single-partition window), so the monitoring read-out "
+    "itself stays O(N·corpus-scan) with constant N while the production "
+    "ANN leg remains the bucket equi-join of q_hard_negative_ann; "
+    "Q20-quantized before every arg-max.",
+)
+def q_hard_negative_ann_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dot, normalized
+
+    idx = spark.read.parquet(lsh_index_path(spark, sf_dir))
+    sample = (
+        idx.where(F.col("vec_id") % HARD_NEG_ANCHOR_MOD == 0)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("a_label"),
+            F.col("ue").alias("ua"),
+            F.col("bucket").alias("ab"),
+        )
+        .orderBy(F.md5(F.col("anchor_id").cast("string")), "anchor_id")
+        .limit(HARD_NEG_SAMPLE_N)
+    )
+    # ANN leg over the sample: same bucket equi-join as the production
+    # miner, restricted to the N monitored anchors.
+    ann_cand = sample.join(
+        idx,
+        (F.col("bucket") == F.col("ab")) & (F.col("label") != F.col("a_label")),
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("cand_id"),
+        F.floor(dot(F.col("ua"), F.col("ue")) * F.lit(1048576.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cos_q20"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_q20"), "cand_id")
+    ann = (
+        ann_cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("ann_negative_id"),
+            F.col("cos_q20").alias("ann_cos_q20"),
+        )
+    )
+    # Exact leg over the sample ONLY: broadcast of N rows (constant, not
+    # proportional to the corpus) against one scan — the bounded audit
+    # the proportional q_hard_negative_mining leg is NOT at 100 TB.
+    emb = tp(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", normalized(F.col("embedding")).alias("ue")
+    )
+    exact_cand = emb.join(
+        F.broadcast(sample.select("anchor_id", "a_label", "ua")),
+        F.col("label") != F.col("a_label"),
+        "inner",
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("cand_id"),
+        F.floor(dot(F.col("ua"), F.col("ue")) * F.lit(1048576.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cos_q20"),
+    )
+    exact = (
+        exact_cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("anchor_id", F.col("cos_q20").alias("exact_cos_q20"))
+    )
+    return (
+        exact.join(ann, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "ann_negative_id",
+            "ann_cos_q20",
+            "exact_cos_q20",
+            F.when(F.col("ann_cos_q20") == F.col("exact_cos_q20"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("hit"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Multiprobe LSH — the recall knob of the persisted index (standard
 # practice in production ANN: probe the query's own bucket PLUS the

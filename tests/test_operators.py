@@ -1554,6 +1554,31 @@ class TestHardNegativeMining:
         assert abs(rows[0]["cos_q20"] / 1048576 - math.sqrt(0.5)) < 1e-5
 
 
+class TestHardNegativeSampled:
+    def test_exact_dominates_ann_on_the_sample(self, spark, sf_dir):
+        """The exact leg optimizes over a SUPERSET of the ANN leg's
+        candidates (all other-label vectors vs the anchor's bucket
+        occupants), so exact_cos_q20 >= ann_cos_q20 on every sampled
+        anchor and hit == 1 exactly at equality; the sample is hard-capped
+        at HARD_NEG_SAMPLE_N regardless of corpus size."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            HARD_NEG_SAMPLE_N,
+            q_hard_negative_ann_sampled,
+        )
+
+        rows = q_hard_negative_ann_sampled(spark, sf_dir).collect()
+        assert 0 < len(rows) <= HARD_NEG_SAMPLE_N
+        for r in rows:
+            assert r["hit"] in (0, 1)
+            if r["ann_cos_q20"] is not None:
+                assert r["exact_cos_q20"] >= r["ann_cos_q20"]
+                assert (r["hit"] == 1) == (
+                    r["ann_cos_q20"] == r["exact_cos_q20"]
+                )
+            else:
+                assert r["hit"] == 0
+
+
 class TestHybridRRF:
     def test_both_rankers_beat_one(self, spark, sf_dir):
         from spark_sql_custom_mq_datasource_spark.operators.retrieval import RRF_K

@@ -452,3 +452,20 @@ class TestRound8Plans:
         assert "Join" not in p
         assert "Window" in p  # keeper election = one md5-key window
         assert "Generate" in p  # zero-shuffle chunk explode
+
+
+class TestRound10Plans:
+    def test_sampled_hard_negative_fixed_n_and_bounded_exact_leg(
+        self, spark, sf_dir
+    ):
+        """The fixed-N anchor draw must compile to a distributed partial
+        top-K (TakeOrderedAndProject), never a single-partition global
+        sort or window; the exact leg then fans out from the broadcast
+        N-row sample (one nested loop per leg at most), and nothing may
+        degrade to a cartesian product."""
+        import re
+
+        p = plan(spark, sf_dir, "q_hard_negative_ann_sampled")
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
