@@ -161,68 +161,85 @@ def register(
 #   block (the round-5 additions: PII, runtime-filter, TF-IDF,
 #   chunking, JSONL, BM25, DSIR, heavy hitters, quality gates), then
 #   r06-stale.
+# ROUND-10 PREFIX (executes the round-9 rotation plan above — round 9 was
+# cut short after 36 turns and re-ran the round-8 prefix, so the plan
+# carries over — plus this round's additions/changes; regenerate the
+# staleness base with tools/rotation_plan.py):
+#   1. The 5 never-driver-checked queries: the 3 post-round-8 additions
+#      (q_batch_padding_audit, q_stream_anomaly_zscore, q_corpus_drift_psi)
+#      and the 2 round-10 additions (q_dedup_index_compact,
+#      q_hard_negative_ann_sampled) — all locally green at sf0.001 AND
+#      sf0.01.
+#   2. Code changed since its last driver record: q_stream_dedup_incremental
+#      (round-9 batch-keyed idempotent fold + round-10 helper extraction;
+#      its r09 record predates the extraction), q_funnel_stages (round-9
+#      bounded conditional-min rewrite; last record r06), and the four
+#      persist-lifetime fixes q_gapfill_user_daily, q_gapfill_locf,
+#      q_manifest_snapshot_diff, q_cdf_incremental_consumer (round-9
+#      materialize_small hardening; last records r07).
+#   3. The 16 r04-stale records (the oldest anywhere; deferred twice).
+#   4. r05-stale, oldest families first, to fill 50: text-quality/
+#      retrieval/curation round-5 additions, then streaming round-5
+#      additions, then the r05 TPC-H/window/set-op block. Everything
+#      displaced stays green in CORRECTNESS_r08/r09.json.
 _PRIORITY: tuple[str, ...] = (
-    # ==== ROUND-8 PREFIX ================================================
-    # -- ADDED this round: never driver-checked, highest priority --------
-    "q_dedup_incremental_minhash",
-    "q_hard_negative_ann",
+    # ==== ROUND-10 PREFIX ===============================================
+    # -- never driver-checked: highest priority --------------------------
+    "q_batch_padding_audit",
+    "q_stream_anomaly_zscore",
+    "q_corpus_drift_psi",
+    "q_dedup_index_compact",
+    "q_hard_negative_ann_sampled",
+    # -- code changed since last driver record ----------------------------
     "q_stream_dedup_incremental",
-    "q_ann_lsh_multiprobe",
-    "q_dedup_chunk_exact",
-    "q_bpe_pair_counts",
-    "q_events_anomaly_zscore",
-    "q_shard_balanced",
-    # -- code/oracle changed THIS round: re-check despite green records --
-    "q_mix_temperature",
-    "q_tokenizer_fertility",
-    "q_vocab_coverage",
-    "q_source_divergence_kl",
-    "q_join_key_skew_report",
-    "q_manifest_compact",
-    "q_attribution_linear",
-    "q_ann_lsh_persisted",
-    # -- r03-stale: the two oldest driver records in the repo ------------
-    "q_range_join_acctbal",
-    "q_bucketed_join_revenue",
-    # -- r04-stale, oldest families first: dedup ------------------------
-    "q_text_lang_id",
-    "q_dedup_exact",
-    "q_dedup_embedding_cosine",
-    "q_dedup_clusters",
-    # -- r04-stale: ANN --------------------------------------------------
-    "q_ann_bruteforce_topk",
-    "q_ann_lsh_bucketed",
-    "q_ann_ivf",
-    "q_ann_recall_lsh",
-    # -- r04-stale: curation/selection -----------------------------------
-    "q_split_train_val_test",
-    "q_curation_pipeline",
-    "q_decontaminate_ngram",
-    "q_stratified_sample",
-    "q_dedup_incremental",
-    "q_token_budget_mix",
-    # -- r04-stale: UDF surface ------------------------------------------
-    "q_udf_grouped_user_stats",
-    "q_udf_grouped_agg_geomean",
-    "q_udtf_tokenize",
-    # -- r04-stale: joins ------------------------------------------------
-    "q_asof_join_last_order",
-    "q_salted_join_event_stats",
-    # -- r04-stale: mq/streaming ----------------------------------------
-    "q_stream_tumbling_1d",
-    "q_stream_tumbling_watermark",
-    "q_stream_dedup_pairs",
-    "q_stream_dedup_within_watermark",
-    "q_stream_stream_join",
-    "q_stream_stateful_stats",
-    "q_stream_session_windows",
-    "q_stream_mq_replay",
-    "q_stream_foreachbatch_parquet",
-    "q_stream_transform_with_state",
-    "q_stream_stream_left_outer",
-    # -- r04-stale: events -----------------------------------------------
-    "q_events_tumbling_1d",
-    "q_events_sessionize",
+    "q_funnel_stages",
+    "q_gapfill_user_daily",
+    "q_gapfill_locf",
+    "q_manifest_snapshot_diff",
+    "q_cdf_incremental_consumer",
+    # -- r04-stale (deferred twice; the oldest records anywhere) ----------
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_embedding_quantize",
+    "q_multimodal_decode",
+    "q_stream_rate_source",
+    "q_stream_sliding_6h",
+    "q_stream_static_join",
+    "q_events_json_extract",
+    "q_events_sliding_6h",
+    "q_events_pivot_daily",
+    "q_wordcount_topk",
+    "q_fuzzy_source_pairs",
+    "q_mqlog_roundtrip",
+    "q_map_functions",
+    "q_partition_pruned_day",
+    # -- r05-stale: round-5 text/retrieval/curation additions -------------
+    "q_quality_gopher",
+    "q_heavy_hitters_2gram",
+    "q_bm25_topk",
+    "q_tfidf_topterms",
+    "q_dsir_importance",
+    "q_chunk_documents",
+    "q_pii_redact",
+    "q_runtime_filter_join",
+    # -- r05-stale: round-5 streaming additions ---------------------------
+    "q_stream_mq_wordcount",
+    "q_stream_decontaminate",
+    "q_stream_quality_gate",
+    "q_stream_pii_redact",
+    # -- r05-stale: TPC-H / window / set-op block (oldest-first fill) -----
+    "q_percentiles_price",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_anti_join_idle_customers",
+    "q_outer_join_nation_customers",
+    "q_rollup_returns",
+    "q_grouping_sets_sql",
+    "q_approx_distinct_parts",
+    "q_setops_active_customers",
+    "q_window_top_parts_per_brand",
 )
 
 
