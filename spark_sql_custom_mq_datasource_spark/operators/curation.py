@@ -1519,3 +1519,68 @@ def q_batch_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source quota cap — the domain-balancing admission policy every web-
+# scale corpus applies before mixing (cap any one domain/source's share;
+# CCNet/RefinedWeb keep the best K documents per domain rather than a
+# uniform draw): within each source, KEEP the QUOTA_PER_SOURCE highest-
+# quality documents, quality ties broken by doc_id so the cut is
+# deterministic under reprocessing. Differs from q_sample_per_source
+# (uniform md5-ranked cap) in ranking by CONTENT quality — it's a curation
+# policy, not a sampling primitive.
+#
+# Scale: one source-keyed window shuffle; the quality score is a pure
+# projection computed map-side before the exchange. Quality is Q20-
+# quantized BEFORE ranking so the per-source order (and therefore the
+# kept set) is integer-deterministic and engine-portable.
+# --------------------------------------------------------------------------
+
+QUOTA_PER_SOURCE = 15
+
+_SQL_QUALITY_Q20 = """
+  CAST(floor(round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+      + 0.3 * (1.0 - least(5.0 * (CAST((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) AS DOUBLE) / length(text)), 1.0))
+      + 0.3 * least(4.0 * (CAST(len(list_filter(string_split(trim(text), ' '),
+            w -> lower(w) IN ('the','a','of','and','to','in','is','it','for','on')))
+            AS DOUBLE) / len(string_split(trim(text), ' '))), 1.0), 6)
+      * 1048576.0 + 0.5) AS BIGINT)
+"""
+
+
+@register(
+    "q_source_quota_cap",
+    f"""
+    WITH q AS (SELECT doc_id, source, {_SQL_QUALITY_Q20} AS quality_q20
+               FROM documents),
+    r AS (SELECT doc_id, source, quality_q20,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY quality_q20 DESC, doc_id) AS rk
+          FROM q)
+    SELECT doc_id, source, quality_q20, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= {QUOTA_PER_SOURCE}
+    ORDER BY source, rk
+    """,
+    doc="per-source quota cap: keep the QUOTA_PER_SOURCE highest-quality "
+    "docs per source (quality Q20-quantized before ranking, doc_id "
+    "tie-break) — the domain-balancing admission policy applied before "
+    "mixture design; one source-keyed window shuffle, quality computed "
+    "map-side.",
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+
+    docs = tp(spark, sf_dir, "documents")
+    q20 = (
+        F.floor(quality_score("text") * F.lit(1048576.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("quality_q20")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality_q20"), "doc_id")
+    return (
+        docs.select("doc_id", "source", q20)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= QUOTA_PER_SOURCE)
+        .orderBy("source", "rk")
+    )

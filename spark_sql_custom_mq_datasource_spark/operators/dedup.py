@@ -1551,3 +1551,79 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Threshold sweep — the retention curve a pipeline owner reads BEFORE
+# committing to a dedup threshold: how many documents survive at J >= 0.5
+# / 0.7 / 0.8 / 0.9. The expensive part (candidate pairs) is computed
+# ONCE at the loosest threshold (PPJoin prefix filtering is exact for the
+# threshold it's given, so the 0.5-pair set contains every pair any
+# tighter cut needs); classification per threshold is then a broadcast of
+# a 4-row literal against the bounded pair set. Threshold comparisons are
+# integer-exact (common * den >= num * union), never double ratios.
+# --------------------------------------------------------------------------
+
+DEDUP_SWEEP: tuple[tuple[str, int, int], ...] = (
+    ("0.50", 1, 2),
+    ("0.70", 7, 10),
+    ("0.80", 4, 5),
+    ("0.90", 9, 10),
+)
+
+
+@register(
+    "q_dedup_threshold_sweep",
+    f"""
+    {_SQL_SHINGLES},
+    pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pj AS (SELECT da, db, common, x.n + y.n - common AS u
+           FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id),
+    thr(threshold, num, den) AS (VALUES
+      ('0.50', 1, 2), ('0.70', 7, 10), ('0.80', 4, 5), ('0.90', 9, 10)),
+    dup AS (SELECT t.threshold, COUNT(DISTINCT pj.db) AS n_dup
+            FROM thr t JOIN pj ON pj.common * t.den >= t.num * pj.u
+            GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT t.threshold,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_docs,
+           CAST(tot.n - COALESCE(d.n_dup, 0) AS BIGINT) AS n_surviving
+    FROM thr t LEFT JOIN dup d ON d.threshold = t.threshold, tot
+    ORDER BY t.threshold
+    """,
+    doc="dedup retention curve: surviving-document counts at Jaccard "
+    "thresholds 0.5/0.7/0.8/0.9 from ONE pair computation at the loosest "
+    "cut (PPJoin prefix filtering is exact per threshold, so the 0.5 "
+    "pair set covers every tighter cut); per-threshold classification is "
+    "a 4-row broadcast with integer-exact fraction comparisons.",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_from_sets(shingle_sets_cached(spark, sf_dir), 0.5)
+    thr = spark.createDataFrame(
+        list(DEDUP_SWEEP), "threshold string, num int, den int"
+    )
+    dup = (
+        F.broadcast(thr)
+        .join(
+            pairs,
+            F.col("common") * F.col("den") >= F.col("num") * F.col("union_sz"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("db").alias("n_dup"))
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    return (
+        thr.join(dup, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_docs"),
+            (F.col("n_total") - F.coalesce("n_dup", F.lit(0)))
+            .cast("bigint")
+            .alias("n_surviving"),
+        )
+        .orderBy("threshold")
+    )

@@ -1452,3 +1452,128 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid drift — the embedding-space monitoring read-out: per label, the
+# cosine between the centroid of the even-vec_id half and the odd-vec_id
+# half of the corpus (in production: yesterday's embeddings vs today's —
+# the re-index / re-train alarm for a vector store, the embedding twin of
+# the token-level PSI monitor). Exactness discipline: per-dimension
+# component sums are Q20-quantized int64 (order-free integer addition), so
+# both engines derive bit-identical double means, and the cosine is a
+# SEQUENTIAL fold (F.aggregate <-> list_reduce, bit-identical) over those
+# identical doubles — the whole float pipeline is hash-checkable.
+#
+# Scale: posexplode to (label, half, dim) — ONE |labels × 2 × dims|-key
+# shuffle with map-side partial sums; the centroid table is tiny, the
+# per-label join is broadcast-scale. No driver collect.
+# --------------------------------------------------------------------------
+
+
+def _centroid_drift_oracle() -> str:
+    dot_ab = _DEDUP_SQL_SEQ_DOT.format(a="me", b="mo")
+    dot_aa = _DEDUP_SQL_SEQ_DOT.format(a="me", b="me")
+    dot_bb = _DEDUP_SQL_SEQ_DOT.format(a="mo", b="mo")
+    return f"""
+    WITH x AS (
+      SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+             unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT label, half, dim,
+                 CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                   AS vq
+          FROM x),
+    s AS (SELECT label, half, dim, SUM(vq) AS sv, COUNT(*) AS n
+          FROM q GROUP BY 1, 2, 3),
+    a AS (SELECT label, half,
+                 list(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+                      ORDER BY dim) AS m,
+                 MAX(n) AS n
+          FROM s GROUP BY 1, 2),
+    j AS (SELECT e.label, e.m AS me, o.m AS mo,
+                 e.n AS n_even, o.n AS n_odd
+          FROM a e JOIN a o ON e.label = o.label
+          WHERE e.half = 0 AND o.half = 1)
+    SELECT label,
+           CAST(n_even AS BIGINT) AS n_even,
+           CAST(n_odd AS BIGINT) AS n_odd,
+           CAST(floor(({dot_ab}) / (sqrt({dot_aa}) * sqrt({dot_bb}))
+                      * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+    FROM j ORDER BY label
+    """
+
+
+@register(
+    "q_embedding_centroid_drift",
+    _centroid_drift_oracle(),
+    doc="per-label centroid cosine between the even- and odd-vec_id "
+    "halves of the embedding corpus — the drift monitor that decides "
+    "when a vector index or encoder needs refreshing; per-dim Q20 "
+    "integer sums (order-free) + sequential-fold cosine keep the float "
+    "pipeline bit-identical across engines; one (label, half, dim) "
+    "shuffle with map-side combine, broadcast-scale centroid join.",
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dot
+
+    emb = tp(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    s = (
+        x.select(
+            "label",
+            "half",
+            "dim",
+            F.floor(F.col("v").cast("double") * F.lit(1048576.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("vq"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(F.sum("vq").alias("sv"), F.count("*").alias("n"))
+    )
+    cent = (
+        s.groupBy("label", "half")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "sv"))),
+                lambda e: e["sv"],
+            ).alias("svs"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "label",
+            "half",
+            "n",
+            F.transform(
+                "svs",
+                lambda sv: sv.cast("double")
+                / (F.col("n").cast("double") * F.lit(1048576.0)),
+            ).alias("m"),
+        )
+    )
+    e = cent.where(F.col("half") == 0).select(
+        "label", F.col("m").alias("me"), F.col("n").alias("n_even")
+    )
+    o = cent.where(F.col("half") == 1).select(
+        "label", F.col("m").alias("mo"), F.col("n").alias("n_odd")
+    )
+    me, mo = F.col("me"), F.col("mo")
+    cos = dot(me, mo) / (F.sqrt(dot(me, me)) * F.sqrt(dot(mo, mo)))
+    return (
+        e.join(o, "label")
+        .select(
+            "label",
+            F.col("n_even").cast("bigint").alias("n_even"),
+            F.col("n_odd").cast("bigint").alias("n_odd"),
+            F.floor(cos * F.lit(1048576.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cos_q20"),
+        )
+        .orderBy("label")
+    )

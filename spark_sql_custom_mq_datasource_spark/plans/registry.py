@@ -190,6 +190,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_corpus_drift_psi",
     "q_dedup_index_compact",
     "q_hard_negative_ann_sampled",
+    "q_source_quota_cap",
+    "q_dedup_threshold_sweep",
+    "q_stream_source_quota",
+    "q_embedding_centroid_drift",
     # -- code changed since last driver record ----------------------------
     "q_stream_dedup_incremental",
     "q_funnel_stages",
@@ -236,10 +240,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_anti_join_idle_customers",
     "q_outer_join_nation_customers",
     "q_rollup_returns",
-    "q_grouping_sets_sql",
-    "q_approx_distinct_parts",
-    "q_setops_active_customers",
-    "q_window_top_parts_per_brand",
 )
 
 

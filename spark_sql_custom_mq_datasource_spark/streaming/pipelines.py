@@ -2329,6 +2329,45 @@ _register_stream_debounce()
 # --------------------------------------------------------------------------
 
 
+def docs_quartile_inbox(spark: SparkSession, sf_dir: str) -> str:
+    """The documents fixture as four doc_id-ordered, mtime-ordered parquet
+    slices — the micro-batch inbox shared by the doc_id-ordered streaming
+    folds (incremental dedup, source quota). Content-fingerprint cached
+    via cached_fixture_dir, so every consumer in a session shares one
+    build."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..plans.util import cached_fixture_dir
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def build(inbox: str) -> None:
+        mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        cuts = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
+        scratch = _os.path.join(inbox, "_scratch")
+        base_mtime = 1_600_000_000
+        for i in range(4):
+            part = _os.path.join(scratch, f"slice{i}")
+            (
+                docs.where(
+                    (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part)
+            )
+            src = next(f for f in _os.listdir(part) if f.endswith(".parquet"))
+            dst = _os.path.join(inbox, f"{i:02d}.parquet")
+            _shutil.copyfile(_os.path.join(part, src), dst)
+            _os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+        _shutil.rmtree(scratch, ignore_errors=True)
+
+    return cached_fixture_dir(
+        "stream_dedup_inc", sf_dir, "dedup-inc-v1 quartiles", build
+    )
+
+
 def committed_batch_dirs(root: str, below: int | None = None) -> list[str]:
     """Batch-keyed subdirs (``bNNNNN``) of an incremental-dedup index root
     that carry a _SUCCESS marker (optionally only those from batches
@@ -2523,8 +2562,6 @@ def _dedup_incremental_oracle() -> str:
 
 
 def _register_stream_dedup_incremental() -> None:
-    from ..plans.util import cached_fixture_dir
-
     @register(
         "q_stream_dedup_incremental",
         _dedup_incremental_oracle(),
@@ -2537,37 +2574,9 @@ def _register_stream_dedup_incremental() -> None:
     )
     def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os as _os
-        import shutil as _shutil
 
         docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-
-        def build(inbox: str) -> None:
-            mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-            cuts = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
-            scratch = _os.path.join(inbox, "_scratch")
-            base_mtime = 1_600_000_000
-            for i in range(4):
-                part = _os.path.join(scratch, f"slice{i}")
-                (
-                    docs.where(
-                        (F.col("doc_id") >= cuts[i])
-                        & (F.col("doc_id") < cuts[i + 1])
-                    )
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(part)
-                )
-                src = next(
-                    f for f in _os.listdir(part) if f.endswith(".parquet")
-                )
-                dst = _os.path.join(inbox, f"{i:02d}.parquet")
-                _shutil.copyfile(_os.path.join(part, src), dst)
-                _os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
-            _shutil.rmtree(scratch, ignore_errors=True)
-
-        inbox = cached_fixture_dir(
-            "stream_dedup_inc", sf_dir, "dedup-inc-v1 quartiles", build
-        )
+        inbox = docs_quartile_inbox(spark, sf_dir)
         state = work_dir("stream_dedup_inc_state")
 
         delivered: list[int] = []
@@ -2747,6 +2756,81 @@ def _register_dedup_index_compact() -> None:
 
 
 _register_dedup_index_compact()
+
+
+# --------------------------------------------------------------------------
+# STREAMING source-quota admission — rate-capping a firehose per source:
+# each source admits its first STREAM_SOURCE_QUOTA documents in doc_id
+# order and drops the rest, with the admitted-so-far count held in per-
+# source state across micro-batches (applyInPandasWithState, O(|sources|)
+# state: ONE integer per key). Because batches arrive doc_id-ordered
+# (shared quartile inbox) and each batch is sorted within the group, the
+# converged admitted set is exactly the globally-first K per source —
+# which is the SQL oracle (row_number over doc_id <= K). The admission
+# decision never looks at the row payload, so at 100 TB this is a
+# constant-state gate in front of any downstream pipeline.
+# --------------------------------------------------------------------------
+
+STREAM_SOURCE_QUOTA = 15
+
+
+def _register_stream_source_quota() -> None:
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_admitted", LongType())])
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        count = int(state.get[0]) if state.exists else 0
+        frames = [pdf for pdf in pdfs]
+        if not frames:
+            state.update((count,))
+            return
+        rows = pd.concat(frames).sort_values("doc_id")
+        take = max(0, STREAM_SOURCE_QUOTA - count)
+        adm = rows.head(take)
+        state.update((count + len(adm),))
+        if len(adm):
+            yield adm[["doc_id", "source"]]
+
+    @register(
+        "q_stream_source_quota",
+        f"""
+        WITH r AS (SELECT doc_id, source,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY doc_id) AS rk
+                   FROM documents)
+        SELECT doc_id, source FROM r
+        WHERE rk <= {STREAM_SOURCE_QUOTA}
+        ORDER BY source, doc_id
+        """,
+        doc="streaming per-source admission quota: the first "
+        f"{STREAM_SOURCE_QUOTA} docs per source (doc_id arrival order) "
+        "are admitted across micro-batches via ONE integer of "
+        "applyInPandasWithState state per source; converged admissions "
+        "equal the batch row_number cut (the oracle). Constant state, "
+        "stateless output — the firehose rate-cap shape.",
+    )
+    def q_stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+        inbox = docs_quartile_inbox(spark, sf_dir)
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(inbox)
+            .select("doc_id", "source")
+        )
+        admitted = stream.groupBy("source").applyInPandasWithState(
+            fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        out = run_to_table(spark, admitted, "update")
+        return out.select("doc_id", "source").orderBy("source", "doc_id")
+
+
+_register_stream_source_quota()
 
 
 # --------------------------------------------------------------------------

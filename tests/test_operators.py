@@ -1947,3 +1947,67 @@ class TestFixtureCacheIntegrity:
         p = results[0]
         assert open(f"{p}/data.txt").read() == "x"
         assert open(f"{p}/_READY").read().startswith("v1")
+
+
+class TestSourceQuotaCap:
+    def test_keeps_top_quality_per_source(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            QUOTA_PER_SOURCE,
+            q_source_quota_cap,
+        )
+
+        rows = q_source_quota_cap(spark, sf_dir).collect()
+        by_source: dict[str, list] = {}
+        for r in rows:
+            by_source.setdefault(r["source"], []).append(r)
+        for src, members in by_source.items():
+            assert len(members) <= QUOTA_PER_SOURCE, src
+            ranks = [m["rk"] for m in members]
+            assert ranks == list(range(1, len(members) + 1))
+            # quality non-increasing down the rank order
+            qs = [m["quality_q20"] for m in members]
+            assert qs == sorted(qs, reverse=True)
+
+
+class TestDedupThresholdSweep:
+    def test_retention_monotone_in_threshold(self, spark, sf_dir):
+        """A tighter threshold can only classify FEWER docs as dups, so
+        n_surviving is non-decreasing as the threshold rises, and every
+        row conserves total docs."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import get_queries
+
+        rows = get_queries()["q_dedup_threshold_sweep"](spark, sf_dir).collect()
+        assert [r["threshold"] for r in rows] == ["0.50", "0.70", "0.80", "0.90"]
+        totals = {r["n_dup_docs"] + r["n_surviving"] for r in rows}
+        assert len(totals) == 1
+        surv = [r["n_surviving"] for r in rows]
+        assert surv == sorted(surv)
+
+
+class TestCentroidDrift:
+    def test_identical_halves_have_unit_cosine(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            q_embedding_centroid_drift,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        # even and odd halves identical per label -> cos == 1 (Q20 exact);
+        # label 1's halves orthogonal -> cos == 0
+        d = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),
+                (1, [1.0, 0.0], 0),
+                (2, [1.0, 0.0], 0),
+                (3, [1.0, 0.0], 0),
+                (10, [1.0, 0.0], 1),
+                (11, [0.0, 1.0], 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/embeddings.parquet")
+        _cache.clear()
+        rows = {r["label"]: r for r in q_embedding_centroid_drift(spark, sf).collect()}
+        _cache.clear()
+        assert rows[0]["cos_q20"] == 1048576 and rows[0]["n_even"] == 2
+        assert rows[1]["cos_q20"] == 0

@@ -469,3 +469,25 @@ class TestRound10Plans:
         assert "TakeOrderedAndProject" in p
         assert "CartesianProduct" not in p
         assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+
+    def test_source_quota_single_window_no_join(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_source_quota_cap")
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        assert "Join" not in p
+        assert "Window" in p  # one source-keyed ranking shuffle
+
+    def test_centroid_drift_is_agg_plus_tiny_join(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_embedding_centroid_drift")
+        assert "Generate" in p  # posexplode
+        # (label, half, dim)-keyed sum combines map-side before exchange
+        assert p.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in p
+
+    def test_threshold_sweep_single_pair_computation(self, spark, sf_dir):
+        # the 4-row threshold literal rides broadcast against the bounded
+        # pair set; nothing may degrade to a cartesian product
+        p = plan(spark, sf_dir, "q_dedup_threshold_sweep")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" in p  # thresholds × pairs theta

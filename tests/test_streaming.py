@@ -425,3 +425,34 @@ class TestDedupIndexCompact:
         stats = compact_dedup_index(spark, state)
         for before, after in stats.values():
             assert before == after
+
+
+class TestStreamSourceQuota:
+    def test_quota_spans_batches(self, spark, sf_dir):
+        """Admission counts must carry across micro-batches: the admitted
+        set equals the globally-first K docs per source, and no source
+        exceeds the quota even though its docs arrive over 4 triggers."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import get_queries
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            STREAM_SOURCE_QUOTA,
+        )
+
+        rows = get_queries()["q_stream_source_quota"](spark, sf_dir).collect()
+        by_source: dict[str, list[int]] = {}
+        for r in rows:
+            by_source.setdefault(r["source"], []).append(r["doc_id"])
+        import duckdb
+
+        expected = duckdb.sql(
+            f"""
+            WITH r AS (SELECT doc_id, source,
+                              ROW_NUMBER() OVER (PARTITION BY source
+                                                 ORDER BY doc_id) AS rk
+                       FROM '{sf_dir}/documents.parquet')
+            SELECT source, list(doc_id ORDER BY doc_id) FROM r
+            WHERE rk <= {STREAM_SOURCE_QUOTA} GROUP BY source
+            """
+        ).fetchall()
+        assert {s: sorted(ids) for s, ids in expected} == {
+            s: sorted(ids) for s, ids in by_source.items()
+        }
