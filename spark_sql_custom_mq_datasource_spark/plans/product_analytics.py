@@ -246,13 +246,17 @@ GAPFILL_USER_MAX = 10  # deterministic output slice
 )
 def q_gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").where(F.col("user_id") < GAPFILL_USER_MAX)
-    # persisted: daily feeds BOTH the span derivation and the calendar
-    # join — without it the events scan + (user, day) shuffle run twice
-    # (plan-pinned single scan in tests); |user x day| rows, tiny vs events
+    # materialized once: daily feeds BOTH the span derivation and the
+    # calendar join — without it the events scan + (user, day) shuffle run
+    # twice (plan-pinned single scan in tests); |user x day| rows, tiny vs
+    # events. localCheckpoint (executor-side blocks, reclaimed by the
+    # ContextCleaner when the DataFrame is GC'd) instead of .persist(),
+    # whose lifetime outlived the query and leaked session cache across a
+    # 50-query run (VERDICT r08 item 5 / SCALING.md persist-lifetime note).
     daily = (
         ev.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("n"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -413,7 +417,9 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("day_value")
         )
-        .persist()  # same two-consumer shape as q_gapfill_user_daily
+        # same two-consumer shape as q_gapfill_user_daily: localCheckpoint,
+        # not persist, so nothing outlives the query (VERDICT r08 item 5)
+        .localCheckpoint(eager=True)
     )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")

@@ -585,7 +585,11 @@ def merge_daily_mv(spark: SparkSession, path: str, batch: DataFrame) -> list:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
         )
-        .persist()  # consumed twice: the affected-days collect + the merge
+        # consumed twice (affected-days collect + merge): localCheckpoint,
+        # not persist — persist outlived the fold and leaked session cache
+        # across multi-batch ingests (VERDICT r08 item 5); checkpoint
+        # blocks are GC-reclaimed with the DataFrame.
+        .localCheckpoint(eager=True)
     )
     days = [r["day"] for r in delta.select("day").distinct().limit(1001).collect()]
     if len(days) > 1000:

@@ -709,10 +709,13 @@ def snapshot_diff(
     # with delete vectors the row sets are no longer file-aligned:
     # resolve each side's MOR view and diff row-wise (EXCEPT ALL both
     # ways keeps duplicate multiplicity honest). Both views feed BOTH
-    # directions of the diff — persist so each side's table scan + delete
-    # anti-join runs once, not twice.
-    a = read_append_table_mor(spark, table, v_from).persist()
-    b = read_append_table_mor(spark, table, v_to).persist()
+    # directions of the diff — materialize via localCheckpoint so each
+    # side's table scan + delete anti-join runs once, not twice, and
+    # NOTHING outlives the query (a bare .persist() here leaked into the
+    # session cache for the rest of a 50-query run — VERDICT r08 item 5;
+    # checkpoint blocks are executor-side and GC-reclaimed).
+    a = read_append_table_mor(spark, table, v_from).localCheckpoint(eager=True)
+    b = read_append_table_mor(spark, table, v_to).localCheckpoint(eager=True)
     return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
         a.exceptAll(b).withColumn("_change", F.lit("delete"))
     )

@@ -248,8 +248,12 @@ class TestLateRound6Ops:
         p = plan(spark, sf_dir, "q_gapfill_user_daily")
         assert "Generate" in p  # the per-user span explode
         assert "CartesianProduct" not in p
-        # one events scan feeds both the counts and the span
-        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        # the events scan + (user, day) shuffle run ONCE, inside the eager
+        # localCheckpoint (r10: persist -> localCheckpoint so nothing
+        # outlives the query); the visible plan reads the checkpointed
+        # blocks and must NOT rescan parquet for the second consumer
+        assert not re.findall(r"\(\d+\) Scan parquet", p)
+        assert "ExistingRDD" in p
 
     def test_ab_readout_two_aggregates_no_join_explosion(self, spark, sf_dir):
         p = plan(spark, sf_dir, "q_ab_experiment_readout")
