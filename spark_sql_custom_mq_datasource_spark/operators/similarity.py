@@ -1577,3 +1577,91 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Norm-outlier gate — the vector data-quality check run before anything
+# enters an ANN index: embeddings whose squared norm deviates > 2 sigma
+# from their label's population are flagged (truncated/zeroed/double-
+# scaled vectors from a broken encoder batch are exactly the rows that
+# poison cosine rankings). The z-test is cleared of divisions and roots
+# into exact 128-bit integer arithmetic — the q_events_anomaly_zscore
+# discipline — over Q20-quantized squared norms, so both engines
+# bit-agree at any corpus size. One scan + one |labels|-row aggregate
+# broadcast back; no windows, no driver work.
+# --------------------------------------------------------------------------
+
+NORM_OUTLIER_SIGMA_SQ = 4  # flag beyond 2 sigma
+
+
+def _norm_outlier_oracle() -> str:
+    n2 = _DEDUP_SQL_SEQ_DOT.format(a="embedding", b="embedding")
+    return f"""
+    WITH v AS (SELECT vec_id, label,
+                      CAST(floor(({n2}) * 1048576.0 + 0.5) AS BIGINT) AS nq
+               FROM embeddings),
+    g AS (SELECT label, COUNT(*) AS m, SUM(nq) AS s1, SUM(nq * nq) AS s2
+          FROM v GROUP BY label),
+    f AS (SELECT v.label, v.nq,
+                 (g.m >= 2 AND
+                  CAST(v.nq * g.m - g.s1 AS HUGEINT)
+                    * (v.nq * g.m - g.s1) * (g.m - 1)
+                  > {NORM_OUTLIER_SIGMA_SQ} * CAST(g.m AS HUGEINT)
+                    * (CAST(g.m AS HUGEINT) * g.s2
+                       - CAST(g.s1 AS HUGEINT) * g.s1))
+                   AS is_outlier
+          FROM v JOIN g USING (label))
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(MIN(nq) AS BIGINT) AS min_norm2_q20,
+           CAST(MAX(nq) AS BIGINT) AS max_norm2_q20
+    FROM f GROUP BY label ORDER BY label
+    """
+
+
+@register(
+    "q_embedding_norm_outliers",
+    _norm_outlier_oracle(),
+    doc="embedding norm-outlier gate: per label, vectors whose Q20 "
+    "squared norm deviates >2 sigma from the label population are "
+    "counted as outliers (the broken-encoder-batch detector run before "
+    "indexing); the z-test is division-free exact 128-bit integer "
+    "arithmetic (HUGEINT / DECIMAL(38,0)), the norm a sequential fold — "
+    "bit-identical cross-engine; one scan + |labels|-row broadcast-back, "
+    "no windows.",
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dot
+
+    emb = tp(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    nq = F.floor(dot(dv, dv) * F.lit(1048576.0) + F.lit(0.5)).cast("bigint")
+    v = emb.select("vec_id", "label", nq.alias("nq"))
+    g = v.groupBy("label").agg(
+        F.count("*").alias("m"),
+        F.sum("nq").alias("s1"),
+        F.sum(F.col("nq") * F.col("nq")).alias("s2"),
+    )
+    f = v.join(F.broadcast(g), "label").withColumn(
+        "is_outlier",
+        F.expr(
+            "m >= 2 AND "
+            "CAST(nq * m - s1 AS DECIMAL(38,0)) * (nq * m - s1) * (m - 1) > "
+            f"{NORM_OUTLIER_SIGMA_SQ} * CAST(m AS DECIMAL(38,0)) * "
+            "(CAST(m AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+        ),
+    )
+    return (
+        f.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.min("nq").cast("bigint").alias("min_norm2_q20"),
+            F.max("nq").cast("bigint").alias("max_norm2_q20"),
+        )
+        .orderBy("label")
+    )

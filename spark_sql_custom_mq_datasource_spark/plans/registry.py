@@ -175,8 +175,8 @@ def register(
 #      its r09 record predates the extraction), q_funnel_stages (round-9
 #      bounded conditional-min rewrite; last record r06), and the four
 #      persist-lifetime fixes q_gapfill_user_daily, q_gapfill_locf,
-#      q_manifest_snapshot_diff, q_cdf_incremental_consumer (round-9
-#      materialize_small hardening; last records r07).
+#      q_manifest_snapshot_diff, q_cdf_incremental_consumer (round-10
+#      persist -> eager localCheckpoint; last records r07).
 #   3. The 16 r04-stale records (the oldest anywhere; deferred twice).
 #   4. r05-stale, oldest families first, to fill 50: text-quality/
 #      retrieval/curation round-5 additions, then streaming round-5
@@ -194,6 +194,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_threshold_sweep",
     "q_stream_source_quota",
     "q_embedding_centroid_drift",
+    "q_embedding_norm_outliers",
     # -- code changed since last driver record ----------------------------
     "q_stream_dedup_incremental",
     "q_funnel_stages",
@@ -239,7 +240,6 @@ _PRIORITY: tuple[str, ...] = (
     "q5_local_supplier",
     "q_anti_join_idle_customers",
     "q_outer_join_nation_customers",
-    "q_rollup_returns",
 )
 
 

@@ -2011,3 +2011,43 @@ class TestCentroidDrift:
         _cache.clear()
         assert rows[0]["cos_q20"] == 1048576 and rows[0]["n_even"] == 2
         assert rows[1]["cos_q20"] == 0
+
+
+class TestNormOutliers:
+    def test_broken_vector_is_flagged(self, spark, tmp_path):
+        """A zero-scaled vector among unit vectors must be the only
+        outlier; a label whose vectors are all identical has zero
+        variance and flags nothing (strict > on a zero RHS)."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            q_embedding_norm_outliers,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        rows = [(i, [1.0, 0.0], 0) for i in range(20)]
+        rows.append((100, [0.01, 0.0], 0))  # broken: norm ~ 0
+        rows += [(200 + i, [0.0, 2.0], 1) for i in range(5)]  # identical
+        d = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/embeddings.parquet")
+        _cache.clear()
+        got = {
+            r["label"]: r for r in q_embedding_norm_outliers(spark, sf).collect()
+        }
+        _cache.clear()
+        assert got[0]["n_vectors"] == 21 and got[0]["n_outliers"] == 1
+        assert got[1]["n_vectors"] == 5 and got[1]["n_outliers"] == 0
+
+    def test_healthy_normalized_fixture_is_clean(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            q_embedding_norm_outliers,
+        )
+
+        rows = q_embedding_norm_outliers(spark, sf_dir).collect()
+        # the fixture store is unit-normalized: the gate must report it
+        # clean (min == max == Q20(1.0), zero outliers) — the monitoring
+        # baseline a healthy vector store shows
+        for r in rows:
+            assert r["n_outliers"] == 0
+            assert r["min_norm2_q20"] == r["max_norm2_q20"] == 1048576
