@@ -182,14 +182,23 @@ class TestLateRound5Ops:
         assert "Generate" in p  # the explode
         assert "Join" not in p
 
-    def test_funnel_is_single_scan_no_join(self, spark, sf_dir):
-        # the per-user sorted fold gives any-depth funnels ONE events scan
-        # and ONE user_id shuffle — no per-stage scan-and-join chain
+    def test_funnel_is_bounded_conditional_min_chain(self, spark, sf_dir):
+        # Round-9 rewrite (VERDICT r08 item 3): the funnel is a three-stage
+        # user-keyed conditional-min chain — per-key aggregation state is
+        # ONE timestamp. The old single-scan collect_list fold held a
+        # per-user sorted array of ALL that user's funnel events, unbounded
+        # in a hot key; this pins its absence. user_id equi-joins between
+        # stages are the intended shape (exchange reuse down the chain).
+        p = plan(spark, sf_dir, "q_funnel_stages")
+        assert "collect_list" not in p and "sort_array" not in p
+        # stage filters reach the parquet scans (no full-table stage input)
+        assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type," in p
+        # no quadratic join anywhere; the only nested-loop joins are the
+        # two 1-row count crossJoins of the presentation stack
+        assert "CartesianProduct" not in p
         import re
 
-        p = plan(spark, sf_dir, "q_funnel_stages")
-        assert "Join" not in p and "CartesianProduct" not in p
-        assert len(set(re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2
 
     def test_wau_explode_bounded_no_self_join(self, spark, sf_dir):
         p = plan(spark, sf_dir, "q_rolling_dau_wau")
