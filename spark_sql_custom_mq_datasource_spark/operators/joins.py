@@ -521,3 +521,52 @@ def _join_key_skew_report_lazy(
         .orderBy(F.desc("cnt"), F.asc("user_id"))
     )
     return out, c
+
+
+# --------------------------------------------------------------------------
+# Skew-safe exact distinct: the two-stage composite-key rewrite
+# --------------------------------------------------------------------------
+
+
+def distinct_count_two_stage(
+    df: DataFrame, key: str, distinct_col: str
+) -> DataFrame:
+    """Exact per-key distinct count via the composite-key rewrite:
+    stage 1 reduces on (key, distinct_col) — the shuffle spreads a hot
+    key across |distinct values| reducers instead of funneling every
+    row of that key through one task — stage 2 counts groups per key.
+    A total-event count rides along free as SUM of the stage-1 partial
+    counts (one scan, never a second pass over the fact).
+
+    This is the explicit form of the planner's own distinct-aggregate
+    expansion, registered as a first-class operator because at 100 TB
+    you compose it by hand whenever a query needs BOTH the distinct
+    count and other aggregates without a double scan."""
+    s1 = df.groupBy(key, distinct_col).agg(F.count("*").alias("_cnt"))
+    return s1.groupBy(key).agg(
+        F.count("*").alias("n_distinct"),
+        F.sum("_cnt").alias("n_rows"),
+    )
+
+
+@register(
+    "q_distinct_users_skew_safe",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="skew-safe exact distinct users per event_type (5 maximally hot "
+    "keys): two-stage composite-key rewrite — stage 1 reduces on "
+    "(type, user), spreading each hot key across its user cardinality; "
+    "stage 2 counts groups. Total rows ride along as a partial-count "
+    "sum, so one scan serves both aggregates.",
+)
+def q_distinct_users_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        distinct_count_two_stage(ev, "event_type", "user_id")
+        .select("event_type", "n_distinct", "n_rows")
+        .orderBy("event_type")
+    )

@@ -254,6 +254,7 @@ def _load_all() -> None:
     from ..operators import curation  # noqa: F401
     from ..functions import udfs  # noqa: F401
     from ..operators import multimodal  # noqa: F401
+    from ..operators import profiling  # noqa: F401
     from ..operators import privacy  # noqa: F401
     from ..operators import joins  # noqa: F401
     from ..streaming import pipelines  # noqa: F401

@@ -662,3 +662,75 @@ def q_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction PLANNING: which files merge into which output (bin packing).
+# q_compact_small_files executes a rewrite; a 100 TB maintenance service
+# first PLANS one — grouping the current file inventory into target-sized
+# output bins — so rewrites can be scheduled, throttled, and resumed
+# per-bin. Next-fit-decreasing over the size-sorted inventory is the
+# standard one-pass heuristic (≤ 2x optimal bin count, deterministic):
+# bin_id = floor(exclusive-running-total / target). The window runs over
+# FILE METADATA (bounded: one row per file — a catalog listing, not the
+# data), so a single ordered window is the right tool; the data itself is
+# never read at planning time.
+# --------------------------------------------------------------------------
+
+PLAN_FILE_BYTES = 4096  # deterministic per-row size proxy for the fixture
+PLAN_TARGET_BYTES = 1 << 20  # 1 MiB bins at fixture scale (128 MiB in prod)
+
+
+def compaction_plan(files: DataFrame, target_bytes: int) -> DataFrame:
+    """Assign each (file_key..., size_b) row a bin_id by next-fit-decreasing.
+
+    `files` must carry a `size_b` column plus any identifying columns;
+    ordering ties are broken by the remaining columns in order, so the
+    plan is deterministic for a given inventory."""
+    from pyspark.sql.window import Window
+
+    keys = [c for c in files.columns if c != "size_b"]
+    order = [F.desc("size_b"), *[F.asc(k) for k in keys]]
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("size_b").over(w), F.lit(0))
+    return files.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(target_bytes)).cast("bigint")
+    )
+
+
+@register(
+    "q_compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT o_orderpriority AS priority, strftime(o_orderdate, '%Y-%m') AS mo,
+             COUNT(*) * {PLAN_FILE_BYTES} AS size_b
+      FROM orders GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT priority, mo, size_b,
+             CAST(floor(COALESCE(SUM(size_b) OVER (
+               ORDER BY size_b DESC, priority, mo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {PLAN_TARGET_BYTES}.0) AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT * FROM planned ORDER BY bin_id, size_b DESC, priority, mo
+    """,
+    doc="compaction planning: next-fit-decreasing bin packing of the file "
+    "inventory (one metadata-only window; data never read) — bin_id = "
+    "floor(exclusive running total / target). Inventory here is the "
+    "(priority, month) partition grid of orders with a per-row size "
+    "proxy; in prod it is the catalog's file listing and 128 MiB bins.",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("mo"),
+    ).agg((F.count("*") * PLAN_FILE_BYTES).alias("size_b"))
+    return compaction_plan(files, PLAN_TARGET_BYTES).orderBy(
+        "bin_id", F.desc("size_b"), "priority", "mo"
+    )
