@@ -348,6 +348,113 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shingle CONTAINMENT (asymmetric near-dup: short doc inside long doc)
+# --------------------------------------------------------------------------
+#
+# Jaccard is blind to containment by construction: a 30-shingle quote
+# embedded verbatim in a 3000-shingle article scores J ≈ 0.01 but
+# C(short→long) = |A∩B|/|A| = 1.0. Corpus curation needs exactly this
+# detector — quoted/excerpted/template-wrapped duplicates whose host is
+# much larger. The machinery reuses the Jaccard family's hashed shingle
+# sets and inverted index; only the prefix bound and the verify ratio
+# change. Prefix filtering stays lossless for containment at threshold t:
+# overlap ≥ ceil(t·na) forces at least one shared shingle within A's
+# first (na − ceil(t·na) + 1) shingles under ANY fixed global order —
+# only the PROBE side (A) needs a prefix cut; B is matched through the
+# full inverted index, length-filtered by nb ≥ ceil(t·na) (B must be big
+# enough to hold the overlap; there is deliberately no upper bound on nb,
+# that asymmetry is the point). Hot boilerplate shingles on the index
+# side are bounded by the same stop-shingle DF cap as Jaccard.
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs_from_sets(
+    sets: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(da, db) pairs with |shingles(da) ∩ shingles(db)| / |shingles(da)|
+    ≥ threshold and da != db — da's set (near-)contained in db's.
+    Candidates from a probe-side-prefix × full-index join; survivors
+    re-verified with exact array intersection."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sets.select("doc_id", "n", F.explode("hset").alias("s"))
+    freq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    if max_shingle_df is not None:
+        freq = freq.where(F.col("df") <= max_shingle_df)
+    idx = sh.join(freq, "s").persist(StorageLevel.DISK_ONLY)
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    need = F.ceil(F.lit(threshold) * F.col("n"))
+    prefix = (
+        idx.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= F.col("n") - need + 1)
+        .select("doc_id", "s", "n")
+    )
+    a, b = prefix.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # B must be large enough to hold the required overlap
+            & (F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n"))),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    av = sets.select(
+        F.col("doc_id").alias("da"), F.col("hset").alias("sa"), F.col("n").alias("na")
+    )
+    bv = sets.select(
+        F.col("doc_id").alias("db"), F.col("hset").alias("sb"), F.col("n").alias("nb")
+    )
+    common = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(av, "da")
+        .join(bv, "db")
+        .select(
+            "da",
+            "db",
+            common.alias("common"),
+            "na",
+            "nb",
+            (common.cast("double") / F.col("na")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+_SQL_CONTAINMENT_PAIRS = f"""
+  {_SQL_SHINGLES},
+  pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+  SELECT da, db, CAST(common AS INTEGER) AS common,
+         CAST(x.n AS INTEGER) AS na, CAST(y.n AS INTEGER) AS nb,
+         CAST(common AS DOUBLE) / x.n AS containment
+  FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+  WHERE CAST(common AS DOUBLE) / x.n >= {CONTAINMENT_THRESHOLD}
+  ORDER BY da, db
+"""
+
+
+@register(
+    "q_dedup_containment",
+    _SQL_CONTAINMENT_PAIRS,
+    doc="asymmetric shingle-containment near-dup pairs (|A∩B|/|A| ≥ 0.8, "
+    "short-in-long): probe-side prefix filter × full inverted index, "
+    "exact re-verify — catches quoted/excerpted duplicates Jaccard's "
+    "symmetric ratio misses.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs_from_sets(
+        shingle_sets_cached(spark, sf_dir), max_shingle_df=STOP_SHINGLE_MAX_DF
+    ).orderBy("da", "db")
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH (the scale path for Jaccard)
 # --------------------------------------------------------------------------
 

@@ -1665,3 +1665,204 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss dimensionality reduction) —
+# the standard cheap pre-pass before clustering / LSH / shipping vectors
+# to a smaller index: project D dims onto K << D with a fixed +-1 sign
+# matrix; pairwise geometry is preserved within 1/sqrt(K) distortion.
+# The sign matrix is DERIVED, not stored: sign(i,j) = parity of the
+# first md5 hex digit of "i_j" — md5 is bit-identical in Spark, DuckDB,
+# and hashlib, so every engine (and every executor, with no broadcast
+# of learned state) regenerates the same matrix from the formula alone.
+# Elements are Q20-quantized BEFORE the matmul, making the projection an
+# exact int64 dot product — order-free, bit-identical cross-engine.
+# Shape at 100 TB: the K x D sign matrix is built once on the driver
+# (K*D ints, trivially bounded) and closed over by an Arrow-batched
+# mapInPandas doing one numpy int64 matmul per batch — one scan, zero
+# shuffles, zero Python-per-row.
+# --------------------------------------------------------------------------
+
+JL_OUT_DIMS = 8
+
+
+def _jl_sign_matrix(k: int, d: int):
+    """K x D int64 {-1,+1} matrix from the portable md5-parity formula."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((k, d), dtype=np.int64)
+    for j in range(k):
+        for i in range(d):
+            digit = hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0]
+            m[j, i] = -1 if digit in "13579bdf" else 1
+    return m
+
+
+def random_projection_q20(
+    vectors: DataFrame, id_col: str, vec_col: str, k: int = JL_OUT_DIMS
+) -> DataFrame:
+    """(id, out_dim, proj_q20): exact-integer JL projection of Q20-quantized
+    vectors onto k hash-derived +-1 directions."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    d = vectors.select(F.size(vec_col).alias("d")).first()["d"]
+    signs = _jl_sign_matrix(k, d)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("out_dim", IntegerType()),
+            StructField("proj_q20", LongType()),
+        ]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            e = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            eq = np.floor(e * 1048576.0 + 0.5).astype(np.int64)
+            p = eq @ signs.T  # (n, k) exact int64
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                    "out_dim": np.tile(np.arange(k, dtype=np.int32), n),
+                    "proj_q20": p.reshape(-1),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(project, schema)
+
+
+@register(
+    "q_embedding_random_projection",
+    f"""
+    WITH e AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS i,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, i,
+                 CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                   AS xq
+          FROM e),
+    dims AS (SELECT unnest(range({JL_OUT_DIMS})) AS od)
+    SELECT vec_id, CAST(od AS INTEGER) AS out_dim,
+           CAST(SUM(xq * (CASE WHEN substr(
+                  md5(CAST(i AS VARCHAR) || '_' || CAST(od AS VARCHAR)), 1, 1)
+                  IN ('1','3','5','7','9','b','d','f')
+                THEN -1 ELSE 1 END)) AS BIGINT) AS proj_q20
+    FROM q CROSS JOIN dims
+    GROUP BY vec_id, od
+    ORDER BY vec_id, out_dim
+    """,
+    doc=f"Johnson-Lindenstrauss random projection to {JL_OUT_DIMS} dims: "
+    "md5-parity-derived +-1 sign matrix (regenerable on any engine, no "
+    "stored state), Q20-quantized exact int64 matmul in one Arrow batch "
+    "pass — one scan, zero shuffles; the cheap pre-pass before "
+    "clustering or a smaller ANN index.",
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings")
+    return random_projection_q20(emb, "vec_id", "embedding").orderBy(
+        "vec_id", "out_dim"
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation evaluation: how much retrieval quality survives
+# keeping only the first M of D embedding dimensions? Matryoshka-style
+# encoders are trained so prefixes remain usable; before switching an
+# index (or a reranker's first stage) to truncated vectors, measure
+# recall@k of truncated-exact retrieval against full-dim exact retrieval.
+# Pure composition of the existing exact top-k machinery: two bounded
+# query-matrix scans (full + sliced corpus), an id-equi-join of the two
+# k-row-per-query lists, integer overlap counts — float similarity never
+# crosses the engine boundary, so the read-out is rank-tie-robust.
+# --------------------------------------------------------------------------
+
+MRL_DIMS = 16
+
+
+@register(
+    "q_matryoshka_recall",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    full_sims AS (
+      SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+             {_SQL_SEQ_DOT.format(a="q.embedding", b="c.embedding")}
+               / ({_SQL_NORM.format(v="q.embedding")}
+                  * {_SQL_NORM.format(v="c.embedding")}) AS sim
+      FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+    ),
+    full_top AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT qid, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM full_sims) WHERE rk <= {TOPK}
+    ),
+    tq AS (SELECT vec_id, embedding[1:{MRL_DIMS}] AS embedding FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+    tc AS (SELECT vec_id, embedding[1:{MRL_DIMS}] AS embedding FROM embeddings),
+    trunc_sims AS (
+      SELECT tq.vec_id AS qid, tc.vec_id AS neighbor_id,
+             {_SQL_SEQ_DOT.format(a="tq.embedding", b="tc.embedding")}
+               / ({_SQL_NORM.format(v="tq.embedding")}
+                  * {_SQL_NORM.format(v="tc.embedding")}) AS sim
+      FROM tq JOIN tc ON tc.vec_id != tq.vec_id
+    ),
+    trunc_top AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT qid, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM trunc_sims) WHERE rk <= {TOPK}
+    )
+    SELECT f.qid,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_common,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / {TOPK} AS recall
+    FROM full_top f LEFT JOIN trunc_top t
+      ON f.qid = t.qid AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+    doc=f"matryoshka truncation eval: recall@{TOPK} of exact retrieval on "
+    f"the first {MRL_DIMS} of 64 dims vs full-dim exact retrieval — the "
+    "go/no-go measurement before pointing an index at truncated "
+    "vectors; integer overlap counts, so the read-out is robust to "
+    "cross-engine float rank noise.",
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings")
+    queries = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    trunc = lambda df: df.withColumn(
+        "embedding", F.slice("embedding", 1, MRL_DIMS)
+    )
+    full_top = ann_bruteforce_topk(emb, queries, TOPK)
+    trunc_top = ann_bruteforce_topk(trunc(emb), trunc(queries), TOPK).select(
+        F.col("qid").alias("tqid"), F.col("neighbor_id").alias("tneighbor")
+    )
+    return (
+        full_top.join(
+            trunc_top,
+            (F.col("qid") == F.col("tqid"))
+            & (F.col("neighbor_id") == F.col("tneighbor")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("tneighbor").cast("bigint").alias("n_common"),
+            (F.count("tneighbor").cast("double") / F.lit(TOPK)).alias("recall"),
+        )
+        .orderBy("qid")
+    )

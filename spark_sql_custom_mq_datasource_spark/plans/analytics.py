@@ -974,3 +974,106 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# EQUI-DEPTH histogram (exact): the fixed-width q_histogram_totalprice
+# answers "how do values spread over a known domain"; optimizers and
+# data-profiling want the dual — boundaries that split the data into
+# equal-count buckets. Exact equi-depth needs every row's global rank,
+# and a partition-less ntile window would move the whole table through
+# ONE task. This is the distributed two-level ranking (terasort shape):
+# range-repartition on (value, unique key), rank LOCALLY per partition,
+# then add each partition's exclusive prefix count — a bounded
+# |partitions|-row collect — to make ranks global. The SQL-standard
+# ntile arithmetic then assigns buckets from (rank, N) alone, so the
+# result is bit-identical to a single-node ntile at any parallelism.
+# --------------------------------------------------------------------------
+
+HIST_EQ_BUCKETS = 16
+
+
+def equidepth_histogram(
+    df: DataFrame, val_col: str, key_col: str, buckets: int
+) -> DataFrame:
+    """(bucket, n, lo, hi) equal-count buckets of val_col, total-ordered by
+    (val, key) so ties break deterministically. Exact distributed ntile."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    t2 = df.select(
+        F.col(val_col).alias("v"), F.col(key_col).alias("k")
+    ).repartitionByRange(parts, "v", "k")
+    ranked = t2.withColumn("pid", F.spark_partition_id()).withColumn(
+        "lr",
+        F.row_number().over(Window.partitionBy("pid").orderBy("v", "k")),
+    )
+    # Two consumers (the offset collect and the final join) must see ONE
+    # materialization: repartitionByRange SAMPLES its boundaries, so a
+    # re-execution may place rows in different pids — eager
+    # localCheckpoint pins the assignment (blocks reclaimed on GC, the
+    # repo's persist-lifetime convention).
+    ranked = ranked.localCheckpoint(eager=True)
+    # bounded: one row per partition; global correctness does not depend
+    # on WHERE the range boundaries landed, only on per-partition counts
+    cnts = sorted(
+        (r["pid"], r["n"])
+        for r in ranked.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(n for _, n in cnts)
+    offs, acc = {}, 0
+    for pid, n in cnts:
+        offs[pid] = acc
+        acc += n
+    off_df = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in offs.items()], "pid int, off long"
+    )
+    q, r = divmod(total, buckets)
+    # SQL-standard ntile from (rank, N) alone: the first r buckets hold
+    # q+1 rows, the rest q. Integer `div` ceilings, never a double
+    # division — exact at any rank magnitude (a 10^12-row table's ranks
+    # do not fit a double's 53-bit mantissa).
+    if q:
+        bucket = F.expr(
+            f"CASE WHEN off + lr <= {r} * {q + 1} "
+            f"THEN (off + lr + {q}) DIV {q + 1} "
+            f"ELSE {r} + (off + lr - {r} * {q + 1} + {q - 1}) DIV {q} END"
+        )
+    else:  # fewer rows than buckets: row rank IS the bucket
+        bucket = F.expr("off + lr")
+    return (
+        ranked.join(F.broadcast(off_df), "pid")
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_histogram_equidepth",
+    f"""
+    WITH b AS (
+      SELECT o_totalprice AS v,
+             ntile({HIST_EQ_BUCKETS})
+               OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v) AS DOUBLE) AS lo,
+           CAST(MAX(v) AS DOUBLE) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc=f"exact equi-depth histogram ({HIST_EQ_BUCKETS} equal-count "
+    "buckets of o_totalprice): distributed two-level ranking — range "
+    "repartition, local row_number, |partitions|-row prefix offsets — "
+    "bit-identical to a single-node ntile without ever moving the "
+    "table through one task.",
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return equidepth_histogram(
+        o, "o_totalprice", "o_orderkey", HIST_EQ_BUCKETS
+    ).orderBy("bucket")

@@ -825,3 +825,154 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("m"), F.lit(0)).cast("int").alias("baseline_days"),
         flag.alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# Time-bounded conversion: "did a click follow this view within T?" —
+# the funnel family's unbounded-time chain answers WHETHER users
+# convert; ad-style attribution and UX latency work need conversions
+# bounded by a window. One per-user ordered window computes each view's
+# NEXT click via a min-over-following-rows frame (Spark evaluates the
+# reversed running min in O(n) per key) — never a per-stage self-join,
+# never a per-user event array; comparisons in exact epoch micros.
+# --------------------------------------------------------------------------
+
+CONVERSION_WINDOW_SEC = 3600
+
+
+@register(
+    "q_conversion_within_window",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    x AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click_us
+      FROM e
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN next_click_us IS NOT NULL
+                          AND next_click_us - epoch_us(ts)
+                              <= CAST({CONVERSION_WINDOW_SEC} AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM x WHERE event_type = 'view'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="time-bounded conversion per day: views whose next click (same "
+    "user) lands within 1 h — next-event lookup via one per-user "
+    "min-over-following window frame (O(n) reversed running min, no "
+    "self-join, no event arrays); exact epoch-micros comparison.",
+)
+def q_conversion_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    next_click_us = F.min(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(frame)
+    views = ev.withColumn("next_click_us", next_click_us).where(
+        F.col("event_type") == "view"
+    )
+    converted = F.when(
+        F.col("next_click_us").isNotNull()
+        & (
+            F.col("next_click_us") - F.unix_micros("ts")
+            <= CONVERSION_WINDOW_SEC * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        views.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_views"),
+            F.sum(converted).cast("bigint").alias("n_converted"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-key linear trend of the daily series — "is this event type growing
+# or declining, and at what rate?" is the first question asked of any
+# activity metric. Ordinary least squares over (epoch-day, daily-count)
+# needs only the five classic sums (n, Σx, Σy, Σxy, Σx²), all exact
+# int64 folds: two shuffles total ((type, day), then type), |types|
+# output rows, and the slope/intercept are single IEEE divisions of
+# identical exact integers — bit-equal on any engine, any row order.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_daily_trend_by_type",
+    """
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM s ORDER BY event_type
+    """,
+    doc="per-type OLS trend of the daily event series: slope/intercept "
+    "from the five exact int64 sums (n, Σx, Σy, Σxy, Σx²) — two "
+    "shuffles, |types| rows out, divisions of identical exact integers "
+    "so engines bit-agree.",
+)
+def q_daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "x"
+            ),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    ).orderBy("event_type")

@@ -165,11 +165,14 @@ def register(
 # cut short after 36 turns and re-ran the round-8 prefix, so the plan
 # carries over — plus this round's additions/changes; regenerate the
 # staleness base with tools/rotation_plan.py):
-#   1. The 5 never-driver-checked queries: the 3 post-round-8 additions
-#      (q_batch_padding_audit, q_stream_anomaly_zscore, q_corpus_drift_psi)
-#      and the 2 round-10 additions (q_dedup_index_compact,
-#      q_hard_negative_ann_sampled) — all locally green at sf0.001 AND
-#      sf0.01.
+#   1. The never-driver-checked queries: the 3 post-round-8 additions
+#      (q_batch_padding_audit, q_stream_anomaly_zscore, q_corpus_drift_psi),
+#      the 2 early round-10 additions (q_dedup_index_compact,
+#      q_hard_negative_ann_sampled), the 4 round-10 quota/drift additions,
+#      and the 8 mid-round-10 additions (profiling, skew-safe distinct,
+#      compaction planning, containment dedup, JL random projection,
+#      streaming heavy hitters, matryoshka recall, conversion-within-
+#      window) — all locally green at sf0.001 AND sf0.01.
 #   2. Code changed since its last driver record: q_stream_dedup_incremental
 #      (round-9 batch-keyed idempotent fold + round-10 helper extraction;
 #      its r09 record predates the extraction), q_funnel_stages (round-9
@@ -195,6 +198,18 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_source_quota",
     "q_embedding_centroid_drift",
     "q_embedding_norm_outliers",
+    # -- round-10 mid-round additions (never driver-checked) --------------
+    "q_profile_documents",
+    "q_distinct_users_skew_safe",
+    "q_compaction_plan",
+    "q_dedup_containment",
+    "q_embedding_random_projection",
+    "q_stream_heavy_hitters",
+    "q_matryoshka_recall",
+    "q_conversion_within_window",
+    "q_daily_trend_by_type",
+    "q_table_fingerprint",
+    "q_histogram_equidepth",
     # -- code changed since last driver record ----------------------------
     "q_stream_dedup_incremental",
     "q_funnel_stages",
@@ -221,26 +236,31 @@ _PRIORITY: tuple[str, ...] = (
     "q_partition_pruned_day",
     # -- r05-stale: round-5 text/retrieval/curation additions -------------
     "q_quality_gopher",
-    "q_heavy_hitters_2gram",
-    "q_bm25_topk",
     "q_tfidf_topterms",
     "q_dsir_importance",
-    "q_chunk_documents",
     "q_pii_redact",
     "q_runtime_filter_join",
     # -- r05-stale: round-5 streaming additions ---------------------------
     "q_stream_mq_wordcount",
     "q_stream_decontaminate",
-    "q_stream_quality_gate",
-    "q_stream_pii_redact",
-    # -- r05-stale: TPC-H / window / set-op block (oldest-first fill) -----
-    "q_percentiles_price",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q_anti_join_idle_customers",
-    "q_outer_join_nation_customers",
 )
+# Displaced late in round 10 to make room for the 11 mid-round additions
+# (never-driver-checked queries outrank stale-green re-checks, per the
+# standing policy): q_heavy_hitters_2gram and q_bm25_topk (both timed by
+# bench.py's extended set every round since r05/r06, so a breakage is
+# driver-visible anyway; r05-green), q_chunk_documents (streaming twin
+# q_stream_chunk_documents r06-green exercises the same chunk
+# projection), q_stream_quality_gate + q_stream_pii_redact (their
+# BATCH twins q_quality_gopher / q_pii_redact stay in-prefix and exercise
+# the same gate/redaction expressions; the streaming plumbing is covered
+# by the 2 streaming r05 entries that remain plus 12 fresher streaming
+# queries in-prefix), q1/q3/q5 (bench-exercised every round since r01;
+# r05-green), q_percentiles_price (family cover:
+# q_approx_percentile_bounds r06-green), q_anti_join_idle_customers and
+# q_outer_join_nation_customers (r05-green; the join family keeps as-of/
+# range/salted/bucketed members in-prefix). All eight remain green in
+# CORRECTNESS_r05.json and in this round's closing local battery; they
+# lead the round-11 rotation plan as the oldest records left.
 
 
 def _load_all() -> None:

@@ -734,3 +734,57 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(files, PLAN_TARGET_BYTES).orderBy(
         "bin_id", F.desc("size_b"), "priority", "mo"
     )
+
+
+# --------------------------------------------------------------------------
+# Table fingerprint: an ORDER-FREE content checksum per partition-ish key,
+# the primitive behind replication verification, migration sign-off, and
+# cross-engine table equality ("does the copy match the source?") without
+# moving either table. Row hash = 40 bits of md5 over a canonical column
+# concatenation (identical in every engine); the checksum is a plain SUM —
+# commutative, so partition order, file order, and engine parallelism are
+# all irrelevant. 40-bit hashes keep a BIGINT sum safe to ~2^22 rows per
+# group at fixture scale; a 100 TB deployment widens the accumulator to
+# DECIMAL(38,0) (the repo's 128-bit pattern) rather than shrinking the
+# hash. One scan, one |keys|-row aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_table_fingerprint",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(
+                 md5(CAST(doc_id AS VARCHAR) || '\x1f' || text), 1, 10))
+                 AS BIGINT)) AS BIGINT) AS content_checksum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="order-free per-source table fingerprint: SUM of 40-bit md5 row "
+    "hashes over a canonical column concatenation + row count + id "
+    "bounds — replication/migration sign-off in one scan and one "
+    "|keys|-row aggregate, commutative so engine order never matters.",
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("doc_id").cast("string"), "text")),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(h).cast("bigint").alias("content_checksum"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("source")
+    )

@@ -3013,3 +3013,163 @@ def _register_stream_anomaly() -> None:
 
 
 _register_stream_anomaly()
+
+
+# --------------------------------------------------------------------------
+# Streaming heavy hitters: sharded mergeable Misra-Gries summaries.
+# The batch q_heavy_hitters_2gram answers "what dominates the corpus";
+# a live ingest pipeline needs the same answer continuously WITHOUT
+# unbounded per-token state. Misra-Gries summaries are mergeable
+# (Agarwal et al., "Mergeable Summaries", PODS'12): merging two
+# capacity-C summaries = sum counts, then subtract the (C+1)-th largest
+# count from all and drop non-positives — per-key undercount is bounded
+# by total/(C+1) across ANY merge tree. State is keyed by a token-hash
+# SHARD (not by token!), so state size is EXACTLY shards x C entries no
+# matter how many distinct tokens stream past; each trigger folds the
+# batch's token counts into its shard's summary in one pandas pass.
+# The registered query sizes C above the fixture vocabulary, making the
+# summary EXACT — the DuckDB oracle is the plain batch top-k; the
+# undercount bound of the truncating path is property-tested suite-side
+# (tests/test_streaming.py).
+# --------------------------------------------------------------------------
+
+HH_SHARDS = 8
+HH_CAPACITY = 4096
+HH_TOPK = 20
+
+_HH_OUT = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("token", StringType()),
+        StructField("cnt", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+_HH_STATE = StructType(
+    [
+        StructField("tokens", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _mg_merge(summary: dict, batch_counts: dict, capacity: int) -> dict:
+    """Misra-Gries merge of a batch's exact counts into a capacity-C
+    summary. Deterministic: ties at the truncation boundary resolve by
+    token order."""
+    for tok, c in batch_counts.items():
+        summary[tok] = summary.get(tok, 0) + int(c)
+    if len(summary) > capacity:
+        by_size = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+        t_sub = by_size[capacity][1]  # (C+1)-th largest count
+        summary = {
+            tok: c - t_sub for tok, c in by_size if c - t_sub > 0
+        }
+    return summary
+
+
+def _hh_fold(capacity: int):
+    def fold(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            tokens, counts, seq = state.get
+            summary = dict(zip(tokens, counts))
+        else:
+            summary, seq = {}, 0
+        batch: dict = {}
+        for pdf in pdfs:
+            for tok, c in pdf["token"].value_counts().items():
+                batch[tok] = batch.get(tok, 0) + int(c)
+        summary = _mg_merge(summary, batch, capacity)
+        seq += 1
+        items = sorted(summary.items())
+        state.update(([t for t, _ in items], [c for _, c in items], seq))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "token": [t for t, _ in items],
+                "cnt": [c for _, c in items],
+                "seq": [seq] * len(items),
+            }
+        )
+
+    return fold
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    tokens: DataFrame,
+    capacity: int = HH_CAPACITY,
+    shards: int = HH_SHARDS,
+) -> DataFrame:
+    """Drain a streaming (token) DataFrame through sharded Misra-Gries
+    state; return the converged per-shard summaries (token, cnt)."""
+    updates = (
+        tokens.withColumn(
+            "shard", F.pmod(F.xxhash64("token"), F.lit(shards)).cast("int")
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _hh_fold(capacity),
+            _HH_OUT,
+            _HH_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_table(spark, updates, "update")
+    # keep each shard's LAST summary (a shard may skip a trigger, so seqs
+    # differ per shard); per-shard window over the bounded summary table
+    mx = F.max("seq").over(Window.partitionBy("shard"))
+    return (
+        out.withColumn("_mx", mx)
+        .where(F.col("seq") == F.col("_mx"))
+        .select("token", "cnt")
+    )
+
+
+@register(
+    "q_stream_heavy_hitters",
+    f"""
+    WITH t AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+    ),
+    c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+    r AS (SELECT token, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS rank
+          FROM c)
+    SELECT CAST(rank AS INTEGER) AS rank, token, CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rank <= {HH_TOPK} ORDER BY rank
+    """,
+    doc="STREAMING heavy hitters: sharded mergeable Misra-Gries "
+    f"summaries (state EXACTLY {HH_SHARDS}x{HH_CAPACITY} entries "
+    "regardless of vocabulary; undercount bounded by total/(C+1)); "
+    "capacity sized above the fixture vocabulary, so the converged "
+    "top-k equals the exact batch answer — the oracle.",
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_state_store(spark)
+    inbox = docs_quartile_inbox(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(inbox)
+    )
+    tokens = stream.select(
+        F.explode(F.split(F.trim("text"), " ")).alias("token")
+    )
+    merged = (
+        stream_heavy_hitters(spark, tokens)
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # the merged summary is BOUNDED (<= shards x capacity rows), so a
+    # global rank window here orders a small monitoring table, not data
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= HH_TOPK)
+        .select("rank", "token", F.col("cnt").cast("bigint").alias("cnt"))
+        .orderBy("rank")
+    )

@@ -2051,3 +2051,360 @@ class TestNormOutliers:
         for r in rows:
             assert r["n_outliers"] == 0
             assert r["min_norm2_q20"] == r["max_norm2_q20"] == 1048576
+
+
+class TestProfileTable:
+    def test_nulls_distinct_and_bounds(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.profiling import (
+            profile_table,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "b")], "id long, s string"
+        )
+        got = {r["col_name"]: r for r in profile_table(d, ["id", "s"]).collect()}
+        assert got["id"]["n_rows"] == 4 and got["id"]["n_nonnull"] == 4
+        assert got["id"]["n_distinct"] == 4
+        assert (got["id"]["min_val"], got["id"]["max_val"]) == ("1", "4")
+        assert got["s"]["n_rows"] == 4 and got["s"]["n_nonnull"] == 3
+        assert got["s"]["n_distinct"] == 2
+        assert (got["s"]["min_val"], got["s"]["max_val"]) == ("a", "b")
+
+    def test_approx_path_same_shape(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.profiling import (
+            profile_table,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        docs = t(spark, sf_dir, "documents")
+        exact = {
+            r["col_name"]: r for r in profile_table(docs, ["doc_id"]).collect()
+        }
+        approx = {
+            r["col_name"]: r
+            for r in profile_table(docs, ["doc_id"], exact=False).collect()
+        }
+        e, a = exact["doc_id"], approx["doc_id"]
+        assert (a["n_rows"], a["n_nonnull"]) == (e["n_rows"], e["n_nonnull"])
+        assert (a["min_val"], a["max_val"]) == (e["min_val"], e["max_val"])
+        # HLL NDV within its documented error envelope
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= 0.1 * e["n_distinct"]
+
+    def test_single_scan_plan(self, spark, sf_dir):
+        import re
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+
+        _load_all()
+        df = QUERIES["q_profile_documents"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # ONE parquet scan feeds the unpivot — never a per-column scan loop
+        assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
+
+
+class TestDistinctTwoStage:
+    def test_matches_naive_distinct(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.joins import (
+            distinct_count_two_stage,
+        )
+
+        d = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2), ("b", 3)], "k string, u int"
+        )
+        got = {r["k"]: r for r in distinct_count_two_stage(d, "k", "u").collect()}
+        assert got["a"]["n_distinct"] == 2 and got["a"]["n_rows"] == 3
+        assert got["b"]["n_distinct"] == 1 and got["b"]["n_rows"] == 1
+
+
+class TestCompactionPlan:
+    def test_bins_respect_target_up_to_one_file(self, spark):
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            compaction_plan,
+        )
+
+        files = spark.createDataFrame(
+            [(f"f{i}", (i * 37 % 90) + 10) for i in range(200)],
+            "name string, size_b long",
+        )
+        rows = compaction_plan(files, 256).collect()
+        bins: dict[int, list[int]] = {}
+        for r in rows:
+            bins.setdefault(r["bin_id"], []).append(r["size_b"])
+        # next-fit by exclusive running total: a bin exceeds the target
+        # only by (part of) the single file straddling its boundary
+        for sizes in bins.values():
+            assert sum(sizes) - max(sizes) <= 256
+        # bin ids are dense from 0
+        assert sorted(bins) == list(range(len(bins)))
+
+    def test_deterministic(self, spark):
+        from spark_sql_custom_mq_datasource_spark.sources.maintenance import (
+            compaction_plan,
+        )
+
+        files = spark.createDataFrame(
+            [("x", 100), ("y", 100), ("z", 50)], "name string, size_b long"
+        )
+        a = [tuple(r) for r in compaction_plan(files, 128).orderBy("name").collect()]
+        b = [tuple(r) for r in compaction_plan(files, 128).orderBy("name").collect()]
+        assert a == b
+
+
+class TestContainmentDedup:
+    def test_short_in_long_found_jaccard_blind(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            _shingle_sets,
+            containment_pairs_from_sets,
+            jaccard_pairs,
+        )
+
+        words = [f"w{i}" for i in range(200)]
+        short = " ".join(words[:12])          # 10 shingles, all inside long
+        long_ = " ".join(words)               # 198 shingles
+        other = " ".join(f"x{i}" for i in range(50))
+        d = spark.createDataFrame(
+            [(1, short), (2, long_), (3, other)], "doc_id long, text string"
+        )
+        pairs = containment_pairs_from_sets(_shingle_sets(d)).collect()
+        got = {(r["da"], r["db"]): r for r in pairs}
+        assert (1, 2) in got and got[(1, 2)]["containment"] == 1.0
+        assert (2, 1) not in got  # asymmetric: long is not inside short
+        # the symmetric family is blind to this pair by construction
+        assert not jaccard_pairs(d).collect()
+
+    def test_prefix_filter_lossless_vs_naive(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            CONTAINMENT_THRESHOLD,
+            _shingle_sets,
+            containment_pairs_from_sets,
+        )
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.plans.util import t as tt
+
+        # fixture corpus: prefix-filtered candidates must reproduce the
+        # naive all-pairs answer exactly
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(f"t{(i * 7 + k) % 23}" for k in range(5 + i % 9)))
+                for i in range(40)
+            ],
+            "doc_id long, text string",
+        )
+        sets = _shingle_sets(docs)
+        fast = {
+            (r["da"], r["db"]) for r in containment_pairs_from_sets(sets).collect()
+        }
+        a = sets.select(
+            FF.col("doc_id").alias("da"),
+            FF.col("hset").alias("sa"),
+            FF.col("n").alias("na"),
+        )
+        b = sets.select(
+            FF.col("doc_id").alias("db"), FF.col("hset").alias("sb")
+        )
+        naive = (
+            a.crossJoin(b)
+            .where(FF.col("da") != FF.col("db"))
+            .withColumn(
+                "c",
+                FF.size(FF.array_intersect("sa", "sb")).cast("double")
+                / FF.col("na"),
+            )
+            .where(FF.col("c") >= CONTAINMENT_THRESHOLD)
+        )
+        slow = {(r["da"], r["db"]) for r in naive.collect()}
+        assert fast == slow
+
+
+class TestRandomProjection:
+    def test_sign_matrix_portable_and_pm1(self):
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            _jl_sign_matrix,
+        )
+
+        m = _jl_sign_matrix(4, 16)
+        assert set(m.reshape(-1).tolist()) <= {-1, 1}
+        # regenerating gives the identical matrix (no RNG state anywhere)
+        assert (m == _jl_sign_matrix(4, 16)).all()
+
+    def test_norm_preserved_in_expectation(self, spark, sf_dir):
+        import numpy as np
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            JL_OUT_DIMS,
+            random_projection_q20,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import tp
+
+        emb = tp(spark, sf_dir, "embeddings")
+        rows = random_projection_q20(emb, "vec_id", "embedding").collect()
+        by_vec: dict[int, float] = {}
+        for r in rows:
+            by_vec[r["vec_id"]] = by_vec.get(r["vec_id"], 0.0) + (
+                r["proj_q20"] / 1048576.0
+            ) ** 2
+        # fixture vectors are unit-normalized: E[||Pv||^2] = K * ||v||^2,
+        # so the per-vector ratio averages to ~1 across the corpus
+        ratios = np.array([v / JL_OUT_DIMS for v in by_vec.values()])
+        assert 0.7 < ratios.mean() < 1.3
+
+
+class TestMatryoshkaRecall:
+    def test_full_width_truncation_is_perfect_recall(self, spark, sf_dir):
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            N_QUERIES,
+            TOPK,
+            ann_bruteforce_topk,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t, tp
+
+        emb = tp(spark, sf_dir, "embeddings")
+        q = t(spark, sf_dir, "embeddings").where(FF.col("vec_id") < N_QUERIES)
+        a = {
+            (r["qid"], r["neighbor_id"])
+            for r in ann_bruteforce_topk(emb, q, TOPK).collect()
+        }
+        sliced = emb.withColumn("embedding", FF.slice("embedding", 1, 64))
+        qs = q.withColumn("embedding", FF.slice("embedding", 1, 64))
+        b = {
+            (r["qid"], r["neighbor_id"])
+            for r in ann_bruteforce_topk(sliced, qs, TOPK).collect()
+        }
+        assert a == b
+
+    def test_registered_recall_in_unit_range(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+
+        _load_all()
+        rows = QUERIES["q_matryoshka_recall"].fn(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert 0.0 <= r["recall"] <= 1.0
+            assert r["n_common"] == round(r["recall"] * 5)
+
+
+class TestEquidepthHistogram:
+    def test_matches_single_node_ntile_and_balanced(self, spark):
+        import pyspark.sql.functions as FF
+        from pyspark.sql.window import Window as W
+
+        from spark_sql_custom_mq_datasource_spark.plans.analytics import (
+            equidepth_histogram,
+        )
+
+        d = spark.createDataFrame(
+            [((i * 131) % 997, i) for i in range(1003)], "v long, k long"
+        )
+        got = {
+            r["bucket"]: r
+            for r in equidepth_histogram(d, "v", "k", 8).collect()
+        }
+        ref = (
+            d.withColumn("bucket", FF.ntile(8).over(W.orderBy("v", "k")))
+            .groupBy("bucket")
+            .agg(
+                FF.count("*").alias("n"),
+                FF.min("v").alias("lo"),
+                FF.max("v").alias("hi"),
+            )
+        )
+        for r in ref.collect():
+            g = got[r["bucket"]]
+            assert (g["n"], g["lo"], g["hi"]) == (r["n"], r["lo"], r["hi"])
+        sizes = [r["n"] for r in got.values()]
+        assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 1003
+
+
+class TestDailyTrend:
+    def test_planted_exact_line(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        _load_all()
+        rows = []
+        eid = 0
+        d0 = dt.date(2024, 3, 1)
+        for day in range(10):
+            # exactly 3*day + 7 events on day `day`: slope 3, intercept
+            # 7 - 3*x0 in epoch-day coordinates
+            for _ in range(3 * day + 7):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime.combine(
+                            d0 + dt.timedelta(days=day), dt.time(12)
+                        ),
+                        1,
+                        "view",
+                        1.0,
+                        "{}",
+                    )
+                )
+        d = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/events.parquet")
+        _cache.clear()
+        got = QUERIES["q_daily_trend_by_type"].fn(spark, sf).collect()
+        _cache.clear()
+        assert len(got) == 1
+        x0 = (d0 - dt.date(1970, 1, 1)).days
+        assert abs(got[0]["slope"] - 3.0) < 1e-9
+        assert abs(got[0]["intercept"] - (7.0 - 3.0 * x0)) < 1e-6
+
+
+class TestTableFingerprint:
+    def test_order_free_and_content_sensitive(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        _load_all()
+        rows = [(i, f"text {i}", "en", "s0", 10) for i in range(100)]
+
+        def fp(rows, sub):
+            import random
+
+            d = spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string,"
+                " n_chars long"
+            )
+            sf = str(tmp_path / sub)
+            d.repartition(7).write.parquet(f"{sf}/documents.parquet")
+            _cache.clear()
+            out = QUERIES["q_table_fingerprint"].fn(spark, sf).collect()
+            _cache.clear()
+            return {r["source"]: r["content_checksum"] for r in out}
+
+        a = fp(rows, "a")
+        shuffled = list(reversed(rows))
+        b = fp(shuffled, "b")
+        assert a == b  # order-free
+        mutated = [(i, t + ("!" if i == 5 else ""), l, s, n)
+                   for i, t, l, s, n in rows]
+        c = fp(mutated, "c")
+        assert a != c  # content-sensitive

@@ -190,3 +190,50 @@ class TestAttributionCap:
         n, credit = got["click"]
         assert n == cap
         assert credit == cap * (1048576 // cap)  # floor(2^20/64)=16384 each
+
+
+class TestConversionWithinWindow:
+    def test_planted_conversions(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        _load_all()
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def row(eid, ts, uid, etype):
+            return (eid, ts, uid, etype, 1.0, "{}")
+
+        rows = [
+            # u1: view then click 10 s later -> converts
+            row(1, t0, 1, "view"),
+            row(2, t0 + dt.timedelta(seconds=10), 1, "click"),
+            # u2: click BEFORE the view only -> no conversion
+            row(3, t0 - dt.timedelta(seconds=5), 2, "click"),
+            row(4, t0, 2, "view"),
+            # u3: next click beyond the 3600 s window -> no conversion
+            row(5, t0, 3, "view"),
+            row(6, t0 + dt.timedelta(seconds=3601), 3, "click"),
+            # u4: boundary — exactly 3600 s counts
+            row(7, t0, 4, "view"),
+            row(8, t0 + dt.timedelta(seconds=3600), 4, "click"),
+        ]
+        d = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/events.parquet")
+        _cache.clear()
+        got = {
+            r["day"]: r
+            for r in QUERIES["q_conversion_within_window"].fn(spark, sf).collect()
+        }
+        _cache.clear()
+        assert got["2024-01-01"]["n_views"] == 4
+        assert got["2024-01-01"]["n_converted"] == 2  # u1 and u4 only

@@ -456,3 +456,66 @@ class TestStreamSourceQuota:
         assert {s: sorted(ids) for s, ids in expected} == {
             s: sorted(ids) for s, ids in by_source.items()
         }
+
+
+class TestStreamHeavyHitters:
+    def test_misra_gries_merge_error_bound(self):
+        """Truncating path: after ANY merge sequence, per-token undercount
+        is bounded by total/(C+1), summary stays within capacity, and
+        every token with true count > total/(C+1) survives."""
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            _mg_merge,
+        )
+
+        cap = 8
+        exact: dict[str, int] = {}
+        summary: dict[str, int] = {}
+        # skewed synthetic stream: token t{i} appears ~ 1000/(i+1) times,
+        # delivered across 10 interleaved batches
+        for b in range(10):
+            batch: dict[str, int] = {}
+            for i in range(50):
+                c = max(0, 100 // (i + 1) - (b % 3))
+                if c:
+                    batch[f"t{i}"] = c
+                    exact[f"t{i}"] = exact.get(f"t{i}", 0) + c
+            summary = _mg_merge(summary, batch, cap)
+        assert len(summary) <= cap
+        total = sum(exact.values())
+        bound = total / (cap + 1)
+        for tok, c in summary.items():
+            assert 0 < c <= exact[tok]          # never overcounts
+            assert exact[tok] - c <= bound      # undercount bound
+        for tok, c in exact.items():
+            if c > bound:
+                assert tok in summary           # heavy hitters survive
+
+    def test_exact_when_capacity_holds_vocab(self, spark, sf_dir):
+        """C >= |vocab| -> the converged summary IS the exact count table
+        (the invariant the registered oracle relies on)."""
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        _load_all()
+        got = {
+            r["token"]: r["cnt"]
+            for r in QUERIES["q_stream_heavy_hitters"].fn(spark, sf_dir).collect()
+        }
+        docs = t(spark, sf_dir, "documents")
+        exact = {
+            r["token"]: r["cnt"]
+            for r in docs.select(
+                FF.explode(FF.split(FF.trim("text"), " ")).alias("token")
+            )
+            .groupBy("token")
+            .agg(FF.count("*").alias("cnt"))
+            .orderBy(FF.desc("cnt"), FF.asc("token"))
+            .limit(20)
+            .collect()
+        }
+        assert got == exact
