@@ -1734,3 +1734,70 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --------------------------------------------------------------------------
+# Containment SURVIVOR SELECTION — turning containment pairs into a kept
+# corpus needs a policy that terminates without iteration: a doc is
+# dropped iff it is (near-)contained in a partner with a STRICTLY
+# larger shingle set (ties broken by smaller doc_id). The dominance
+# order is a strict total preorder, so "dropped" never chains — every
+# dropped doc names a LARGER surviving-or-dropped dominator whose own
+# dominator is larger still, and the maximal docs always survive;
+# single pass, no transitive closure. Exact duplicates (equal sets,
+# containment 1.0 both ways) keep the min-id member — the same survivor
+# convention as exact dedup.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_containment_apply",
+    f"""
+    {_SQL_SHINGLES},
+    pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT da AS doc_id
+      FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      WHERE CAST(common AS DOUBLE) / x.n >= {CONTAINMENT_THRESHOLD}
+        AND (y.n > x.n OR (y.n = x.n AND db < da))
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    doc="containment survivor selection: drop docs (near-)contained in a "
+    "strictly larger partner (min-id tie-break) — dominance is a strict "
+    "order, so one pass terminates without transitive closure; per-"
+    "source survivor counts. Docs below the shingling threshold are "
+    "untouched survivors.",
+)
+def q_dedup_containment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    pairs = containment_pairs_from_sets(
+        shingle_sets_cached(spark, sf_dir), max_shingle_df=STOP_SHINGLE_MAX_DF
+    )
+    dropped = (
+        pairs.where(
+            (F.col("nb") > F.col("na"))
+            | ((F.col("nb") == F.col("na")) & (F.col("db") < F.col("da")))
+        )
+        .select(F.col("da").alias("doc_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        docs.join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_dropped").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_surviving"),
+        )
+        .orderBy("source")
+    )

@@ -850,8 +850,8 @@ CONVERSION_WINDOW_SEC = 3600
     x AS (
       SELECT user_id, event_type, ts,
              MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS next_click_us
       FROM e
     )
@@ -877,10 +877,15 @@ def q_conversion_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type").isin("view", "click"))
         .select("user_id", "event_type", "ts", "event_id")
     )
+    # DESC order + unbounded-PRECEDING frame, not ASC + unbounded-
+    # following: Spark's shrinking-frame processor RECOMPUTES the
+    # aggregate per row (O(n²) in a hot user key), while the growing
+    # frame is an O(n) incremental fold — same "min ts of later clicks"
+    # result, linear in the partition at any key heat.
     frame = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(1, W.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     next_click_us = F.min(
         F.when(F.col("event_type") == "click", F.unix_micros("ts"))

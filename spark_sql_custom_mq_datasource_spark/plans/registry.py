@@ -210,6 +210,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_daily_trend_by_type",
     "q_table_fingerprint",
     "q_histogram_equidepth",
+    "q_stream_table_fingerprint",
+    "q_dedup_containment_apply",
     # -- code changed since last driver record ----------------------------
     "q_stream_dedup_incremental",
     "q_funnel_stages",
@@ -240,13 +242,15 @@ _PRIORITY: tuple[str, ...] = (
     "q_dsir_importance",
     "q_pii_redact",
     "q_runtime_filter_join",
-    # -- r05-stale: round-5 streaming additions ---------------------------
-    "q_stream_mq_wordcount",
-    "q_stream_decontaminate",
 )
-# Displaced late in round 10 to make room for the 11 mid-round additions
+# Displaced late in round 10 to make room for the 13 mid-round additions
 # (never-driver-checked queries outrank stale-green re-checks, per the
-# standing policy): q_heavy_hitters_2gram and q_bm25_topk (both timed by
+# standing policy): q_stream_mq_wordcount (the mq streaming path keeps
+# q_stream_mq_replay + q_mqlog_roundtrip in-prefix, which exercise the
+# same source contract end-to-end; r05-green), q_stream_decontaminate
+# (batch twin q_decontaminate_ngram r09-green; the foreachBatch plumbing
+# is exercised by 10+ fresher in-prefix streaming queries),
+# q_heavy_hitters_2gram and q_bm25_topk (both timed by
 # bench.py's extended set every round since r05/r06, so a breakage is
 # driver-visible anyway; r05-green), q_chunk_documents (streaming twin
 # q_stream_chunk_documents r06-green exercises the same chunk

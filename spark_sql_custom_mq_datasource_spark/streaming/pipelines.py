@@ -3173,3 +3173,107 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "token", F.col("cnt").cast("bigint").alias("cnt"))
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming table fingerprint: the replication-verification checksum
+# (sources/maintenance.q_table_fingerprint) maintained INCREMENTALLY as
+# data streams in. The checksum is a commutative SUM of md5 row hashes,
+# i.e. a perfectly mergeable sketch — per-source state is four scalars
+# (n, sum, min, max) updated per micro-batch, so a consumer can verify a
+# replica continuously instead of rescanning the table per audit. The
+# converged stream state must equal the one-shot batch scan — the shared
+# oracle pins exactly that.
+# --------------------------------------------------------------------------
+
+_FP_OUT = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("content_checksum", LongType()),
+        StructField("min_id", LongType()),
+        StructField("max_id", LongType()),
+    ]
+)
+_FP_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("mn", LongType()),
+        StructField("mx", LongType()),
+    ]
+)
+
+
+def _fp_fold(key: tuple, pdfs, state: GroupState):
+    n, s, mn, mx = state.get if state.exists else (0, 0, None, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += int(pdf["h"].sum())
+        lo, hi = int(pdf["doc_id"].min()), int(pdf["doc_id"].max())
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    state.update((n, s, mn, mx))
+    yield pd.DataFrame(
+        {
+            "source": [key[0]],
+            "n_rows": [n],
+            "content_checksum": [s],
+            "min_id": [mn],
+            "max_id": [mx],
+        }
+    )
+
+
+@register(
+    "q_stream_table_fingerprint",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(
+                 md5(CAST(doc_id AS VARCHAR) || '\x1f' || text), 1, 10))
+                 AS BIGINT)) AS BIGINT) AS content_checksum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="STREAMING incremental table fingerprint: per-source (n, md5-sum "
+    "checksum, id bounds) folded in applyInPandasWithState — four "
+    "scalars of state per source, checksum commutative so micro-batch "
+    "boundaries are irrelevant; converged == the one-shot batch scan "
+    "(shared oracle with q_table_fingerprint).",
+)
+def q_stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_state_store(spark)
+    inbox = docs_quartile_inbox(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(inbox)
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("doc_id").cast("string"), "text")),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    updates = (
+        stream.select("source", "doc_id", h.alias("h"))
+        .groupBy("source")
+        .applyInPandasWithState(
+            _fp_fold, _FP_OUT, _FP_STATE, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    out = run_to_table(spark, updates, "update")
+    # last update per source = converged value (n_rows is monotone)
+    mx = F.max("n_rows").over(Window.partitionBy("source"))
+    return (
+        out.withColumn("_mx", mx)
+        .where(F.col("n_rows") == F.col("_mx"))
+        .select("source", "n_rows", "content_checksum", "min_id", "max_id")
+        .orderBy("source")
+    )

@@ -2408,3 +2408,61 @@ class TestTableFingerprint:
                    for i, t, l, s, n in rows]
         c = fp(mutated, "c")
         assert a != c  # content-sensitive
+
+
+class TestContainmentApply:
+    def test_short_dropped_long_kept_minid_for_ties(self, spark, tmp_path):
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            clear_dedup_caches,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        _load_all()
+        words = [f"w{i}" for i in range(100)]
+        short = " ".join(words[:12])
+        long_ = " ".join(words)
+        rows = [
+            (1, short, "en", "s0", 1),   # contained in 2 -> dropped
+            (2, long_, "en", "s0", 1),   # maximal -> kept
+            (3, long_, "en", "s1", 1),   # exact dup of 2 -> min-id 2 kept
+            (4, "zz yy xx ww", "en", "s1", 1),  # unrelated -> kept
+        ]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/documents.parquet")
+        _cache.clear()
+        clear_dedup_caches(spark)
+        got = {
+            r["source"]: r
+            for r in QUERIES["q_dedup_containment_apply"].fn(spark, sf).collect()
+        }
+        _cache.clear()
+        clear_dedup_caches(spark)
+        assert got["s0"]["n_docs"] == 2 and got["s0"]["n_surviving"] == 1
+        assert got["s1"]["n_docs"] == 2 and got["s1"]["n_surviving"] == 1
+
+
+class TestStreamTableFingerprint:
+    def test_converged_equals_batch(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+
+        _load_all()
+        stream = [
+            tuple(r)
+            for r in QUERIES["q_stream_table_fingerprint"].fn(spark, sf_dir).collect()
+        ]
+        batch = [
+            tuple(r)
+            for r in QUERIES["q_table_fingerprint"].fn(spark, sf_dir).collect()
+        ]
+        assert stream == batch
