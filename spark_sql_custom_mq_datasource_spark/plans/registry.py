@@ -265,6 +265,17 @@ _PRIORITY: tuple[str, ...] = (
 # range/salted/bucketed members in-prefix). All eight remain green in
 # CORRECTNESS_r05.json and in this round's closing local battery; they
 # lead the round-11 rotation plan as the oldest records left.
+#
+# ROUND-11 ROTATION PLAN: (1) anything round 11 adds or edits (never-
+# checked first), then (2) the 13 entries displaced above
+# (q_stream_mq_wordcount, q_stream_decontaminate, q_stream_quality_gate,
+# q_stream_pii_redact, q_heavy_hitters_2gram, q_bm25_topk,
+# q_chunk_documents, q_percentiles_price, q1_pricing_summary,
+# q3_shipping_priority, q5_local_supplier, q_anti_join_idle_customers,
+# q_outer_join_nation_customers — all r05-stale after this round), then
+# (3) the remaining r05/r06-stale records oldest-first
+# (tools/rotation_plan.py regenerates the staleness base from
+# CORRECTNESS_r01..r10).
 
 
 def _load_all() -> None:
