@@ -570,3 +570,63 @@ def q_distinct_users_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_distinct", "n_rows")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation by key-universe sampling — the planning primitive
+# behind "can we afford this join?". |A ⋈_k B| = Σ_k c_A(k)·c_B(k); a
+# deterministic 1/S sample of the KEY UNIVERSE (md5(key) % S == 0 — the
+# same keys on every engine and every run, no RNG) gives the unbiased
+# estimator S · Σ_{sampled k} c_A(k)·c_B(k). At 100 TB the point is that
+# the sample predicate pushes to the SCAN (rows of unsampled keys are
+# never read past the filter), so the estimate costs 1/S of the count
+# build; the registered query computes estimate AND exact in one
+# aggregate to read the estimator's error out directly.
+# --------------------------------------------------------------------------
+
+JOIN_EST_MOD = 32  # 1/32 key-universe sample
+
+
+@register(
+    "q_join_size_estimate",
+    f"""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS cnt,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                  AS BIGINT) % {JOIN_EST_MOD} = 0 AS sampled
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_pairs,
+           CAST({JOIN_EST_MOD} * SUM(CASE WHEN sampled THEN cnt * cnt
+                                          ELSE 0 END) AS BIGINT) AS est_pairs,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+             AS sampled_keys,
+           CAST({JOIN_EST_MOD} * SUM(CASE WHEN sampled THEN cnt * cnt
+                                          ELSE 0 END) AS DOUBLE)
+             / SUM(cnt * cnt) AS ratio
+    FROM c
+    """,
+    doc="join-size estimation: self-join cardinality of events on user_id "
+    f"(Σ cnt²) vs the unbiased 1/{JOIN_EST_MOD} key-universe-sample "
+    "estimate (md5-deterministic, engine-portable, RNG-free) — both from "
+    "ONE key aggregate; at scale the sample predicate pushes to the scan "
+    "and the exact leg is dropped.",
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hkey = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 10), 16, 10
+    ).cast("bigint")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt")).withColumn(
+        "sampled", F.pmod(hkey, F.lit(JOIN_EST_MOD)) == 0
+    )
+    sq = F.col("cnt") * F.col("cnt")
+    est = F.lit(JOIN_EST_MOD) * F.sum(F.when(F.col("sampled"), sq).otherwise(0))
+    return c.agg(
+        F.sum(sq).cast("bigint").alias("exact_pairs"),
+        est.cast("bigint").alias("est_pairs"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_keys"),
+        (est.cast("double") / F.sum(sq)).alias("ratio"),
+    )

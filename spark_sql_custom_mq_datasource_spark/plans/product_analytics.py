@@ -981,3 +981,199 @@ def q_daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# CUPED-adjusted A/B read-out: variance reduction with a pre-experiment
+# covariate (Deng et al., WSDM'13) is standard experimentation practice —
+# the adjusted metric y − θ·(x − E[x]) keeps the arm-difference unbiased
+# while removing the variance x explains. θ = cov(x,y)/var(x) reduces to
+# the same five exact integer sums the OLS trend uses (y is Q20-quantized
+# per row before summation, x is a count), so the whole read-out is two
+# user-keyed aggregates plus |arms| rows — and bit-identical across
+# engines because every division acts on identical exact integers.
+# --------------------------------------------------------------------------
+
+CUPED_SPLIT_DAY = "2024-01-16"  # pre-period strictly before; outcome after
+
+
+@register(
+    "q_ab_cuped",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {AB_ARMS} AS arm,
+             SUM(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_SPLIT_DAY}'
+                      THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_SPLIT_DAY}'
+                      THEN CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM per_user
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS na, SUM(x) AS sxa, SUM(y) AS sya
+      FROM per_user GROUP BY arm
+    )
+    SELECT arm, CAST(na AS BIGINT) AS n_users,
+           CAST(sya AS DOUBLE) / na AS mean_y_q20,
+           CAST(sya AS DOUBLE) / na
+             - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+               * (CAST(sxa AS DOUBLE) / na - CAST(g.sx AS DOUBLE) / g.n)
+             AS mean_y_adj_q20
+    FROM arms CROSS JOIN g ORDER BY arm
+    """,
+    doc="CUPED-adjusted A/B read-out: per-arm outcome means corrected by "
+    "the pre-period activity covariate (θ = cov/var from five exact "
+    "int64 sums; outcome Q20-quantized per row) — two user-keyed "
+    "aggregates + a broadcast 1-row scalar, |arms| rows out, divisions "
+    "of identical exact integers so engines bit-agree.",
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT_DAY).cast("date")
+    arm = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(AB_ARMS),
+    )
+    yq = F.floor(F.col("value") * F.lit(1048576.0) + F.lit(0.5)).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.to_date("ts") < split, 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.to_date("ts") >= split, yq).otherwise(0)).alias("y"),
+    ).withColumn("arm", arm)
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("na"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    theta = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    mean_y = F.col("sya").cast("double") / F.col("na")
+    adj = mean_y - theta * (
+        F.col("sxa").cast("double") / F.col("na")
+        - F.col("sx").cast("double") / F.col("n")
+    )
+    return (
+        arms.crossJoin(F.broadcast(g))
+        .select(
+            "arm",
+            F.col("na").cast("bigint").alias("n_users"),
+            mean_y.alias("mean_y_q20"),
+            adj.alias("mean_y_adj_q20"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change detection on the daily series — the complement of the
+# 2σ spike detector (q_events_anomaly_zscore): CUSUM accumulates SMALL
+# persistent shifts a per-day z-test never trips. The classic recursion
+# s_i = max(0, s_{i-1} + (y_i − µ)) is de-recursed with the prefix
+# identity s_i = c_i − min(0, min_{j≤i} c_j) over the cumulative sum of
+# residuals — two running window aggregates, no sequential fold, no
+# arrays. Residuals are scaled by n_days (r_i = n·y_i − Σy) so the whole
+# computation is exact int64; only the final report divides. Windows are
+# per-type over days — bounded partitions at any corpus size.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_cusum",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n, SUM(y) AS sy FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT d.event_type, d.day, d.y, g.n, g.sy,
+             d.y * g.n - g.sy AS res
+      FROM d JOIN g USING (event_type)
+    ),
+    c AS (
+      SELECT event_type, day, y, n, sy,
+             SUM(res) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r
+    ),
+    s AS (
+      SELECT event_type, day, y, n, sy,
+             cum - LEAST(0, MIN(cum) OVER (PARTITION BY event_type
+                                           ORDER BY day
+                                           ROWS UNBOUNDED PRECEDING))
+               AS cusum_scaled
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(cusum_scaled) AS BIGINT) AS max_cusum_scaled,
+           CAST(MIN(CASE WHEN cusum_scaled = mx THEN day END) AS DATE)
+             AS peak_day,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_days
+    FROM (SELECT *, MAX(cusum_scaled) OVER (PARTITION BY event_type) AS mx
+          FROM s)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="one-sided CUSUM drift detector per event type: the recursion "
+    "s_i = max(0, s_{i-1} + (y_i − µ)) de-recursed into two running "
+    "window aggregates over n-scaled integer residuals (exact int64, "
+    "no folds, no arrays); reports the peak accumulated deviation and "
+    "its day — catches small persistent shifts the per-day 2σ spike "
+    "test never trips.",
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    g = d.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy")
+    )
+    r = d.join(F.broadcast(g), "event_type").withColumn(
+        "res", F.col("y") * F.col("n") - F.col("sy")
+    )
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = r.withColumn("cum", F.sum("res").over(wrun))
+    s = c.withColumn(
+        "cusum_scaled",
+        F.col("cum") - F.least(F.lit(0).cast("bigint"), F.min("cum").over(wrun)),
+    )
+    mx = s.withColumn(
+        "mx", F.max("cusum_scaled").over(W.partitionBy("event_type"))
+    )
+    return (
+        mx.groupBy("event_type")
+        .agg(
+            F.max("cusum_scaled").cast("bigint").alias("max_cusum_scaled"),
+            F.min(
+                F.when(F.col("cusum_scaled") == F.col("mx"), F.col("day"))
+            ).alias("peak_day"),
+            F.any_value("n").cast("bigint").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -212,6 +212,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_histogram_equidepth",
     "q_stream_table_fingerprint",
     "q_dedup_containment_apply",
+    "q_join_size_estimate",
+    "q_ab_cuped",
+    "q_events_cusum",
     # -- code changed since last driver record ----------------------------
     "q_stream_dedup_incremental",
     "q_funnel_stages",
@@ -238,14 +241,17 @@ _PRIORITY: tuple[str, ...] = (
     "q_partition_pruned_day",
     # -- r05-stale: round-5 text/retrieval/curation additions -------------
     "q_quality_gopher",
-    "q_tfidf_topterms",
-    "q_dsir_importance",
     "q_pii_redact",
-    "q_runtime_filter_join",
 )
-# Displaced late in round 10 to make room for the 13 mid-round additions
+# Displaced late in round 10 to make room for the 16 mid-round additions
 # (never-driver-checked queries outrank stale-green re-checks, per the
-# standing policy): q_stream_mq_wordcount (the mq streaming path keeps
+# standing policy): q_tfidf_topterms + q_dsir_importance (r05-green;
+# both re-verified in this round's closing local batteries at sf0.001
+# AND sf0.01; tfidf shares the tokenize/DF machinery with six in-prefix
+# text queries, DSIR's broadcast-model shape with the in-prefix
+# decontaminate), q_runtime_filter_join (r05-green; the join family
+# keeps as-of/range/salted/bucketed members in-prefix),
+# q_stream_mq_wordcount (the mq streaming path keeps
 # q_stream_mq_replay + q_mqlog_roundtrip in-prefix, which exercise the
 # same source contract end-to-end; r05-green), q_stream_decontaminate
 # (batch twin q_decontaminate_ngram r09-green; the foreachBatch plumbing
@@ -267,10 +273,11 @@ _PRIORITY: tuple[str, ...] = (
 # lead the round-11 rotation plan as the oldest records left.
 #
 # ROUND-11 ROTATION PLAN: (1) anything round 11 adds or edits (never-
-# checked first), then (2) the 13 entries displaced above
+# checked first), then (2) the 16 entries displaced above
 # (q_stream_mq_wordcount, q_stream_decontaminate, q_stream_quality_gate,
 # q_stream_pii_redact, q_heavy_hitters_2gram, q_bm25_topk,
-# q_chunk_documents, q_percentiles_price, q1_pricing_summary,
+# q_chunk_documents, q_tfidf_topterms, q_dsir_importance,
+# q_runtime_filter_join, q_percentiles_price, q1_pricing_summary,
 # q3_shipping_priority, q5_local_supplier, q_anti_join_idle_customers,
 # q_outer_join_nation_customers — all r05-stale after this round), then
 # (3) the remaining r05/r06-stale records oldest-first

@@ -237,3 +237,134 @@ class TestConversionWithinWindow:
         _cache.clear()
         assert got["2024-01-01"]["n_views"] == 4
         assert got["2024-01-01"]["n_converted"] == 2  # u1 and u4 only
+
+
+class TestJoinSizeEstimate:
+    def test_exact_pairs_and_deterministic_sample(self, spark, sf_dir):
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        _load_all()
+        fn = QUERIES["q_join_size_estimate"].fn
+        a = fn(spark, sf_dir).collect()[0]
+        b = fn(spark, sf_dir).collect()[0]
+        assert tuple(a) == tuple(b)  # md5 sample: no RNG anywhere
+        ev = t(spark, sf_dir, "events")
+        exact = (
+            ev.groupBy("user_id")
+            .agg(FF.count("*").alias("c"))
+            .agg(FF.sum(FF.col("c") * FF.col("c")).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert a["exact_pairs"] == exact
+        assert a["est_pairs"] >= 0 and abs(a["ratio"]) < 50
+
+
+class TestAbCuped:
+    def test_pure_covariate_effect_is_removed(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        _load_all()
+        rows, eid = [], 0
+        # user u has u+1 pre-period events and outcome value EXACTLY
+        # 2.0 per pre-event: y = 2*x with NO arm effect — CUPED must
+        # equalize the arms even though arms differ in x by hash accident
+        for u in range(40):
+            x = (u % 7) + 1
+            for i in range(x):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 2 + i), u, "view", 0.0, "{}")
+                )
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 20), u, "purchase", 2.0 * x, "{}")
+            )
+        d = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/events.parquet")
+        _cache.clear()
+        got = {r["arm"]: r for r in QUERIES["q_ab_cuped"].fn(spark, sf).collect()}
+        _cache.clear()
+        raw_gap = abs(got[0]["mean_y_q20"] - got[1]["mean_y_q20"])
+        adj_gap = abs(got[0]["mean_y_adj_q20"] - got[1]["mean_y_adj_q20"])
+        # y is an exact linear function of x: adjustment removes ALL of
+        # the between-arm difference (up to float roundoff)
+        assert adj_gap < 1e-6 * max(1.0, got[0]["mean_y_q20"])
+        assert adj_gap <= raw_gap
+
+
+class TestEventsCusum:
+    def test_step_shift_peaks_at_end_flat_is_zero(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        _load_all()
+        rows, eid = [], 0
+        d0 = dt.date(2024, 1, 1)
+        for day in range(20):
+            n = 10 if day < 10 else 20  # persistent +10 shift at day 10
+            for _ in range(n):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime.combine(d0 + dt.timedelta(days=day),
+                                            dt.time(9)),
+                        1,
+                        "shifted",
+                        1.0,
+                        "{}",
+                    )
+                )
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime.combine(d0 + dt.timedelta(days=day),
+                                        dt.time(10)),
+                    1,
+                    "flat",
+                    1.0,
+                    "{}",
+                )
+            )
+        d = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/events.parquet")
+        _cache.clear()
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["q_events_cusum"].fn(spark, sf).collect()
+        }
+        _cache.clear()
+        # shifted: n=20 days, sy=300; residuals ±100 scaled; the walk
+        # bottoms at -1000 after day 10 then climbs +100/day to 0 — the
+        # floored CUSUM peaks at 1000 on the LAST day
+        assert got["shifted"]["max_cusum_scaled"] == 1000
+        assert str(got["shifted"]["peak_day"]) == "2024-01-20"
+        assert got["flat"]["max_cusum_scaled"] == 0
