@@ -272,6 +272,37 @@ SHOWCASE = [
         "queries x one corpus scan; the fusion full-outer-joins two "
         "depth-bounded rank lists — O(|queries| x depth), corpus-free.",
     ),
+    (
+        "q_dedup_containment",
+        "Containment near-dup: probe-side prefix rows equi-join the FULL "
+        "inverted index on the shingle hash (SortMergeJoin on s, length "
+        "filter nb >= ceil(t*na) as a join condition); exact array "
+        "re-verify joins the shingle sets by doc id. No nested loop; "
+        "the index side is stop-shingle capped.",
+    ),
+    (
+        "q_histogram_equidepth",
+        "Exact equi-depth histogram WITHOUT a partition-less window: "
+        "range Exchange on (v, k), per-partition row_number (Window "
+        "partitioned by pid), bounded |partitions|-row offset broadcast, "
+        "integer-div ntile arithmetic. The only global structure is the "
+        "range partitioning itself — the terasort shape.",
+    ),
+    (
+        "q_conversion_within_window",
+        "Time-bounded conversion: ONE per-user Window (DESC order, "
+        "unbounded-PRECEDING frame = O(n) incremental running min — "
+        "deliberately not the shrinking frame Spark recomputes per row) "
+        "feeding a day aggregate. One sort-shuffle on user_id, no "
+        "self-join.",
+    ),
+    (
+        "q_profile_documents",
+        "ANALYZE-style profile: ONE parquet scan feeds the stack "
+        "unpivot (pure projection), then a single grouped aggregate "
+        "with the two-phase distinct expansion on (col_name, val) — "
+        "never a per-column scan loop.",
+    ),
 ]
 
 
