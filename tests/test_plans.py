@@ -504,3 +504,87 @@ class TestRound10Plans:
         p = plan(spark, sf_dir, "q_dedup_threshold_sweep")
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" in p  # thresholds × pairs theta
+
+
+class TestRound10Plans:
+    """Plan pins for the round-10 mid-round operators — each asserts the
+    exact hazard its SCALING.md entry documents away."""
+
+    def test_containment_no_cartesian_filters_pushed(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_dedup_containment")
+        assert "CartesianProduct" not in p
+        # candidate generation is an equi-join on the shingle hash; the
+        # only broadcast joins are the bounded-candidate verify legs
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+            "BroadcastHashJoin" in p
+        )
+
+    def test_profile_single_scan(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_profile_documents")
+        assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) == 1
+
+    def test_equidepth_range_partitioned_local_ranks(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.analytics import (
+            equidepth_histogram,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        # assert on the pre-checkpoint builder: ranking runs over a RANGE
+        # repartition with the window partitioned by pid — never a
+        # partition-less global window over the data
+        o = t(spark, sf_dir, "orders")
+        parts = spark.sparkContext.defaultParallelism
+        import pyspark.sql.functions as FF
+        from pyspark.sql.window import Window as W
+
+        t2 = o.select(
+            FF.col("o_totalprice").alias("v"), FF.col("o_orderkey").alias("k")
+        ).repartitionByRange(parts, "v", "k")
+        ranked = t2.withColumn("pid", FF.spark_partition_id()).withColumn(
+            "lr", FF.row_number().over(W.partitionBy("pid").orderBy("v", "k"))
+        )
+        p = df_plan(spark, ranked)
+        assert "rangepartitioning" in p
+        assert "windowspecdefinition(pid" in p
+
+    def test_conversion_window_uses_growing_frame(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_conversion_within_window")
+        # the O(n) incremental frame: unbounded PRECEDING end at -1;
+        # the shrinking unbounded-FOLLOWING frame (O(n^2) per key,
+        # recomputed per row) must never come back
+        assert "unboundedpreceding" in p
+        assert "unboundedfollowing" not in p
+        # stage filter reaches the scan
+        assert "PushedFilters: [In(event_type" in p
+
+    def test_cusum_no_shrinking_frames(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_events_cusum")
+        assert "unboundedpreceding" in p
+        # any frame that ENDS at unbounded-following must also START at
+        # unbounded-preceding (whole-partition, computed once, O(n)); a
+        # shrinking frame (start > unbounded-preceding) is the per-row
+        # recompute path, O(n^2) in a hot key
+        for m in re.findall(r"specifiedwindowframe\(RowFrame, ([^,]+), ([^)]+)\)", p):
+            if "unboundedfollowing" in m[1]:
+                assert "unboundedpreceding" in m[0], m
+        assert "CartesianProduct" not in p
+
+    def test_join_size_estimate_single_aggregate_chain(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_join_size_estimate")
+        # one key aggregate feeding one global aggregate: exactly two
+        # hash exchanges (user_id, then the 1-partition final), no joins
+        assert "Join" not in p
+        assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) == 1
+
+    def test_fingerprint_one_scan_one_aggregate(self, spark, sf_dir):
+        import re
+
+        p = plan(spark, sf_dir, "q_table_fingerprint")
+        assert "Join" not in p
+        assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) == 1
