@@ -993,11 +993,13 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_EQ_BUCKETS = 16
 
 
-def equidepth_histogram(
+def ntile_exact(
     df: DataFrame, val_col: str, key_col: str, buckets: int
 ) -> DataFrame:
-    """(bucket, n, lo, hi) equal-count buckets of val_col, total-ordered by
-    (val, key) so ties break deterministically. Exact distributed ntile."""
+    """(v, k, bucket): every row's SQL-standard ntile bucket over the total
+    order (val, key) — ties break deterministically on the unique key.
+    Exact distributed ntile: range repartition, pid-local ranks,
+    |partitions|-row prefix offsets, integer-div bucket arithmetic."""
     parts = df.sparkSession.sparkContext.defaultParallelism
     t2 = df.select(
         F.col(val_col).alias("v"), F.col(key_col).alias("k")
@@ -1042,6 +1044,17 @@ def equidepth_histogram(
     return (
         ranked.join(F.broadcast(off_df), "pid")
         .withColumn("bucket", bucket.cast("int"))
+        .select("v", "k", "bucket")
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame, val_col: str, key_col: str, buckets: int
+) -> DataFrame:
+    """(bucket, n, lo, hi) equal-count buckets of val_col — the histogram
+    read-out over ntile_exact."""
+    return (
+        ntile_exact(df, val_col, key_col, buckets)
         .groupBy("bucket")
         .agg(
             F.count("*").cast("bigint").alias("n"),

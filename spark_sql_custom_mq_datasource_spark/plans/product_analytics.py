@@ -1177,3 +1177,104 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Decile lift — the standard model/targeting evaluation read-out: rank
+# users by an engagement score, cut into 10 equal-count deciles, and
+# report each decile's conversion against the population ("does the top
+# decile actually convert more?"). Exact deciles come from the
+# distributed ntile (plans/analytics.ntile_exact — range repartition +
+# pid-local ranks, never a partition-less window); conversion joins back
+# on the unique user key, and the lift is a Q20 integer read-out so both
+# engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+LIFT_DECILES = 10
+
+
+@register(
+    "q_decile_lift",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    deciled AS (
+      SELECT user_id, score, converted,
+             ntile({LIFT_DECILES})
+               OVER (ORDER BY score DESC, user_id) AS decile
+      FROM per_user
+    ),
+    tot AS (
+      SELECT SUM(converted) AS conv_all, COUNT(*) AS n_all FROM per_user
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(floor(SUM(converted) * 1048576.0 / COUNT(*) + 0.5) AS BIGINT)
+             AS conv_rate_q20,
+           CAST(floor(SUM(converted) * tot.n_all * 1048576.0
+                      / (COUNT(*) * tot.conv_all) + 0.5) AS BIGINT)
+             AS lift_q20
+    FROM deciled CROSS JOIN tot
+    GROUP BY decile, tot.n_all, tot.conv_all
+    ORDER BY decile
+    """,
+    doc="decile lift: users ranked by view-count engagement, cut into 10 "
+    "exact equal-count deciles (distributed ntile — range repartition + "
+    "local ranks, no partition-less window), each decile's conversion "
+    "rate and lift vs the population as Q20 integers.",
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import ntile_exact
+
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "score"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    # DESC score order == ASC order of (-score); the unique user key
+    # breaks ties identically to the oracle's (score DESC, user_id)
+    deciles = ntile_exact(
+        per_user.withColumn("neg_score", -F.col("score")),
+        "neg_score",
+        "user_id",
+        LIFT_DECILES,
+    ).select(F.col("k").alias("user_id"), "bucket")
+    tot = per_user.agg(
+        F.sum("converted").alias("conv_all"), F.count("*").alias("n_all")
+    )
+    q20 = F.lit(1048576.0)
+    return (
+        per_user.join(deciles, "user_id")
+        .groupBy(F.col("bucket").alias("decile"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_converted").cast("bigint").alias("n_converted"),
+            F.floor(F.col("n_converted") * q20 / F.col("n_users") + F.lit(0.5))
+            .cast("bigint")
+            .alias("conv_rate_q20"),
+            F.floor(
+                F.col("n_converted") * F.col("n_all") * q20
+                / (F.col("n_users") * F.col("conv_all"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lift_q20"),
+        )
+        .orderBy("decile")
+    )

@@ -215,6 +215,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_size_estimate",
     "q_ab_cuped",
     "q_events_cusum",
+    "q_decile_lift",
     # -- code changed since last driver record ----------------------------
     "q_stream_dedup_incremental",
     "q_funnel_stages",
@@ -234,7 +235,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_events_json_extract",
     "q_events_sliding_6h",
     "q_events_pivot_daily",
-    "q_wordcount_topk",
     "q_fuzzy_source_pairs",
     "q_mqlog_roundtrip",
     "q_map_functions",
@@ -243,9 +243,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_quality_gopher",
     "q_pii_redact",
 )
-# Displaced late in round 10 to make room for the 16 mid-round additions
+# Displaced late in round 10 to make room for the 17 mid-round additions
 # (never-driver-checked queries outrank stale-green re-checks, per the
-# standing policy): q_tfidf_topterms + q_dsir_importance (r05-green;
+# standing policy): q_wordcount_topk (r04-stale but TIMED IN THE LEGACY
+# BENCH SET every round since r01 — a breakage is driver-visible as a
+# bench error the same day; deferred on this exact justification in
+# round 8 too, and green in this round's closing local batteries),
+# q_tfidf_topterms + q_dsir_importance (r05-green;
 # both re-verified in this round's closing local batteries at sf0.001
 # AND sf0.01; tfidf shares the tokenize/DF machinery with six in-prefix
 # text queries, DSIR's broadcast-model shape with the in-prefix
@@ -273,8 +277,8 @@ _PRIORITY: tuple[str, ...] = (
 # lead the round-11 rotation plan as the oldest records left.
 #
 # ROUND-11 ROTATION PLAN: (1) anything round 11 adds or edits (never-
-# checked first), then (2) the 16 entries displaced above
-# (q_stream_mq_wordcount, q_stream_decontaminate, q_stream_quality_gate,
+# checked first), then (2) the 17 entries displaced above
+# (q_wordcount_topk, q_stream_mq_wordcount, q_stream_decontaminate, q_stream_quality_gate,
 # q_stream_pii_redact, q_heavy_hitters_2gram, q_bm25_topk,
 # q_chunk_documents, q_tfidf_topterms, q_dsir_importance,
 # q_runtime_filter_join, q_percentiles_price, q1_pricing_summary,

@@ -368,3 +368,48 @@ class TestEventsCusum:
         assert got["shifted"]["max_cusum_scaled"] == 1000
         assert str(got["shifted"]["peak_day"]) == "2024-01-20"
         assert got["flat"]["max_cusum_scaled"] == 0
+
+
+class TestDecileLift:
+    def test_planted_separation(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import _cache
+
+        _load_all()
+        rows, eid = [], 0
+        # 40 users: 20 heavy viewers who ALL convert, 20 light who never do
+        for u in range(40):
+            views = 10 if u < 20 else 1
+            for i in range(views):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 2, 8, i), u, "view", 1.0, "{}")
+                )
+            if u < 20:
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 9), u, "purchase", 5.0, "{}")
+                )
+        d = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sf = str(tmp_path)
+        d.write.parquet(f"{sf}/events.parquet")
+        _cache.clear()
+        got = {r["decile"]: r for r in QUERIES["q_decile_lift"].fn(spark, sf).collect()}
+        _cache.clear()
+        assert sorted(got) == list(range(1, 11))
+        # deciles 1-5 are the heavy viewers: full conversion, lift = 2x
+        for d10 in range(1, 6):
+            assert got[d10]["n_users"] == 4 and got[d10]["n_converted"] == 4
+            assert got[d10]["lift_q20"] == 2 * 1048576
+        # deciles 6-10: zero conversion, zero lift
+        for d10 in range(6, 11):
+            assert got[d10]["n_converted"] == 0 and got[d10]["lift_q20"] == 0
