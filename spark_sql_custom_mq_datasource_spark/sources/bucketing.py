@@ -144,8 +144,8 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
 
     The path embeds a fingerprint of the source parquet (mtime+size), so a
     regenerated fixture — which HAS happened between rounds, see
-    .claude/skills/verify/SKILL.md — gets a fresh layout instead of the
-    _SUCCESS marker silently serving stale data against a fresh oracle."""
+    FIXTURES.md — gets a fresh layout instead of the _SUCCESS marker
+    silently serving stale data against a fresh oracle."""
     if sf_dir not in _partitioned_paths:
         from ..plans.util import t as load
 

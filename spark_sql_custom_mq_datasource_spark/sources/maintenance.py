@@ -669,9 +669,14 @@ def q_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_compact_small_files executes a rewrite; a 100 TB maintenance service
 # first PLANS one — grouping the current file inventory into target-sized
 # output bins — so rewrites can be scheduled, throttled, and resumed
-# per-bin. Next-fit-decreasing over the size-sorted inventory is the
-# standard one-pass heuristic (≤ 2x optimal bin count, deterministic):
-# bin_id = floor(exclusive-running-total / target). The window runs over
+# per-bin. Prefix-sum binning over the size-sorted inventory is the
+# one-pass deterministic heuristic used here: bin_id =
+# floor(exclusive-running-total / target). NOTE this is NOT textbook
+# next-fit (a file straddling a bin boundary is wholly assigned to the
+# EARLIER bin, so a bin's total can exceed the target by up to one file,
+# and oversized files are not split or isolated — the classic ≤2x-optimal
+# bound does not strictly apply; the invariant the test pins is
+# bin_total <= target + largest straddling file). The window runs over
 # FILE METADATA (bounded: one row per file — a catalog listing, not the
 # data), so a single ordered window is the right tool; the data itself is
 # never read at planning time.
@@ -682,7 +687,9 @@ PLAN_TARGET_BYTES = 1 << 20  # 1 MiB bins at fixture scale (128 MiB in prod)
 
 
 def compaction_plan(files: DataFrame, target_bytes: int) -> DataFrame:
-    """Assign each (file_key..., size_b) row a bin_id by next-fit-decreasing.
+    """Assign each (file_key..., size_b) row a bin_id by size-decreasing
+    prefix-sum binning (see the module comment above for how this differs
+    from textbook next-fit and which invariant actually holds).
 
     `files` must carry a `size_b` column plus any identifying columns;
     ordering ties are broken by the remaining columns in order, so the
@@ -719,9 +726,9 @@ def compaction_plan(files: DataFrame, target_bytes: int) -> DataFrame:
     )
     SELECT * FROM planned ORDER BY bin_id, size_b DESC, priority, mo
     """,
-    doc="compaction planning: next-fit-decreasing bin packing of the file "
-    "inventory (one metadata-only window; data never read) — bin_id = "
-    "floor(exclusive running total / target). Inventory here is the "
+    doc="compaction planning: size-decreasing prefix-sum bin packing of "
+    "the file inventory (one metadata-only window; data never read) — "
+    "bin_id = floor(exclusive running total / target). Inventory here is the "
     "(priority, month) partition grid of orders with a per-row size "
     "proxy; in prod it is the catalog's file listing and 128 MiB bins.",
 )
@@ -756,7 +763,8 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(('0x' || substr(
-                 md5(CAST(doc_id AS VARCHAR) || '\x1f' || text), 1, 10))
+                 md5(CAST(doc_id AS VARCHAR) || '\x1f'
+                     || coalesce(text, '<NULL>')), 1, 10))
                  AS BIGINT)) AS BIGINT) AS content_checksum,
            CAST(MIN(doc_id) AS BIGINT) AS min_id,
            CAST(MAX(doc_id) AS BIGINT) AS max_id
@@ -765,13 +773,24 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="order-free per-source table fingerprint: SUM of 40-bit md5 row "
     "hashes over a canonical column concatenation + row count + id "
     "bounds — replication/migration sign-off in one scan and one "
-    "|keys|-row aggregate, commutative so engine order never matters.",
+    "|keys|-row aggregate, commutative so engine order never matters. "
+    "NULL text is folded to an explicit '<NULL>' sentinel on BOTH "
+    "engines (ADVICE r10 item 2): Spark's concat_ws would silently SKIP "
+    "a NULL while '||' propagates it and drops the row from the SUM — a "
+    "cross-engine divergence a replication sign-off primitive cannot "
+    "tolerate.",
 )
 def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws("\x1f", F.col("doc_id").cast("string"), "text")),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("doc_id").cast("string"),
+                    F.coalesce(F.col("text"), F.lit("<NULL>")),
+                )
+            ),
             1,
             10,
         ),

@@ -3231,7 +3231,8 @@ def _fp_fold(key: tuple, pdfs, state: GroupState):
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(('0x' || substr(
-                 md5(CAST(doc_id AS VARCHAR) || '\x1f' || text), 1, 10))
+                 md5(CAST(doc_id AS VARCHAR) || '\x1f'
+                     || coalesce(text, '<NULL>')), 1, 10))
                  AS BIGINT)) AS BIGINT) AS content_checksum,
            CAST(MIN(doc_id) AS BIGINT) AS min_id,
            CAST(MAX(doc_id) AS BIGINT) AS max_id
@@ -3241,7 +3242,9 @@ def _fp_fold(key: tuple, pdfs, state: GroupState):
     "checksum, id bounds) folded in applyInPandasWithState — four "
     "scalars of state per source, checksum commutative so micro-batch "
     "boundaries are irrelevant; converged == the one-shot batch scan "
-    "(shared oracle with q_table_fingerprint).",
+    "(shared oracle with q_table_fingerprint, including the explicit "
+    "'<NULL>' sentinel so concat_ws's NULL-skip and ||'s NULL-propagate "
+    "can never diverge — ADVICE r10 item 2).",
 )
 def q_stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_state_store(spark)
@@ -3254,7 +3257,13 @@ def q_stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws("\x1f", F.col("doc_id").cast("string"), "text")),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("doc_id").cast("string"),
+                    F.coalesce(F.col("text"), F.lit("<NULL>")),
+                )
+            ),
             1,
             10,
         ),

@@ -506,9 +506,12 @@ class TestRound10Plans:
         assert "BroadcastNestedLoopJoin" in p  # thresholds × pairs theta
 
 
-class TestRound10Plans:
+class TestRound10MidPlans:
     """Plan pins for the round-10 mid-round operators — each asserts the
-    exact hazard its SCALING.md entry documents away."""
+    exact hazard its SCALING.md entry documents away. (Named distinctly
+    from TestRound10Plans above: a duplicate class name makes pytest
+    silently collect only the later definition — ADVICE r10 item 1; the
+    AST guard in test_no_duplicate_test_class_names pins this.)"""
 
     def test_containment_no_cartesian_filters_pushed(self, spark, sf_dir):
         p = plan(spark, sf_dir, "q_dedup_containment")
@@ -588,3 +591,20 @@ class TestRound10Plans:
         p = plan(spark, sf_dir, "q_table_fingerprint")
         assert "Join" not in p
         assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) == 1
+
+
+def test_no_duplicate_test_class_names():
+    """Collection guard (ADVICE r10 item 1): a module-level class defined
+    twice silently shadows the first — pytest collects only the later
+    definition and the earlier pins never run. Parse every test module's
+    AST and require unique top-level class names."""
+    import ast
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "test_*.py"))):
+        tree = ast.parse(open(path).read(), filename=path)
+        names = [n.name for n in tree.body if isinstance(n, ast.ClassDef)]
+        dupes = {c for c in names if names.count(c) > 1}
+        assert not dupes, f"{os.path.basename(path)}: duplicate classes {dupes}"
