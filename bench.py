@@ -54,6 +54,25 @@ LEGACY_HEADLINE = frozenset(
 STREAMING_HEADLINE = frozenset({"q_stream_debounce"})
 
 
+def _machine_state() -> dict:
+    """Host pressure snapshot recorded into the JSON so a hot draw is
+    self-evident without a manual idle re-run (VERDICT r10 item 4): the
+    driver's bench runs on a shared box, and rounds 9/10 both drew above
+    the idle band purely from co-tenant load."""
+    state: dict = {}
+    try:
+        state["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/pressure/cpu") as fh:
+            # "some avg10=0.00 avg60=0.00 avg300=0.00 total=..."
+            state["pressure_cpu"] = fh.readline().strip()
+    except OSError:
+        pass
+    return state
+
+
 def main() -> None:
     # The incremental-dedup redelivery exercise is a correctness assertion,
     # not part of the streaming fold's cost — exclude it from timed runs
@@ -113,7 +132,9 @@ def main() -> None:
     # corpus slice; k-means runs Lloyd rounds) whose GC/page-cache churn
     # otherwise bleeds into the legacy trend line and masks real
     # regressions (observed ~10% drift when interleaved, round 7).
+    machine_pre = _machine_state()
     times: dict[str, float] = {}
+    draws: dict[str, list[float]] = {}
     legacy_first = [n for n in headline if n in LEGACY_HEADLINE]
     streaming_last = [n for n in headline if n in STREAMING_HEADLINE]
     extended_rest = [
@@ -129,6 +150,7 @@ def main() -> None:
                     continue
                 el = round(time.perf_counter() - t0, 3)
                 times[name] = min(times.get(name, el), el)
+                draws.setdefault(name, []).append(el)
 
     # A query that succeeded in any timed pass has a valid best-of time;
     # drop its (warm-up or first-pass) error record so `errors` lists only
@@ -170,6 +192,12 @@ def main() -> None:
         ),
         "legacy_queries": legacy,
         "queries": times,
+        # every timed draw per query (best-of is what `queries` reports):
+        # the volatile stateful-stream line and busy-box disputes settle
+        # from the spread without a re-run (VERDICT r10 items 4+5)
+        "draws": draws,
+        "machine_pre": machine_pre,
+        "machine_post": _machine_state(),
         "sf": float(sf),
     }
     if errors:

@@ -1157,3 +1157,222 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative BPE trainer (VERDICT.md r10 "What's missing" 4).
+#
+# q_bpe_pair_counts is iteration 1 of byte-pair encoding; the actual
+# trainer LOOP — apply the argmax merge, re-derive the vocabulary,
+# recount — is the bounded driver loop the repo already uses for Lloyd
+# iterations (operators/similarity.py:semantic k-means): N constant
+# iterations, each ONE shuffle over the |vocab|-row word table plus a
+# 1-row TakeOrdered argmax collect.
+#
+# Representation: each word is a symbol sequence encoded as a single
+# string with chr(31) (unit separator — absent from the corpus byte
+# range) BETWEEN symbols and at BOTH ENDS, so a merge of pair (a, b) is
+# the plain string replace  SEP a SEP b SEP  →  SEP ab SEP : the
+# bounding separators anchor full symbols (a suffix/prefix fragment
+# cannot match), and because the replacement re-supplies the shared
+# boundary, leftmost non-overlapping replace — identical semantics in
+# Spark and DuckDB — is exactly the BPE left-to-right merge scan.
+#
+# Cross-engine trap pinned here: Spark's sequence(2, 1) DESCENDS while
+# DuckDB's generate_series(2, 1) is empty, so fully-merged words
+# (single-symbol sequences) are filtered out of the pair count on the
+# Spark side explicitly.
+#
+# Scale: the vocab table is |V| rows (millions at 100 TB — one word per
+# distinct token, built by one map-side-combinable groupBy over the
+# corpus); each of the N iterations shuffles |V·symbols| pair rows into
+# a |pairs| aggregate, takes a 1-row argmax (TakeOrderedAndProject), and
+# rewrites seq map-side. N is a constant; nothing grows with corpus
+# size. Per-iteration state is severed with eager localCheckpoint (the
+# persist-past-return discipline, VERDICT r08 item 5).
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 5
+BPE_ENCODE_TOP = 15
+_BPE_SEP = "\x1f"
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, seq, cnt): the BPE working table — seq is the word's symbol
+    sequence, initially one symbol per character, SEP-bounded."""
+    docs = tp(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    seq = F.concat(
+        F.lit(_BPE_SEP), F.array_join(chars, _BPE_SEP), F.lit(_BPE_SEP)
+    )
+    return w.select("word", seq.alias("seq"), "cnt")
+
+
+def bpe_best_pair(v: DataFrame) -> DataFrame:
+    """One BPE counting step: (word, seq, cnt) → (pair, n) ordered by the
+    argmax total order (n desc, pair asc). Adjacent-position counts,
+    weighted by word count."""
+    syd = v.select(F.split("seq", _BPE_SEP).alias("sy"), "cnt").where(
+        # single-symbol words contribute no pairs; also dodges the
+        # Spark-descends / DuckDB-empty sequence(2, 1) divergence
+        F.size("sy") >= 4
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(2), F.size("sy") - 2),
+        lambda i: F.concat(
+            F.element_at("sy", i), F.lit(_BPE_SEP), F.element_at("sy", i + 1)
+        ),
+    )
+    return (
+        syd.select(F.explode(pairs).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+    )
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run the BPE merge loop; return (merges, final vocab DF).
+
+    merges = [(step, left_sym, right_sym, merged, pair_count), ...] in
+    training order. The returned DF is (word, seq, cnt) after all merges,
+    lineage severed (safe to use past return without a live persist)."""
+    v = _bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = bpe_best_pair(v).limit(1).collect()
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        left, right = pair.split(_BPE_SEP)
+        merges.append((step, left, right, left + right, n))
+        v = v.select(
+            "word",
+            F.replace(
+                F.col("seq"),
+                F.lit(_BPE_SEP + pair + _BPE_SEP),
+                F.lit(_BPE_SEP + left + right + _BPE_SEP),
+            ).alias("seq"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return merges, v
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """The unrolled DuckDB twin of bpe_train: materialized CTEs w, v0..vN,
+    m1..mN (CTE materialization is load-bearing — inlining would re-derive
+    the whole chain once per reference)."""
+    sep = "chr(31)"
+    sql = f"""
+    WITH w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+      ) WHERE length(word) >= 2 GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word,
+             {sep} || array_to_string(list_transform(generate_series(1, length(word)),
+               i -> substr(word, i, 1)), {sep}) || {sep} AS seq,
+             cnt
+      FROM w
+    )"""
+    for k in range(1, n_merges + 1):
+        sql += f""",
+    p{k} AS (
+      SELECT pair, SUM(cnt) AS n FROM (
+        SELECT unnest(list_transform(generate_series(2, len(sy) - 2),
+                 i -> sy[i] || {sep} || sy[i+1])) AS pair, cnt
+        FROM (SELECT string_split(seq, {sep}) AS sy, cnt FROM v{k-1})
+      ) GROUP BY pair
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT {k} AS step, pair, n FROM p{k} ORDER BY n DESC, pair ASC LIMIT 1
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT word,
+             replace(seq,
+                     {sep} || (SELECT pair FROM m{k}) || {sep},
+                     {sep} || replace((SELECT pair FROM m{k}), {sep}, '') || {sep}) AS seq,
+             cnt
+      FROM v{k-1}
+    )"""
+    return sql
+
+
+_BPE_MERGES_ORACLE = (
+    _bpe_chain_sql(BPE_MERGES)
+    + """
+    SELECT step,
+           split_part(pair, chr(31), 1) AS left_sym,
+           split_part(pair, chr(31), 2) AS right_sym,
+           replace(pair, chr(31), '') AS merged,
+           CAST(n AS BIGINT) AS pair_n
+    FROM ("""
+    + " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, BPE_MERGES + 1))
+    + ") ORDER BY step"
+)
+
+
+@register(
+    "q_bpe_train_merges",
+    _BPE_MERGES_ORACLE,
+    doc=f"iterative BPE trainer: {BPE_MERGES} merge rounds (argmax pair by "
+    "count desc / pair asc, apply left-to-right non-overlapping, recount) "
+    "over the word-count vocabulary; emits the learned merge table. "
+    "Bounded driver loop (Lloyd pattern): per round one |vocab|-row "
+    "shuffle + a 1-row argmax collect. Oracle = the unrolled "
+    "materialized-CTE chain; q_bpe_pair_counts is iteration 1.",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = bpe_train(spark, sf_dir, BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        schema="step int, left_sym string, right_sym string, "
+        "merged string, pair_n bigint",
+    ).orderBy("step")
+
+
+_BPE_ENCODE_ORACLE = (
+    _bpe_chain_sql(BPE_MERGES)
+    + f"""
+    SELECT word, cnt,
+           CAST(len(sy) - 2 AS INT) AS n_tokens,
+           array_to_string(sy[2:len(sy)-1], ' ') AS encoded
+    FROM (SELECT word, cnt, string_split(seq, chr(31)) AS sy FROM v{BPE_MERGES})
+    ORDER BY cnt DESC, word ASC LIMIT {BPE_ENCODE_TOP}
+    """
+)
+
+
+@register(
+    "q_bpe_encode",
+    _BPE_ENCODE_ORACLE,
+    doc=f"BPE encode with the trained merges: tokenize the {BPE_ENCODE_TOP} "
+    "most frequent words with the learned segmentation (symbols joined by "
+    "spaces) and their post-merge token counts — verifies the merge-APPLY "
+    "path end-to-end, not just the argmax choices.",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, v = bpe_train(spark, sf_dir, BPE_MERGES)
+    sy = F.split("seq", _BPE_SEP)
+    return (
+        v.select(
+            "word",
+            "cnt",
+            (F.size(sy) - 2).cast("int").alias("n_tokens"),
+            F.array_join(F.slice(sy, 2, F.size(sy) - 2), " ").alias("encoded"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(BPE_ENCODE_TOP)
+    )

@@ -598,22 +598,19 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     ).alias("simhash")
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """Near-dup pairs by SimHash hamming ≤ k, found EXACTLY via pigeonhole
-    banding: split 60 bits into k+1=4 bands of 15 — any pair within hamming
-    k agrees on at least one full band, so a band-bucket join loses nothing."""
+def hamming_band_pairs(
+    sig: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_id, sh) signatures → (da, db, hamming) pairs with hamming ≤ k,
+    found EXACTLY via pigeonhole banding: split the bits into k+1 bands —
+    any pair within hamming k agrees on at least one full band, so a
+    band-bucket equi-join loses nothing. Shared by the word-level SimHash
+    dedup and the multimodal payload perceptual-hash dedup
+    (operators/multimodal.py)."""
     from pyspark.storagelevel import StorageLevel
 
     n_bands = max_hamming + 1
-    band_bits = SIMHASH_BITS // n_bands
-    # exchange barrier: the banding projection references the signature 5×
-    # (4 band keys + the output column); without the barrier, projection
-    # collapse would inline — and recompute — the simhash fold each time.
-    # Signature rows are (doc_id, long): the shuffle is negligible at any
-    # corpus size.
-    sig = docs.select("doc_id", simhash("text").alias("sh")).repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
+    band_bits = bits // n_bands
     bands = F.array(
         *[
             F.struct(
@@ -631,11 +628,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
             "doc_id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")
         )
         # Both self-join sides read this subtree; exchange reuse does not
-        # fire across the alias, so without a persist the simhash fold over
-        # the full text runs once per side (same discipline as the PPJoin
-        # prefix and MinHash banded persists). 4 rows of 4 longs per doc;
-        # DISK_ONLY like the other dedup caches — keep the heap for
-        # operators actually running.
+        # fire across the alias, so without a persist the signature fold
+        # over the full payload runs once per side (same discipline as the
+        # PPJoin prefix and MinHash banded persists). k+1 rows of 4 longs
+        # per doc; DISK_ONLY like the other dedup caches — keep the heap
+        # for operators actually running.
         .persist(StorageLevel.DISK_ONLY)
     )
     l, r = banded.alias("l"), banded.alias("r")
@@ -655,6 +652,19 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
         )
         .distinct()
     )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by word-level SimHash hamming ≤ k (banded, exact)."""
+    # exchange barrier: the banding projection references the signature 5×
+    # (4 band keys + the output column); without the barrier, projection
+    # collapse would inline — and recompute — the simhash fold each time.
+    # Signature rows are (doc_id, long): the shuffle is negligible at any
+    # corpus size.
+    sig = docs.select("doc_id", simhash("text").alias("sh")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    return hamming_band_pairs(sig, bits=SIMHASH_BITS, max_hamming=max_hamming)
 
 
 @register(

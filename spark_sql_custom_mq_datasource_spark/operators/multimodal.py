@@ -204,3 +204,167 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = attach_payload(tp(spark, sf_dir, "documents"))
     return decode_batch(mm).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Multimodal near-dup dedup: perceptual hash over the opaque binary payload
+# (VERDICT.md r10 "What's missing" 3).
+#
+# Images/audio get near-duplicated by re-encodes and small edits; the
+# pipeline needs a payload-level near-dup pass that never tokenizes. The
+# hash here is a SimHash over byte 4-grams of the payload — the binary
+# cousin of the word-level SimHash (operators/dedup.py:simhash): shift-
+# robust (an edit disturbs only the grams that overlap it), md5/integer-
+# derived so DuckDB can twin it bit-for-bit, and banded with the exact
+# pigeonhole join shared with the text dedup (hamming ≤ 3 → 4 bands of
+# 15 bits, zero recall loss). A real image deployment swaps the gram
+# stream for decoded pixel blocks inside the same mapInPandas loop (the
+# grid-mean aHash); the banding, re-verify, and apply stages are
+# payload-agnostic.
+#
+# Scale: signatures are ONE Arrow-batched mapInPandas scan (payload bytes
+# never leave the executor; per-worker gram→md5 memo exploits gram reuse);
+# candidate generation is the banded equi-join on (band, 15-bit key) —
+# candidates only, never all-pairs — and the hamming re-verify is a
+# bit_count on the joined longs. Same 100 TB shape as q_dedup_simhash.
+# --------------------------------------------------------------------------
+
+PHASH_BITS = 60
+PHASH_MAX_HAMMING = 3
+PHASH_GRAM_BYTES = 4
+
+_PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("sh", LongType())]
+)
+
+
+def payload_phash(
+    df: DataFrame, gram: int = PHASH_GRAM_BYTES, bits: int = PHASH_BITS
+) -> DataFrame:
+    """(doc_id, payload) → (doc_id, sh): 60-bit byte-4-gram SimHash.
+
+    bit_j = 1 iff Σ_grams (2·((md5_60(gram) >> j) & 1) − 1) > 0, i.e.
+    2·|grams with bit j set| > |grams| — integer-exact, engine-portable.
+    Payloads shorter than the gram width hash to 0 on both engines
+    (empty vote vector)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        memo: dict[bytes, int] = {}
+        shifts = np.arange(bits, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for r, payload in enumerate(pdf["payload"]):
+                b = bytes(payload)
+                n = len(b) - gram + 1
+                if n <= 0:
+                    continue
+                hs = np.empty(n, dtype=np.uint64)
+                for i in range(n):
+                    g = b[i : i + gram]
+                    h = memo.get(g)
+                    if h is None:
+                        h = int(hashlib.md5(g).hexdigest()[:15], 16)
+                        memo[g] = h
+                    hs[i] = h
+                ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                out[r] = int(((2 * ones > n).astype(np.uint64) << shifts).sum())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "sh": out})
+
+    return df.select("doc_id", "payload").mapInPandas(run, _PHASH_SCHEMA)
+
+
+_SQL_PHASH = f"""
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, strlen(text) - {PHASH_GRAM_BYTES - 1}),
+                            i -> CAST(('0x' || substr(md5(substr(text, i, {PHASH_GRAM_BYTES})), 1, 15)) AS BIGINT)) AS h
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, {PHASH_BITS - 1}), j ->
+               CASE WHEN list_sum(list_transform(h, x -> 2 * ((x >> j) & 1) - 1)) > 0
+                    THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS phash
+      FROM g
+    )"""
+
+
+@register(
+    "q_multimodal_phash_dedup",
+    f"""
+    WITH {_SQL_PHASH}
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+    ORDER BY da, db
+    """,
+    doc="multimodal payload near-dup pairs: 60-bit byte-4-gram SimHash over "
+    "the opaque binary payload (mapInPandas, per-worker md5 memo), exact "
+    "pigeonhole banding (4 bands of 15 bits) for candidates, bit_count "
+    "re-verify at hamming <= 3. The oracle recomputes the hash from the "
+    "utf-8 payload bytes (ASCII fixtures: substr == byte slice) and "
+    "checks all pairs.",
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hamming_band_pairs
+
+    mm = attach_payload(tp(spark, sf_dir, "documents"))
+    pairs = hamming_band_pairs(
+        payload_phash(mm), bits=PHASH_BITS, max_hamming=PHASH_MAX_HAMMING
+    )
+    return pairs.select(
+        "da", "db", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("da", "db")
+
+
+@register(
+    "q_multimodal_phash_apply",
+    f"""
+    WITH {_SQL_PHASH},
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    doc="multimodal near-dup survivor selection: keep the smallest doc_id "
+    "of each payload-phash near-dup pair (min-id dominance is a strict "
+    "order — one pass, no transitive closure, same policy as "
+    "q_dedup_containment_apply); per-source survivor counts.",
+)
+def q_multimodal_phash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hamming_band_pairs
+
+    docs = tp(spark, sf_dir, "documents")
+    pairs = hamming_band_pairs(
+        payload_phash(attach_payload(docs)),
+        bits=PHASH_BITS,
+        max_hamming=PHASH_MAX_HAMMING,
+    )
+    dropped = (
+        pairs.select(F.col("db").alias("doc_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        docs.join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_dropped").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_surviving"),
+        )
+        .orderBy("source")
+    )

@@ -186,107 +186,81 @@ def register(
 #      additions, then the r05 TPC-H/window/set-op block. Everything
 #      displaced stays green in CORRECTNESS_r08/r09.json.
 _PRIORITY: tuple[str, ...] = (
-    # ==== ROUND-10 PREFIX ===============================================
-    # -- never driver-checked: highest priority --------------------------
-    "q_batch_padding_audit",
-    "q_stream_anomaly_zscore",
-    "q_corpus_drift_psi",
-    "q_dedup_index_compact",
-    "q_hard_negative_ann_sampled",
-    "q_source_quota_cap",
-    "q_dedup_threshold_sweep",
-    "q_stream_source_quota",
-    "q_embedding_centroid_drift",
-    "q_embedding_norm_outliers",
-    # -- round-10 mid-round additions (never driver-checked) --------------
-    "q_profile_documents",
-    "q_distinct_users_skew_safe",
-    "q_compaction_plan",
-    "q_dedup_containment",
-    "q_embedding_random_projection",
-    "q_stream_heavy_hitters",
-    "q_matryoshka_recall",
-    "q_conversion_within_window",
-    "q_daily_trend_by_type",
-    "q_table_fingerprint",
-    "q_histogram_equidepth",
-    "q_stream_table_fingerprint",
-    "q_dedup_containment_apply",
-    "q_join_size_estimate",
-    "q_ab_cuped",
-    "q_events_cusum",
-    "q_decile_lift",
-    # -- code changed since last driver record ----------------------------
-    "q_stream_dedup_incremental",
-    "q_funnel_stages",
-    "q_gapfill_user_daily",
-    "q_gapfill_locf",
-    "q_manifest_snapshot_diff",
-    "q_cdf_incremental_consumer",
-    # -- r04-stale (deferred twice; the oldest records anywhere) ----------
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
+    # ==== ROUND-11 PREFIX ===============================================
+    # (executes the round-10 rotation plan below + VERDICT r10 item 1)
+    # -- slot 1, NON-DEFERRABLE (VERDICT r10: r04-stale, deferred in r8/
+    #    r9/r10 on the bench-liveness argument; bench proves it RUNS, the
+    #    driver record proves it is CORRECT) --------------------------------
+    "q_wordcount_topk",
+    # -- round-11 additions (never driver-checked) -------------------------
+    "q_multimodal_phash_dedup",
+    "q_multimodal_phash_apply",
+    "q_bpe_train_merges",
+    "q_bpe_encode",
+    # -- code changed this round (r10-green, but simhash_pairs was
+    #    refactored onto the shared hamming_band_pairs helper) -------------
     "q_dedup_simhash",
-    "q_embedding_quantize",
-    "q_multimodal_decode",
-    "q_stream_rate_source",
-    "q_stream_sliding_6h",
-    "q_stream_static_join",
-    "q_events_json_extract",
-    "q_events_sliding_6h",
-    "q_events_pivot_daily",
-    "q_fuzzy_source_pairs",
-    "q_mqlog_roundtrip",
-    "q_map_functions",
-    "q_partition_pruned_day",
-    # -- r05-stale: round-5 text/retrieval/curation additions -------------
-    "q_quality_gopher",
-    "q_pii_redact",
+    # -- the 16 r05-stale entries displaced late in round 10 ---------------
+    "q_heavy_hitters_2gram",
+    "q_bm25_topk",
+    "q_tfidf_topterms",
+    "q_dsir_importance",
+    "q_chunk_documents",
+    "q_runtime_filter_join",
+    "q_stream_mq_wordcount",
+    "q_stream_decontaminate",
+    "q_stream_quality_gate",
+    "q_stream_pii_redact",
+    "q_percentiles_price",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_anti_join_idle_customers",
+    "q_outer_join_nation_customers",
+    # -- r05-stale, oldest-first (tools/rotation_plan.py order) ------------
+    "q_rollup_returns",
+    "q_grouping_sets_sql",
+    "q_approx_distinct_parts",
+    "q_setops_active_customers",
+    "q_window_top_parts_per_brand",
+    "q_window_rank_dense_ntile",
+    "q_scalar_functions",
+    "q_date_functions",
+    "q_subquery_above_avg",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_priority_by_class",
+    "q16_supplier_diversity",
+    "q20_heavy_promo_shippers",
+    "q21_waiting_suppliers",
 )
-# Displaced late in round 10 to make room for the 17 mid-round additions
-# (never-driver-checked queries outrank stale-green re-checks, per the
-# standing policy): q_wordcount_topk (r04-stale but TIMED IN THE LEGACY
-# BENCH SET every round since r01 — a breakage is driver-visible as a
-# bench error the same day; deferred on this exact justification in
-# round 8 too, and green in this round's closing local batteries),
-# q_tfidf_topterms + q_dsir_importance (r05-green;
-# both re-verified in this round's closing local batteries at sf0.001
-# AND sf0.01; tfidf shares the tokenize/DF machinery with six in-prefix
-# text queries, DSIR's broadcast-model shape with the in-prefix
-# decontaminate), q_runtime_filter_join (r05-green; the join family
-# keeps as-of/range/salted/bucketed members in-prefix),
-# q_stream_mq_wordcount (the mq streaming path keeps
-# q_stream_mq_replay + q_mqlog_roundtrip in-prefix, which exercise the
-# same source contract end-to-end; r05-green), q_stream_decontaminate
-# (batch twin q_decontaminate_ngram r09-green; the foreachBatch plumbing
-# is exercised by 10+ fresher in-prefix streaming queries),
-# q_heavy_hitters_2gram and q_bm25_topk (both timed by
-# bench.py's extended set every round since r05/r06, so a breakage is
-# driver-visible anyway; r05-green), q_chunk_documents (streaming twin
-# q_stream_chunk_documents r06-green exercises the same chunk
-# projection), q_stream_quality_gate + q_stream_pii_redact (their
-# BATCH twins q_quality_gopher / q_pii_redact stay in-prefix and exercise
-# the same gate/redaction expressions; the streaming plumbing is covered
-# by the 2 streaming r05 entries that remain plus 12 fresher streaming
-# queries in-prefix), q1/q3/q5 (bench-exercised every round since r01;
-# r05-green), q_percentiles_price (family cover:
-# q_approx_percentile_bounds r06-green), q_anti_join_idle_customers and
-# q_outer_join_nation_customers (r05-green; the join family keeps as-of/
-# range/salted/bucketed members in-prefix). All eight remain green in
-# CORRECTNESS_r05.json and in this round's closing local battery; they
-# lead the round-11 rotation plan as the oldest records left.
+# ROUND-11 NOTE: the round-10 rotation plan is EXECUTED by the prefix
+# above; with all 45 r05-stale records re-checked this round, no driver
+# record is older than r06. q_full_outer_join_balance is the ONE r05
+# record that did not fit (displaced by the 4 round-11 additions +
+# the q_dedup_simhash re-check); it leads the round-12 plan.
 #
-# ROUND-11 ROTATION PLAN: (1) anything round 11 adds or edits (never-
-# checked first), then (2) the 17 entries displaced above
-# (q_wordcount_topk, q_stream_mq_wordcount, q_stream_decontaminate, q_stream_quality_gate,
-# q_stream_pii_redact, q_heavy_hitters_2gram, q_bm25_topk,
-# q_chunk_documents, q_tfidf_topterms, q_dsir_importance,
-# q_runtime_filter_join, q_percentiles_price, q1_pricing_summary,
-# q3_shipping_priority, q5_local_supplier, q_anti_join_idle_customers,
-# q_outer_join_nation_customers — all r05-stale after this round), then
-# (3) the remaining r05/r06-stale records oldest-first
-# (tools/rotation_plan.py regenerates the staleness base from
-# CORRECTNESS_r01..r10).
+# ROUND-12 ROTATION PLAN: (1) anything round 12 adds or edits (never-
+# checked first), then (2) q_full_outer_join_balance (the oldest record
+# left, r05), then (3) the 45 r06-stale records oldest-first
+# (q_text_token_stats, q_dedup_substring_spans/apply, q_dedup_apply_clusters,
+# the storage-maintenance family, LM perplexity/curriculum, top
+# customers, cube, z-order, JSONL/CSV, semantic k-means, incremental MV,
+# chunking-stream — tools/rotation_plan.py regenerates the exact order
+# from CORRECTNESS_r01..r11).
 
 
 def _load_all() -> None:

@@ -2466,3 +2466,191 @@ class TestStreamTableFingerprint:
             for r in QUERIES["q_table_fingerprint"].fn(spark, sf_dir).collect()
         ]
         assert stream == batch
+
+
+class TestBpeTrainer:
+    """Round-11: the iterative BPE trainer (functions/text.py:bpe_train)."""
+
+    def _vocab(self, spark, rows):
+        from spark_sql_custom_mq_datasource_spark.functions.text import _BPE_SEP
+
+        data = [
+            (w, _BPE_SEP + _BPE_SEP.join(syms) + _BPE_SEP, c)
+            for (w, syms, c) in rows
+        ]
+        return spark.createDataFrame(data, "word string, seq string, cnt bigint")
+
+    def test_single_symbol_guard(self, spark):
+        """A fully-merged (single-symbol) word contributes no pairs and must
+        not crash pair extraction: Spark's sequence(2, 1) DESCENDS where
+        DuckDB's generate_series(2, 1) is empty — the size guard pins the
+        divergence shut."""
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _BPE_SEP,
+            bpe_best_pair,
+        )
+
+        v = self._vocab(
+            spark,
+            [("ab", ["ab"], 100), ("cd", ["c", "d"], 3)],
+        )
+        rows = bpe_best_pair(v).collect()
+        assert [(r["pair"], r["n"]) for r in rows] == [("c" + _BPE_SEP + "d", 3)]
+
+    def test_pair_counts_weighted_and_overlapping(self, spark):
+        """Adjacent positions count with overlap (classic BPE): 'aaa' has
+        TWO (a,a) positions even though only one merge can apply."""
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _BPE_SEP,
+            bpe_best_pair,
+        )
+
+        v = self._vocab(spark, [("aaa", ["a", "a", "a"], 5)])
+        rows = bpe_best_pair(v).collect()
+        assert [(r["pair"], r["n"]) for r in rows] == [("a" + _BPE_SEP + "a", 10)]
+
+    def test_merge_apply_anchored_and_non_overlapping(self, spark):
+        """The SEP-bounded replace must (a) merge left-to-right without
+        consuming overlapping occurrences ('aaa' -> ['aa','a']) and (b)
+        never match a symbol suffix/prefix fragment ('xa','by' is NOT an
+        (a,b) occurrence)."""
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.functions.text import _BPE_SEP
+
+        v = self._vocab(
+            spark,
+            [("aaa", ["a", "a", "a"], 1), ("xaby", ["xa", "by"], 1)],
+        )
+        pair = "a" + _BPE_SEP + "a"
+        merged = v.select(
+            "word",
+            FF.replace(
+                FF.col("seq"),
+                FF.lit(_BPE_SEP + pair + _BPE_SEP),
+                FF.lit(_BPE_SEP + "aa" + _BPE_SEP),
+            ).alias("seq"),
+        ).collect()
+        got = {r["word"]: r["seq"].split(_BPE_SEP)[1:-1] for r in merged}
+        assert got["aaa"] == ["aa", "a"]
+        assert got["xaby"] == ["xa", "by"]
+
+    def test_train_on_fixtures(self, spark, sf_dir):
+        """End-to-end: N merges learned, each merged symbol is the concat
+        of its parts, counts are non-increasing, and the final vocab's
+        token total equals the initial total minus the applied merges
+        (<= pair counts, since counts may include overlaps)."""
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _BPE_SEP,
+            BPE_MERGES,
+            _bpe_vocab,
+            bpe_train,
+        )
+
+        merges, v = bpe_train(spark, sf_dir, BPE_MERGES)
+        assert len(merges) == BPE_MERGES
+        for step, left, right, whole, n in merges:
+            assert whole == left + right and n > 0
+        counts = [m[4] for m in merges]
+        assert counts == sorted(counts, reverse=True)
+
+        def total_tokens(df):
+            return df.agg(
+                FF.sum(
+                    FF.col("cnt") * (FF.size(FF.split("seq", _BPE_SEP)) - 2)
+                ).alias("s")
+            ).collect()[0]["s"]
+
+        before = total_tokens(_bpe_vocab(spark, sf_dir))
+        after = total_tokens(v)
+        assert after < before
+        assert before - after <= sum(counts)
+
+
+class TestPayloadPhash:
+    """Round-11: multimodal payload perceptual hash
+    (operators/multimodal.py:payload_phash)."""
+
+    def test_phash_matches_reference(self, spark, sf_dir):
+        """The mapInPandas memoized/vectorized hash must equal a direct
+        per-doc Python recomputation of the same definition."""
+        import hashlib
+
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            PHASH_BITS,
+            PHASH_GRAM_BYTES,
+            attach_payload,
+            payload_phash,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        docs = t(spark, sf_dir, "documents").limit(20)
+        got = {
+            r["doc_id"]: r["sh"]
+            for r in payload_phash(attach_payload(docs)).collect()
+        }
+        for r in docs.collect():
+            b = r["text"].encode("utf-8")
+            n = len(b) - PHASH_GRAM_BYTES + 1
+            votes = [0] * PHASH_BITS
+            for i in range(n):
+                h = int(
+                    hashlib.md5(b[i : i + PHASH_GRAM_BYTES]).hexdigest()[:15], 16
+                )
+                for j in range(PHASH_BITS):
+                    votes[j] += 2 * ((h >> j) & 1) - 1
+            want = sum(1 << j for j in range(PHASH_BITS) if votes[j] > 0)
+            assert got[r["doc_id"]] == want
+
+    def test_phash_banding_is_exact(self, spark, sf_dir):
+        """Pigeonhole banding over the payload hash must equal brute-force
+        hamming <= 3 (zero recall loss)."""
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            hamming_band_pairs,
+        )
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            PHASH_BITS,
+            PHASH_MAX_HAMMING,
+            attach_payload,
+            payload_phash,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        docs = t(spark, sf_dir, "documents")
+        sig = payload_phash(attach_payload(docs)).cache()
+        a = sig.select(FF.col("doc_id").alias("da"), FF.col("sh").alias("ha"))
+        b = sig.select(FF.col("doc_id").alias("db"), FF.col("sh").alias("hb"))
+        brute = {
+            (r["da"], r["db"])
+            for r in a.join(b, FF.col("da") < FF.col("db"))
+            .where(
+                FF.bit_count(FF.col("ha").bitwiseXOR(FF.col("hb")))
+                <= PHASH_MAX_HAMMING
+            )
+            .collect()
+        }
+        banded = {
+            (r["da"], r["db"])
+            for r in hamming_band_pairs(
+                sig, bits=PHASH_BITS, max_hamming=PHASH_MAX_HAMMING
+            ).collect()
+        }
+        sig.unpersist()
+        assert banded == brute
+        assert brute, "fixtures contain planted near-dups"
+
+    def test_short_payload_hashes_to_zero(self, spark):
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            payload_phash,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"ab")), (2, bytearray(b""))],
+            "doc_id long, payload binary",
+        )
+        got = {r["doc_id"]: r["sh"] for r in payload_phash(df).collect()}
+        assert got == {1: 0, 2: 0}

@@ -608,3 +608,48 @@ def test_no_duplicate_test_class_names():
         names = [n.name for n in tree.body if isinstance(n, ast.ClassDef)]
         dupes = {c for c in names if names.count(c) > 1}
         assert not dupes, f"{os.path.basename(path)}: duplicate classes {dupes}"
+
+
+class TestRound11Plans:
+    """Plan pins for the round-11 operators."""
+
+    def test_phash_dedup_banded_equi_join_cached_signatures(self, spark, sf_dir):
+        """Candidate generation must be the (band, key) EQUI-join over the
+        persisted signature table — never an all-pairs nested loop — and
+        both self-join sides must read the one cached banded subtree (the
+        mapInPandas payload hash runs once, not once per side)."""
+        p = plan(spark, sf_dir, "q_multimodal_phash_dedup")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert (
+            "SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p
+        )
+        assert "InMemoryTableScan" in p  # banded persist feeds both sides
+
+    def test_phash_apply_no_cartesian(self, spark, sf_dir):
+        p = plan(spark, sf_dir, "q_multimodal_phash_apply")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_bpe_pair_count_partial_agg_no_join(self, spark, sf_dir):
+        """One BPE iteration is a map-side-combinable aggregate over the
+        vocab table plus a 1-row TakeOrdered argmax — no join, no window,
+        no global sort of the pair table."""
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _bpe_vocab,
+            bpe_best_pair,
+        )
+
+        best = bpe_best_pair(_bpe_vocab(spark, sf_dir)).limit(1)
+        p = df_plan(spark, best)
+        assert "TakeOrderedAndProject" in p
+        assert "Join" not in p
+        assert "Window" not in p
+        assert p.count("HashAggregate") >= 2  # partial + final
+
+    def test_bpe_encode_bounded_topk(self, spark, sf_dir):
+        """The encode read-out is a partial top-K over the checkpointed
+        final vocab — never a single-partition global sort."""
+        p = plan(spark, sf_dir, "q_bpe_encode")
+        assert "TakeOrderedAndProject" in p
