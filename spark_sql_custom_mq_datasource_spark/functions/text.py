@@ -1248,7 +1248,15 @@ def bpe_train(
     merges = [(step, left_sym, right_sym, merged, pair_count), ...] in
     training order. The returned DF is (word, seq, cnt) after all merges,
     lineage severed (safe to use past return without a live persist)."""
-    v = _bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
+    return bpe_train_vocab(_bpe_vocab(spark, sf_dir), n_merges)
+
+
+def bpe_train_vocab(
+    vocab: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The trainer core over any (word, seq, cnt) working table — split
+    from bpe_train so tests can drive it with constructed vocabularies."""
+    v = vocab.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         best = bpe_best_pair(v).limit(1).collect()

@@ -498,3 +498,109 @@ class TestRound7KernelProperties:
         assert got == {
             t: (kept[t], dropped[t]) for t in kept if kept[t] + dropped[t] > 0
         }
+
+
+class TestBpeEncodingProperties:
+    """Round-11: the SEP-anchored string-replace merge must equal the
+    algorithmic left-to-right non-overlapping symbol merge for ANY symbol
+    sequence — including pathological self-overlap (a,a on 'aaa') and
+    symbols that are substrings/suffixes of each other ('xa','by' vs
+    pair (a,b)). Python str.replace shares the leftmost-non-overlapping
+    contract with Spark's and DuckDB's replace, so hypothesis can drive
+    the encoding trick hard without a Spark job per example."""
+
+    SEP = "\x1f"
+
+    @staticmethod
+    def _merge_ref(syms: list[str], a: str, b: str) -> list[str]:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @given(
+        syms=st.lists(
+            st.text(alphabet="abx", min_size=1, max_size=3), min_size=1, max_size=12
+        ),
+        a=st.text(alphabet="abx", min_size=1, max_size=3),
+        b=st.text(alphabet="abx", min_size=1, max_size=3),
+    )
+    @settings(max_examples=500, deadline=None)
+    def test_anchored_replace_equals_symbol_merge(self, syms, a, b):
+        from spark_sql_custom_mq_datasource_spark.functions.text import _BPE_SEP
+
+        seq = _BPE_SEP + _BPE_SEP.join(syms) + _BPE_SEP
+        replaced = seq.replace(
+            _BPE_SEP + a + _BPE_SEP + b + _BPE_SEP,
+            _BPE_SEP + a + b + _BPE_SEP,
+        )
+        got = replaced.split(_BPE_SEP)[1:-1]
+        assert got == self._merge_ref(syms, a, b)
+
+    @staticmethod
+    def _train_ref(
+        words: list[tuple[str, int]], n_merges: int
+    ) -> list[tuple[int, str, str, str, int]]:
+        """Pure-Python BPE trainer: overlapping adjacent-pair counts
+        weighted by word count, argmax by (n desc, (a, SEP, b) asc),
+        left-to-right non-overlapping apply."""
+        sep = "\x1f"
+        vocab = [([c for c in w], cnt) for w, cnt in words]
+        merges = []
+        for step in range(1, n_merges + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for syms, cnt in vocab:
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = (
+                        counts.get((syms[i], syms[i + 1]), 0) + cnt
+                    )
+            if not counts:
+                break
+            (a, b), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0] + sep + kv[0][1])
+            )
+            merges.append((step, a, b, a + b, n))
+            vocab = [
+                (TestBpeEncodingProperties._merge_ref(syms, a, b), cnt)
+                for syms, cnt in vocab
+            ]
+        return merges
+
+    def test_spark_trainer_equals_reference_on_seeded_vocabs(self, spark):
+        """Seeded random vocabularies (one Spark loop per case, so a
+        handful of cases, not hypothesis-many): the distributed trainer
+        must reproduce the pure-Python reference merge-for-merge."""
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _BPE_SEP,
+            bpe_train_vocab,
+        )
+
+        rng = random.Random(11)
+        for case in range(4):
+            words = sorted(
+                {
+                    "".join(
+                        rng.choice("abcde") for _ in range(rng.randint(2, 7))
+                    )
+                    for _ in range(rng.randint(3, 25))
+                }
+            )
+            vocab = [(w, rng.randint(1, 9)) for w in words]
+            want = self._train_ref(vocab, 4)
+            df = spark.createDataFrame(
+                [
+                    (w, _BPE_SEP + _BPE_SEP.join(w) + _BPE_SEP, c)
+                    for w, c in vocab
+                ],
+                "word string, seq string, cnt bigint",
+            )
+            got, _ = bpe_train_vocab(df, 4)
+            assert got == want, f"case {case}: {got} != {want}"

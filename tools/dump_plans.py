@@ -303,6 +303,24 @@ SHOWCASE = [
         "with the two-phase distinct expansion on (col_name, val) — "
         "never a per-column scan loop.",
     ),
+    (
+        "q_multimodal_phash_dedup",
+        "Multimodal payload near-dup: ONE Arrow-batched mapInPandas "
+        "scan computes the byte-4-gram SimHash; the banded signature "
+        "table persists (InMemoryTableScan feeds BOTH self-join "
+        "sides); candidates come from the (band, key) EQUI-join — "
+        "never an all-pairs nested loop — and the hamming re-verify "
+        "is a bit_count on the joined longs.",
+    ),
+    (
+        "q_bpe_encode",
+        "BPE trainer read-out: the per-round pair count is a map-side-"
+        "combinable partial aggregate and the argmax a 1-row "
+        "TakeOrdered (see tests/test_plans.py for the lazy builder "
+        "pin); the encode itself is a partial top-K "
+        "(TakeOrderedAndProject) over the checkpointed |vocab|-row "
+        "table — no join, no window, no global sort.",
+    ),
 ]
 
 
