@@ -1866,3 +1866,356 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (round 11): the missing leg of the ANN family.
+# IVF (above) prunes WHICH vectors a query scans; PQ compresses WHAT is
+# scanned — each 64-dim vector becomes M=4 one-byte codes into per-
+# subspace codebooks, and query-time distance is an O(M) table lookup
+# (ADC, asymmetric distance computation; Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", IEEE TPAMI 2011). At 100 TB
+# IVF-PQ is the standard shape: the corpus holds codes (16 bytes/vector
+# here vs 256 for raw float32), the QxMxK ADC lookup table is built per
+# query batch, and the scan is integer code joins + a fixed-order sum.
+#
+# Determinism contract (same discipline as the k-means loop above):
+# vectors scalar-quantized to exact Q20 ints first; every subspace
+# distance is a sequential fold (F.aggregate <-> list_reduce) over
+# identical doubles; codebook updates are ONE double division of exact
+# int64 sums; argmin ties break on code id; init = the K smallest
+# vec_ids' subvectors. Cross-subspace distance totals are summed in
+# FIXED order (4 conditional single-element aggregates added left-to-
+# right) — a bare SUM over the m-groups would be order-nondeterministic
+# in both engines.
+#
+# Scale: training is the Lloyd loop per subspace, fused into ONE
+# DataFrame loop keyed by (m) — per round one broadcast of the M·K
+# centroid table, one map-side assign (n·M·K folds), one (m, code)
+# shuffle of exact partial sums, one <=M·K-row collect. Encoding is the
+# final assign (map-side). The ADC eval broadcasts Q anchor subvectors,
+# builds the QxMxK lookup table (512 rows here), equi-joins it to the
+# code table, and takes per-query top-K — no raw-vector join anywhere
+# past the lookup-table build.
+# --------------------------------------------------------------------------
+
+PQ_SUBDIM = 16
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 2
+PQ_TOPK = 10
+PQ_QUERIES = 8
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): Q20-quantized subvectors as exact-int doubles."""
+    eq = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("double"),
+    )
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col("eqv"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return (
+        emb.select("vec_id", eq.alias("eqv"))
+        .select("vec_id", F.explode(parts).alias("p"))
+        .select("vec_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
+    )
+
+
+def _pq_l2(a, b):
+    """Sequential-fold squared L2 — bit-identical to the oracle's
+    list_reduce on identical inputs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_assign(sv: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest codebook entry per subspace (min L2,
+    ties to lowest code). cdf: (m, code, cu) — KBs, always broadcast."""
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dist"), F.asc("code"))
+    return (
+        sv.join(F.broadcast(cdf), "m")
+        .withColumn("dist", _pq_l2(F.col("sv"), F.col("cu")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+
+def _pq_loop(
+    spark: SparkSession, emb: DataFrame
+) -> tuple[DataFrame, list[tuple[int, int, list[float]]]]:
+    """Train the per-subspace codebooks; returns (persisted sv table,
+    final centroid rows). One Lloyd loop over all M subspaces at once."""
+    from pyspark.storagelevel import StorageLevel
+
+    sv = (
+        _pq_subvectors(emb)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()
+    ]
+    code_of = {v: i for i, v in enumerate(ids)}
+    init = sv.where(F.col("vec_id").isin(ids)).collect()  # bounded: K*M rows
+    cents = sorted((r["m"], code_of[r["vec_id"]], list(r["sv"])) for r in init)
+    dims = range(PQ_SUBDIM)
+    for _ in range(PQ_ITERS):
+        cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
+        assigned = pq_assign(sv, cdf)
+        means = (
+            sv.join(assigned, ["vec_id", "m"])
+            .groupBy("m", "code")
+            .agg(
+                *[
+                    (
+                        F.sum(F.element_at("sv", d + 1).cast("long")).cast("double")
+                        / F.count("*")
+                    ).alias(f"c{d}")
+                    for d in dims
+                ]
+            )
+        )
+        rows = means.select(
+            "m", "code", F.array(*[f"c{d}" for d in dims]).alias("cu")
+        ).collect()  # bounded: <= M*K rows
+        cents = sorted((r["m"], r["code"], list(r["cu"])) for r in rows)
+    return sv, cents
+
+
+_SQL_PQ_L2 = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+    "(acc, w) -> acc + w)"
+)
+
+
+def _pq_oracle_chain(k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """Unrolled PQ trainer as a materialized CTE chain (generated, like
+    the k-means oracle)."""
+    l2 = _SQL_PQ_L2.format(a="v.sv", b="c.cu", n=PQ_SUBDIM)
+    ctes = [
+        f"""ev AS MATERIALIZED (
+      SELECT vec_id, d,
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * {QUANT}.0 + 0.5) AS BIGINT) AS eq,
+             CAST((d - 1) // {PQ_SUBDIM} AS INT) AS m,
+             ((d - 1) % {PQ_SUBDIM}) + 1 AS dl
+      FROM embeddings, generate_series(1, {PQ_M * PQ_SUBDIM}) g(d)
+    )""",
+        """sv AS MATERIALIZED (
+      SELECT vec_id, m, list(CAST(eq AS DOUBLE) ORDER BY dl) AS sv
+      FROM ev GROUP BY vec_id, m
+    )""",
+        f"""ids AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      FROM (SELECT DISTINCT vec_id FROM sv ORDER BY vec_id LIMIT {k})
+    )""",
+        """c0 AS MATERIALIZED (
+      SELECT s.m, i.code, s.sv AS cu FROM sv s JOIN ids i USING (vec_id)
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT v.vec_id, v.m, c.code,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {l2} ASC, c.code) AS rk
+        FROM sv v JOIN c{i - 1} c ON v.m = c.m
+      ) WHERE rk = 1
+    )"""
+        )
+        ctes.append(
+            f"""mm{i} AS (
+      SELECT a.m, a.code, ev.dl, CAST(SUM(ev.eq) AS DOUBLE) / COUNT(*) AS c
+      FROM ev JOIN a{i} a ON ev.vec_id = a.vec_id AND ev.m = a.m
+      GROUP BY a.m, a.code, ev.dl
+    )"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+      SELECT m, code, list(c ORDER BY dl) AS cu FROM mm{i} GROUP BY m, code
+    )"""
+        )
+    # final encode: assign against the FINAL codebooks (the Spark side
+    # re-assigns after the last update — same shape as the k-means
+    # oracle's afinal)
+    ctes.append(
+        f"""afinal AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT v.vec_id, v.m, c.code,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {l2} ASC, c.code) AS rk
+        FROM sv v JOIN c{iters} c ON v.m = c.m
+      ) WHERE rk = 1
+    )"""
+    )
+    return "WITH " + ",\n".join(ctes)
+
+
+@register(
+    "q_embedding_pq_codebooks",
+    _pq_oracle_chain()
+    + f"""
+    SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM afinal GROUP BY m, code ORDER BY m, code
+    """,
+    doc=f"product-quantization codebook training + corpus encoding: "
+    f"{PQ_M} subspaces x {PQ_K} codes, {PQ_ITERS} deterministic Lloyd "
+    "rounds fused into one subspace-keyed loop; output is the encoded "
+    "corpus's (subspace, code) occupancy, fully value-checked against "
+    "the unrolled SQL iteration.",
+)
+def q_embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sv, cents = _pq_loop(spark, emb)
+    cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
+    return (
+        pq_assign(sv, cdf)
+        .groupBy("m", "code")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("m", "code")
+    )
+
+
+def _pq_fixed_order_dist():
+    """Cross-subspace total as 4 single-element conditional aggregates
+    added in fixed order — never a bare SUM over the m rows (float
+    addition order would be engine/partition dependent)."""
+    terms = [
+        F.sum(F.when(F.col("m") == m, F.col("dd")).otherwise(F.lit(0.0)))
+        for m in range(PQ_M)
+    ]
+    total = terms[0]
+    for t_ in terms[1:]:
+        total = total + t_
+    return total.alias("dist")
+
+
+def _sql_pq_msum() -> str:
+    return " + ".join(
+        f"SUM(CASE WHEN m = {m} THEN dd ELSE 0 END)" for m in range(PQ_M)
+    )
+
+
+@register(
+    "q_pq_adc_recall",
+    _pq_oracle_chain()
+    + f""",
+    anch AS (SELECT DISTINCT vec_id FROM sv ORDER BY vec_id LIMIT {PQ_QUERIES}),
+    exd AS (
+      SELECT q.vec_id AS qid, v.vec_id, q.m AS m,
+             {_SQL_PQ_L2.format(a="q.sv", b="v.sv", n=PQ_SUBDIM)} AS dd
+      FROM sv q JOIN sv v ON q.m = v.m AND v.vec_id <> q.vec_id
+      WHERE q.vec_id IN (SELECT vec_id FROM anch)
+    ),
+    ex AS (SELECT qid, vec_id, {_sql_pq_msum()} AS dist
+           FROM exd GROUP BY qid, vec_id),
+    ext AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id) AS rk
+      FROM ex) WHERE rk <= {PQ_TOPK}),
+    qd AS MATERIALIZED (
+      SELECT q.vec_id AS qid, c.m, c.code,
+             {_SQL_PQ_L2.format(a="q.sv", b="c.cu", n=PQ_SUBDIM)} AS dd
+      FROM sv q JOIN c{PQ_ITERS} c ON q.m = c.m
+      WHERE q.vec_id IN (SELECT vec_id FROM anch)
+    ),
+    adcd AS (
+      SELECT qd.qid, a.vec_id, qd.m AS m, qd.dd AS dd
+      FROM afinal a JOIN qd ON a.m = qd.m AND a.code = qd.code
+      WHERE a.vec_id <> qd.qid
+    ),
+    adc AS (SELECT qid, vec_id, {_sql_pq_msum()} AS dist
+            FROM adcd GROUP BY qid, vec_id),
+    adct AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id) AS rk
+      FROM adc) WHERE rk <= {PQ_TOPK})
+    SELECT e.qid, CAST(COUNT(a.vec_id) AS INT) AS hits_at_{PQ_TOPK}
+    FROM ext e LEFT JOIN adct a ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+    doc=f"PQ ADC recall@{PQ_TOPK}: for {PQ_QUERIES} anchor queries, "
+    "approximate retrieval via the QxMxK ADC lookup table (query-to-"
+    "centroid distances equi-joined to the corpus code table) vs exact "
+    "subspace-summed L2 — the compression-vs-recall read-out that "
+    "decides the codebook budget before an IVF-PQ rollout; integer "
+    "overlap counts, robust to float rank noise.",
+)
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sv, cents = _pq_loop(spark, emb)
+    cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
+    assigned = pq_assign(sv, cdf)
+    anchor_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(PQ_QUERIES)
+        .collect()
+    ]
+    q = sv.where(F.col("vec_id").isin(anchor_ids)).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    topw = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+
+    def topk(dists: DataFrame) -> DataFrame:
+        return (
+            dists.withColumn("rk", F.row_number().over(topw))
+            .where(F.col("rk") <= PQ_TOPK)
+            .select("qid", "vec_id")
+        )
+
+    exd = (
+        F.broadcast(q)
+        .join(sv, "m")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "m", _pq_l2(F.col("qsv"), F.col("sv")).alias("dd")
+        )
+    )
+    ext = topk(exd.groupBy("qid", "vec_id").agg(_pq_fixed_order_dist()))
+    qd = (
+        F.broadcast(q)
+        .join(F.broadcast(cdf), "m")
+        .select(
+            "qid", "m", "code", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd")
+        )
+    )
+    adcd = (
+        assigned.join(F.broadcast(qd), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "m", "dd")
+    )
+    adct = topk(adcd.groupBy("qid", "vec_id").agg(_pq_fixed_order_dist())).select(
+        F.col("qid").alias("aqid"), F.col("vec_id").alias("aneighbor")
+    )
+    return (
+        ext.join(
+            adct,
+            (F.col("qid") == F.col("aqid"))
+            & (F.col("vec_id") == F.col("aneighbor")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("aneighbor").cast("int").alias(f"hits_at_{PQ_TOPK}"))
+        .orderBy("qid")
+    )

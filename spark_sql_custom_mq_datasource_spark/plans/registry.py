@@ -253,9 +253,12 @@ _PRIORITY: tuple[str, ...] = (
 # record that did not fit (displaced by the 4 round-11 additions +
 # the q_dedup_simhash re-check); it leads the round-12 plan.
 #
-# ROUND-12 ROTATION PLAN: (1) anything round 12 adds or edits (never-
-# checked first), then (2) q_full_outer_join_balance (the oldest record
-# left, r05), then (3) the 45 r06-stale records oldest-first
+# ROUND-12 ROTATION PLAN: (1) the 2 late-round-11 additions
+# (q_embedding_pq_codebooks, q_pq_adc_recall — never driver-checked;
+# both green under the local mirror at sf0.001 AND sf0.01) plus
+# anything round 12 adds or edits, then (2) q_full_outer_join_balance
+# (the oldest record left, r05), then (3) the 45 r06-stale records
+# oldest-first
 # (q_text_token_stats, q_dedup_substring_spans/apply, q_dedup_apply_clusters,
 # the storage-maintenance family, LM perplexity/curriculum, top
 # customers, cube, z-order, JSONL/CSV, semantic k-means, incremental MV,

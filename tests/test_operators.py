@@ -2654,3 +2654,44 @@ class TestPayloadPhash:
         )
         got = {r["doc_id"]: r["sh"] for r in payload_phash(df).collect()}
         assert got == {1: 0, 2: 0}
+
+
+class TestProductQuantization:
+    """Round-11: PQ codebooks + ADC recall (operators/similarity.py)."""
+
+    def test_every_vector_encoded_once_per_subspace(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            PQ_K,
+            PQ_M,
+            _pq_loop,
+            pq_assign,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n = emb.count()
+        sv, cents = _pq_loop(spark, emb)
+        cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
+        assigned = pq_assign(sv, cdf).collect()
+        sv.unpersist()
+        assert len(assigned) == n * PQ_M
+        per_vec = {}
+        for r in assigned:
+            per_vec.setdefault(r["vec_id"], set()).add(r["m"])
+            assert 0 <= r["code"] < PQ_K
+        assert all(ms == set(range(PQ_M)) for ms in per_vec.values())
+
+    def test_adc_recall_bounded(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            _load_all,
+        )
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            PQ_QUERIES,
+            PQ_TOPK,
+        )
+
+        _load_all()
+        rows = QUERIES["q_pq_adc_recall"].fn(spark, sf_dir).collect()
+        assert len(rows) == PQ_QUERIES
+        assert all(0 <= r[f"hits_at_{PQ_TOPK}"] <= PQ_TOPK for r in rows)

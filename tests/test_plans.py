@@ -653,3 +653,20 @@ class TestRound11Plans:
         final vocab — never a single-partition global sort."""
         p = plan(spark, sf_dir, "q_bpe_encode")
         assert "TakeOrderedAndProject" in p
+
+    def test_pq_assign_broadcasts_codebook_no_cartesian(self, spark, sf_dir):
+        """Training/encoding must broadcast the KB-sized (m, code, cu)
+        codebook into a map-side assign (hash equi-join on m) — never a
+        cartesian product; the per-(vec_id, m) argmin is a bounded
+        window over K codes."""
+        p = plan(spark, sf_dir, "q_embedding_pq_codebooks")
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_pq_adc_lookup_table_equi_join(self, spark, sf_dir):
+        """The ADC scan is the QxMxK lookup table equi-joined to the code
+        table on (m, code) — no raw-vector join past the table build."""
+        p = plan(spark, sf_dir, "q_pq_adc_recall")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
