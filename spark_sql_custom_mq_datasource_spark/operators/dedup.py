@@ -598,17 +598,14 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     ).alias("simhash")
 
 
-def hamming_band_pairs(
+def hash_bands(
     sig: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:
-    """(doc_id, sh) signatures → (da, db, hamming) pairs with hamming ≤ k,
-    found EXACTLY via pigeonhole banding: split the bits into k+1 bands —
-    any pair within hamming k agrees on at least one full band, so a
-    band-bucket equi-join loses nothing. Shared by the word-level SimHash
-    dedup and the multimodal payload perceptual-hash dedup
-    (operators/multimodal.py)."""
-    from pyspark.storagelevel import StorageLevel
-
+    """(doc_id, sh) → (doc_id, sh, band, key): the pigeonhole banding
+    projection — k+1 bands of bits//(k+1) bits each; any pair within
+    hamming k agrees on at least one full band. Shared by the batch pair
+    join below and the streaming incremental phash index
+    (streaming/pipelines.py), whose persisted index IS this table."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     bands = F.array(
@@ -622,11 +619,22 @@ def hamming_band_pairs(
             for k in range(n_bands)
         ]
     )
+    return sig.select("doc_id", "sh", F.explode(bands).alias("b")).select(
+        "doc_id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+
+
+def hamming_band_pairs(
+    sig: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_id, sh) signatures → (da, db, hamming) pairs with hamming ≤ k,
+    found EXACTLY via pigeonhole banding (zero recall loss). Shared by the
+    word-level SimHash dedup and the multimodal payload perceptual-hash
+    dedup (operators/multimodal.py)."""
+    from pyspark.storagelevel import StorageLevel
+
     banded = (
-        sig.select("doc_id", "sh", F.explode(bands).alias("b"))
-        .select(
-            "doc_id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")
-        )
+        hash_bands(sig, bits=bits, max_hamming=max_hamming)
         # Both self-join sides read this subtree; exchange reuse does not
         # fire across the alias, so without a persist the signature fold
         # over the full payload runs once per side (same discipline as the

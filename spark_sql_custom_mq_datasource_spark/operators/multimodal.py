@@ -322,9 +322,10 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("da", "db")
 
 
-@register(
-    "q_multimodal_phash_apply",
-    f"""
+# Shared with the streaming incremental twin (streaming/pipelines.py:
+# q_stream_phash_dedup): arrival order there is doc_id order, so the
+# converged incremental survivor set equals this one-shot batch apply.
+PHASH_APPLY_ORACLE = f"""
     WITH {_SQL_PHASH},
     dropped AS (
       SELECT DISTINCT b.doc_id
@@ -337,7 +338,12 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_surviving
     FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source
-    """,
+    """
+
+
+@register(
+    "q_multimodal_phash_apply",
+    PHASH_APPLY_ORACLE,
     doc="multimodal near-dup survivor selection: keep the smallest doc_id "
     "of each payload-phash near-dup pair (min-id dominance is a strict "
     "order — one pass, no transitive closure, same policy as "

@@ -253,9 +253,10 @@ _PRIORITY: tuple[str, ...] = (
 # record that did not fit (displaced by the 4 round-11 additions +
 # the q_dedup_simhash re-check); it leads the round-12 plan.
 #
-# ROUND-12 ROTATION PLAN: (1) the 2 late-round-11 additions
-# (q_embedding_pq_codebooks, q_pq_adc_recall — never driver-checked;
-# both green under the local mirror at sf0.001 AND sf0.01) plus
+# ROUND-12 ROTATION PLAN: (1) the 3 late-round-11 additions
+# (q_embedding_pq_codebooks, q_pq_adc_recall, q_stream_phash_dedup —
+# never driver-checked; all green under the local mirror at sf0.001
+# AND sf0.01) plus
 # anything round 12 adds or edits, then (2) q_full_outer_join_balance
 # (the oldest record left, r05), then (3) the 45 r06-stale records
 # oldest-first

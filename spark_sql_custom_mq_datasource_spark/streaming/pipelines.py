@@ -3286,3 +3286,156 @@ def q_stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_rows", "content_checksum", "min_id", "max_id")
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental MULTIMODAL dedup (round 11): the phash twin of
+# q_stream_dedup_incremental. Payload batches arrive as micro-batches;
+# each fold computes the byte-4-gram perceptual hash (one Arrow-batched
+# mapInPandas pass over the batch), probes the persisted BAND INDEX of
+# earlier batches for hamming<=3 partners, writes the batch's survivors,
+# and appends its own bands. Unlike the MinHash index, the signature IS
+# the verifier (bit_count on the stored 60-bit hash) — no shingle-set
+# store, so the index is ONE table of (doc_id, sh, band, key) rows.
+#
+# Same exactly-once discipline as dedup_index_fold: batch-keyed
+# OVERWRITE subdirs + probe reads only batches < batch_id, so a
+# foreachBatch redelivery replaces its own output and sees the identical
+# index state (VERDICT r08 item 2 discipline; the redelivery exercise
+# below is env-gated out of bench like the MinHash twin).
+#
+# Scale: per trigger O(batch + collisions) — the probe equi-joins the
+# batch's 4 band rows/doc against the index on (band, key); the index
+# grows by 4 rows/doc, 4 longs each. Arrival order is doc_id order, so
+# the converged survivor set equals the one-shot batch apply and the
+# oracle is SHARED with q_multimodal_phash_apply.
+# --------------------------------------------------------------------------
+
+
+def phash_index_fold(
+    spark: SparkSession, state: str, bdf: DataFrame, batch_id: int
+) -> None:
+    """One incremental phash-dedup fold over a (doc_id, source, text)
+    batch: probe earlier bands, write survivors + own bands, batch-keyed
+    OVERWRITE (redelivery-idempotent)."""
+    import os as _os
+
+    from ..operators.dedup import hash_bands
+    from ..operators.multimodal import (
+        PHASH_BITS,
+        PHASH_MAX_HAMMING,
+        attach_payload,
+        payload_phash,
+    )
+
+    bands_dir = _os.path.join(state, "bands")
+    surv_dir = _os.path.join(state, "surv")
+    bbands = hash_bands(
+        payload_phash(attach_payload(bdf)),
+        bits=PHASH_BITS,
+        max_hamming=PHASH_MAX_HAMMING,
+    ).persist()
+    try:
+        prior = committed_batch_dirs(bands_dir, below=batch_id)
+        all_bands = (
+            spark.read.parquet(*prior).unionByName(bbands) if prior else bbands
+        )
+        l, r = bbands.alias("l"), all_bands.alias("r")
+        ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+        dups = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("r.doc_id") < F.col("l.doc_id")),
+            )
+            .where(ham <= PHASH_MAX_HAMMING)
+            .select(F.col("l.doc_id").alias("db"))
+            .distinct()
+        )
+        surv = bdf.join(dups, bdf["doc_id"] == dups["db"], "left_anti").select(
+            "doc_id", "source"
+        )
+        tag = f"b{batch_id:05d}"
+        surv.write.mode("overwrite").parquet(_os.path.join(surv_dir, tag))
+        bbands.write.mode("overwrite").parquet(_os.path.join(bands_dir, tag))
+    finally:
+        bbands.unpersist()
+
+
+def _register_stream_phash_dedup() -> None:
+    from ..operators.multimodal import PHASH_APPLY_ORACLE
+
+    @register(
+        "q_stream_phash_dedup",
+        PHASH_APPLY_ORACLE,
+        doc="streaming incremental multimodal dedup: per micro-batch, "
+        "perceptual-hash the binary payloads (byte-4-gram SimHash via "
+        "mapInPandas), probe the persisted band index of EARLIER batches "
+        "for hamming<=3 partners (the 60-bit signature itself is the "
+        "verifier — no second store), write survivors, append bands; "
+        "batch-keyed OVERWRITE + probe-below-batch_id makes redelivery "
+        "idempotent (exercised in-query, env-gated out of bench). "
+        "Arrival order == doc_id order, so the converged survivors equal "
+        "the one-shot batch apply — oracle shared with "
+        "q_multimodal_phash_apply.",
+    )
+    def q_stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        inbox = docs_quartile_inbox(spark, sf_dir)
+        state = work_dir("stream_phash_state")
+
+        delivered: list[int] = []
+
+        def fold_tracking(bdf: DataFrame, batch_id: int) -> None:
+            delivered.append(int(batch_id))
+            phash_index_fold(spark, state, bdf, batch_id)
+
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold_tracking)
+            .option("checkpointLocation", _ckpt("phash_inc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("stream_phash_dedup did not drain")
+        finally:
+            q.stop()
+        if delivered and _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0":
+            last = max(delivered)
+            redelivered = spark.read.schema(
+                "doc_id long, source string, text string"
+            ).parquet(_os.path.join(inbox, f"{last:02d}.parquet"))
+            phash_index_fold(spark, state, redelivered, last)
+        surv = spark.read.parquet(
+            *committed_batch_dirs(_os.path.join(state, "surv"))
+        )
+        arrived = docs.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        )
+        kept = surv.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_surviving")
+        )
+        return (
+            arrived.join(kept, "source", "left")
+            .select(
+                "source",
+                "n_docs",
+                F.coalesce(F.col("n_surviving"), F.lit(0))
+                .cast("bigint")
+                .alias("n_surviving"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_stream_phash_dedup()

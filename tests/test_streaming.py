@@ -519,3 +519,48 @@ class TestStreamHeavyHitters:
             .collect()
         }
         assert got == exact
+
+
+class TestStreamPhashDedup:
+    def test_phash_redelivery_idempotent(self, spark, sf_dir, monkeypatch):
+        """Same exactly-once pin as the MinHash twin: the run WITH the
+        redelivery exercise must equal the run WITHOUT it bit-for-bit."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import get_queries
+
+        fn = get_queries()["q_stream_phash_dedup"]
+        monkeypatch.setenv("SPARK_GRAFT_REDELIVERY_EXERCISE", "0")
+        plain = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_REDELIVERY_EXERCISE", "1")
+        redelivered = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert plain == redelivered
+
+    def test_phash_fold_matches_batch_apply_semantics(self, spark):
+        """Constructed batches with a known near-dup structure: a later
+        exact-duplicate payload must be dropped, all-unique payloads
+        kept, and cross-batch dups detected against the persisted index
+        (not just within-batch)."""
+        from spark_sql_custom_mq_datasource_spark.plans.util import work_dir
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            committed_batch_dirs,
+            phash_index_fold,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        other = "completely different payload bytes with no shared grams "
+        batches = [
+            [(1, "s1", base), (2, "s2", other * 2)],
+            [(10, "s1", base)],          # exact dup of doc 1, prior batch
+            [(20, "s2", other * 2)],     # exact dup of doc 2, prior batch
+            [(30, "s1", "x y z " * 40)],  # unique
+        ]
+        schema = "doc_id long, source string, text string"
+        state = work_dir("test_phash_fold_state")
+        for i, rows in enumerate(batches):
+            phash_index_fold(spark, state, spark.createDataFrame(rows, schema), i)
+        import os
+
+        surv = spark.read.parquet(
+            *committed_batch_dirs(os.path.join(state, "surv"))
+        )
+        kept = sorted(r["doc_id"] for r in surv.collect())
+        assert kept == [1, 2, 30]
