@@ -1170,13 +1170,19 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1-row TakeOrdered argmax collect.
 #
 # Representation: each word is a symbol sequence encoded as a single
-# string with chr(31) (unit separator — absent from the corpus byte
-# range) BETWEEN symbols and at BOTH ENDS, so a merge of pair (a, b) is
-# the plain string replace  SEP a SEP b SEP  →  SEP ab SEP : the
-# bounding separators anchor full symbols (a suffix/prefix fragment
-# cannot match), and because the replacement re-supplies the shared
-# boundary, leftmost non-overlapping replace — identical semantics in
-# Spark and DuckDB — is exactly the BPE left-to-right merge scan.
+# string with a TWO-character boundary chr(31)chr(31) (unit separator —
+# absent from the corpus byte range) between symbols and at both ends.
+# A merge of pair (a, b) is then the plain string replace
+#   SEP a SEP·SEP b SEP  →  SEP ab SEP
+# which consumes only the INNER HALF of each flanking boundary: the
+# outer halves anchor full symbols (a suffix/prefix fragment cannot
+# match — symbols contain no SEP) AND remain in place for the
+# neighboring pair, so leftmost non-overlapping replace — identical
+# semantics in Spark, DuckDB, and Python — is exactly the canonical
+# greedy left-to-right BPE merge scan. (A single-char boundary is WRONG
+# here: its trailing separator is consumed by the match, so a self-run
+# 'aaaa' under-merges to [aa,a,a] instead of [aa,aa] — caught by the
+# hypothesis property in tests/test_properties.py.)
 #
 # Cross-engine trap pinned here: Spark's sequence(2, 1) DESCENDS while
 # DuckDB's generate_series(2, 1) is empty, so fully-merged words
@@ -1194,7 +1200,8 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGES = 5
 BPE_ENCODE_TOP = 15
-_BPE_SEP = "\x1f"
+_BPE_SEP = "\x1f"        # pair-key separator + boundary half
+_BPE_BOUND = _BPE_SEP * 2  # inter-symbol boundary in seq
 
 
 def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,7 +1219,7 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
     seq = F.concat(
-        F.lit(_BPE_SEP), F.array_join(chars, _BPE_SEP), F.lit(_BPE_SEP)
+        F.lit(_BPE_BOUND), F.array_join(chars, _BPE_BOUND), F.lit(_BPE_BOUND)
     )
     return w.select("word", seq.alias("seq"), "cnt")
 
@@ -1221,7 +1228,7 @@ def bpe_best_pair(v: DataFrame) -> DataFrame:
     """One BPE counting step: (word, seq, cnt) → (pair, n) ordered by the
     argmax total order (n desc, pair asc). Adjacent-position counts,
     weighted by word count."""
-    syd = v.select(F.split("seq", _BPE_SEP).alias("sy"), "cnt").where(
+    syd = v.select(F.split("seq", _BPE_BOUND).alias("sy"), "cnt").where(
         # single-symbol words contribute no pairs; also dodges the
         # Spark-descends / DuckDB-empty sequence(2, 1) divergence
         F.size("sy") >= 4
@@ -1269,7 +1276,7 @@ def bpe_train_vocab(
             "word",
             F.replace(
                 F.col("seq"),
-                F.lit(_BPE_SEP + pair + _BPE_SEP),
+                F.lit(_BPE_SEP + left + _BPE_BOUND + right + _BPE_SEP),
                 F.lit(_BPE_SEP + left + right + _BPE_SEP),
             ).alias("seq"),
             "cnt",
@@ -1282,6 +1289,7 @@ def _bpe_chain_sql(n_merges: int) -> str:
     m1..mN (CTE materialization is load-bearing — inlining would re-derive
     the whole chain once per reference)."""
     sep = "chr(31)"
+    bound = "(chr(31) || chr(31))"
     sql = f"""
     WITH w AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -1290,8 +1298,8 @@ def _bpe_chain_sql(n_merges: int) -> str:
     ),
     v0 AS MATERIALIZED (
       SELECT word,
-             {sep} || array_to_string(list_transform(generate_series(1, length(word)),
-               i -> substr(word, i, 1)), {sep}) || {sep} AS seq,
+             {bound} || array_to_string(list_transform(generate_series(1, length(word)),
+               i -> substr(word, i, 1)), {bound}) || {bound} AS seq,
              cnt
       FROM w
     )"""
@@ -1301,7 +1309,7 @@ def _bpe_chain_sql(n_merges: int) -> str:
       SELECT pair, SUM(cnt) AS n FROM (
         SELECT unnest(list_transform(generate_series(2, len(sy) - 2),
                  i -> sy[i] || {sep} || sy[i+1])) AS pair, cnt
-        FROM (SELECT string_split(seq, {sep}) AS sy, cnt FROM v{k-1})
+        FROM (SELECT string_split(seq, {bound}) AS sy, cnt FROM v{k-1})
       ) GROUP BY pair
     ),
     m{k} AS MATERIALIZED (
@@ -1310,7 +1318,7 @@ def _bpe_chain_sql(n_merges: int) -> str:
     v{k} AS MATERIALIZED (
       SELECT word,
              replace(seq,
-                     {sep} || (SELECT pair FROM m{k}) || {sep},
+                     {sep} || replace((SELECT pair FROM m{k}), {sep}, {bound}) || {sep},
                      {sep} || replace((SELECT pair FROM m{k}), {sep}, '') || {sep}) AS seq,
              cnt
       FROM v{k-1}
@@ -1357,7 +1365,7 @@ _BPE_ENCODE_ORACLE = (
     SELECT word, cnt,
            CAST(len(sy) - 2 AS INT) AS n_tokens,
            array_to_string(sy[2:len(sy)-1], ' ') AS encoded
-    FROM (SELECT word, cnt, string_split(seq, chr(31)) AS sy FROM v{BPE_MERGES})
+    FROM (SELECT word, cnt, string_split(seq, chr(31) || chr(31)) AS sy FROM v{BPE_MERGES})
     ORDER BY cnt DESC, word ASC LIMIT {BPE_ENCODE_TOP}
     """
 )
@@ -1373,7 +1381,7 @@ _BPE_ENCODE_ORACLE = (
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v = bpe_train(spark, sf_dir, BPE_MERGES)
-    sy = F.split("seq", _BPE_SEP)
+    sy = F.split("seq", _BPE_BOUND)
     return (
         v.select(
             "word",

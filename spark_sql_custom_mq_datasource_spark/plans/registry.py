@@ -248,10 +248,11 @@ _PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers",
 )
 # ROUND-11 NOTE: the round-10 rotation plan is EXECUTED by the prefix
-# above; with all 45 r05-stale records re-checked this round, no driver
-# record is older than r06. q_full_outer_join_balance is the ONE r05
-# record that did not fit (displaced by the 4 round-11 additions +
-# the q_dedup_simhash re-check); it leads the round-12 plan.
+# above; 44 of the 45 r05-stale records are re-checked this round, plus
+# the r04 q_wordcount_topk — after the r11 driver run no record is older
+# than r05, and only ONE r05 remains. q_full_outer_join_balance is that
+# one record (displaced by the 4 round-11 additions + the
+# q_dedup_simhash re-check); it leads the round-12 plan.
 #
 # ROUND-12 ROTATION PLAN: (1) the 3 late-round-11 additions
 # (q_embedding_pq_codebooks, q_pq_adc_recall, q_stream_phash_dedup —

@@ -2472,10 +2472,10 @@ class TestBpeTrainer:
     """Round-11: the iterative BPE trainer (functions/text.py:bpe_train)."""
 
     def _vocab(self, spark, rows):
-        from spark_sql_custom_mq_datasource_spark.functions.text import _BPE_SEP
+        from spark_sql_custom_mq_datasource_spark.functions.text import _BPE_BOUND
 
         data = [
-            (w, _BPE_SEP + _BPE_SEP.join(syms) + _BPE_SEP, c)
+            (w, _BPE_BOUND + _BPE_BOUND.join(syms) + _BPE_BOUND, c)
             for (w, syms, c) in rows
         ]
         return spark.createDataFrame(data, "word string, seq string, cnt bigint")
@@ -2510,29 +2510,38 @@ class TestBpeTrainer:
         assert [(r["pair"], r["n"]) for r in rows] == [("a" + _BPE_SEP + "a", 10)]
 
     def test_merge_apply_anchored_and_non_overlapping(self, spark):
-        """The SEP-bounded replace must (a) merge left-to-right without
-        consuming overlapping occurrences ('aaa' -> ['aa','a']) and (b)
-        never match a symbol suffix/prefix fragment ('xa','by' is NOT an
-        (a,b) occurrence)."""
+        """The half-boundary-consuming replace must (a) merge greedily
+        left-to-right without overlap ('aaa' -> ['aa','a']), (b) keep
+        ADJACENT merges available — the canonical 'aaaa' -> ['aa','aa']
+        that a single-char boundary under-merges — and (c) never match a
+        symbol suffix/prefix fragment ('xa','by' is NOT an (a,b)
+        occurrence)."""
         import pyspark.sql.functions as FF
 
-        from spark_sql_custom_mq_datasource_spark.functions.text import _BPE_SEP
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _BPE_BOUND,
+            _BPE_SEP,
+        )
 
         v = self._vocab(
             spark,
-            [("aaa", ["a", "a", "a"], 1), ("xaby", ["xa", "by"], 1)],
+            [
+                ("aaa", ["a", "a", "a"], 1),
+                ("aaaa", ["a", "a", "a", "a"], 1),
+                ("xaby", ["xa", "by"], 1),
+            ],
         )
-        pair = "a" + _BPE_SEP + "a"
         merged = v.select(
             "word",
             FF.replace(
                 FF.col("seq"),
-                FF.lit(_BPE_SEP + pair + _BPE_SEP),
+                FF.lit(_BPE_SEP + "a" + _BPE_BOUND + "a" + _BPE_SEP),
                 FF.lit(_BPE_SEP + "aa" + _BPE_SEP),
             ).alias("seq"),
         ).collect()
-        got = {r["word"]: r["seq"].split(_BPE_SEP)[1:-1] for r in merged}
+        got = {r["word"]: r["seq"].split(_BPE_BOUND)[1:-1] for r in merged}
         assert got["aaa"] == ["aa", "a"]
+        assert got["aaaa"] == ["aa", "aa"]
         assert got["xaby"] == ["xa", "by"]
 
     def test_train_on_fixtures(self, spark, sf_dir):
@@ -2543,7 +2552,7 @@ class TestBpeTrainer:
         import pyspark.sql.functions as FF
 
         from spark_sql_custom_mq_datasource_spark.functions.text import (
-            _BPE_SEP,
+            _BPE_BOUND,
             BPE_MERGES,
             _bpe_vocab,
             bpe_train,
@@ -2559,7 +2568,7 @@ class TestBpeTrainer:
         def total_tokens(df):
             return df.agg(
                 FF.sum(
-                    FF.col("cnt") * (FF.size(FF.split("seq", _BPE_SEP)) - 2)
+                    FF.col("cnt") * (FF.size(FF.split("seq", _BPE_BOUND)) - 2)
                 ).alias("s")
             ).collect()[0]["s"]
 

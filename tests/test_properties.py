@@ -533,14 +533,17 @@ class TestBpeEncodingProperties:
     )
     @settings(max_examples=500, deadline=None)
     def test_anchored_replace_equals_symbol_merge(self, syms, a, b):
-        from spark_sql_custom_mq_datasource_spark.functions.text import _BPE_SEP
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _BPE_BOUND,
+            _BPE_SEP,
+        )
 
-        seq = _BPE_SEP + _BPE_SEP.join(syms) + _BPE_SEP
+        seq = _BPE_BOUND + _BPE_BOUND.join(syms) + _BPE_BOUND
         replaced = seq.replace(
-            _BPE_SEP + a + _BPE_SEP + b + _BPE_SEP,
+            _BPE_SEP + a + _BPE_BOUND + b + _BPE_SEP,
             _BPE_SEP + a + b + _BPE_SEP,
         )
-        got = replaced.split(_BPE_SEP)[1:-1]
+        got = replaced.split(_BPE_BOUND)[1:-1]
         assert got == self._merge_ref(syms, a, b)
 
     @staticmethod
@@ -579,7 +582,7 @@ class TestBpeEncodingProperties:
         import random
 
         from spark_sql_custom_mq_datasource_spark.functions.text import (
-            _BPE_SEP,
+            _BPE_BOUND,
             bpe_train_vocab,
         )
 
@@ -597,7 +600,7 @@ class TestBpeEncodingProperties:
             want = self._train_ref(vocab, 4)
             df = spark.createDataFrame(
                 [
-                    (w, _BPE_SEP + _BPE_SEP.join(w) + _BPE_SEP, c)
+                    (w, _BPE_BOUND + _BPE_BOUND.join(w) + _BPE_BOUND, c)
                     for w, c in vocab
                 ],
                 "word string, seq string, cnt bigint",
