@@ -607,3 +607,42 @@ class TestBpeEncodingProperties:
             )
             got, _ = bpe_train_vocab(df, 4)
             assert got == want, f"case {case}: {got} != {want}"
+
+
+class TestPigeonholeBandingProperties:
+    """The exactness claim of every hamming-banded dedup (word SimHash,
+    payload phash): ANY pair of 60-bit signatures within hamming k=3
+    agrees on at least one of the k+1=4 contiguous 15-bit bands, so the
+    (band, key) equi-join loses nothing. Pure integer math — hypothesis
+    drives it hard with no Spark job."""
+
+    BITS, MAX_HAMMING = 60, 3
+
+    @staticmethod
+    def _band_keys(h: int, bits: int, n_bands: int) -> list[int]:
+        band_bits = bits // n_bands
+        mask = (1 << band_bits) - 1
+        return [(h >> (k * band_bits)) & mask for k in range(n_bands)]
+
+    @given(
+        h=st.integers(0, (1 << 60) - 1),
+        flips=st.lists(st.integers(0, 59), min_size=0, max_size=3, unique=True),
+    )
+    @settings(max_examples=1000, deadline=None)
+    def test_within_hamming_k_shares_a_band(self, h, flips):
+        g = h
+        for j in flips:
+            g ^= 1 << j
+        a = self._band_keys(h, self.BITS, self.MAX_HAMMING + 1)
+        b = self._band_keys(g, self.BITS, self.MAX_HAMMING + 1)
+        assert any(x == y for x, y in zip(a, b))
+        assert bin(h ^ g).count("1") == len(flips)
+
+    @given(h=st.integers(0, (1 << 60) - 1))
+    @settings(max_examples=300, deadline=None)
+    def test_band_keys_partition_all_bits(self, h):
+        """Reassembling the 4 band keys reproduces the signature — the
+        bands cover all 60 bits with no overlap (so the pigeonhole
+        argument applies to the WHOLE hash, not a subset)."""
+        keys = self._band_keys(h, self.BITS, self.MAX_HAMMING + 1)
+        assert sum(k << (i * 15) for i, k in enumerate(keys)) == h
