@@ -253,6 +253,12 @@ def payload_phash(
 
         import numpy as np
 
+        # gram→hash memo: corpora repeat grams heavily, so this trades
+        # ~40 B/entry for skipping most md5 calls. HARD-CAPPED — the
+        # gram universe is 2^32 at gram=4, and an unbounded dict in a
+        # long-lived Python worker is executor-memory death at 100 TB;
+        # past the cap new grams hash uncached (correctness unchanged).
+        MEMO_CAP = 1 << 20
         memo: dict[bytes, int] = {}
         shifts = np.arange(bits, dtype=np.uint64)
         for pdf in batches:
@@ -268,7 +274,8 @@ def payload_phash(
                     h = memo.get(g)
                     if h is None:
                         h = int(hashlib.md5(g).hexdigest()[:15], 16)
-                        memo[g] = h
+                        if len(memo) < MEMO_CAP:
+                            memo[g] = h
                     hs[i] = h
                 ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
                 out[r] = int(((2 * ones > n).astype(np.uint64) << shifts).sum())
