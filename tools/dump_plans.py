@@ -313,6 +313,14 @@ SHOWCASE = [
         "is a bit_count on the joined longs.",
     ),
     (
+        "q_embedding_pq_codebooks",
+        "PQ encode (the trained-codebook assign): the KB-sized (m, code, "
+        "cu) table rides a BroadcastHashJoin onto the cached subvector "
+        "table; the per-(vec_id, m) argmin is a bounded window over K "
+        "codes; the occupancy read-out is one partial-agg shuffle. No "
+        "cartesian, no raw-vector self-join anywhere.",
+    ),
+    (
         "q_bpe_encode",
         "BPE trainer read-out: the per-round pair count is a map-side-"
         "combinable partial aggregate and the argmax a 1-row "
