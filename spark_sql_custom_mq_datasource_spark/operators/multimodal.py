@@ -262,11 +262,17 @@ def payload_phash(
         memo: dict[bytes, int] = {}
         shifts = np.arange(bits, dtype=np.uint64)
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
+            # object column: NULL payloads hash to NULL (the SQL twin's
+            # strlen(NULL) chain yields NULL, dropping the doc from every
+            # pair — match it instead of crashing on bytes(None))
+            out: list[int | None] = [None] * len(pdf)
             for r, payload in enumerate(pdf["payload"]):
+                if payload is None:
+                    continue
                 b = bytes(payload)
                 n = len(b) - gram + 1
                 if n <= 0:
+                    out[r] = 0  # empty vote vector: all bits 0, both engines
                     continue
                 hs = np.empty(n, dtype=np.uint64)
                 for i in range(n):
@@ -279,7 +285,9 @@ def payload_phash(
                     hs[i] = h
                 ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
                 out[r] = int(((2 * ones > n).astype(np.uint64) << shifts).sum())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "sh": out})
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "sh": pd.array(out, dtype="Int64")}
+            )
 
     return df.select("doc_id", "payload").mapInPandas(run, _PHASH_SCHEMA)
 

@@ -2652,17 +2652,22 @@ class TestPayloadPhash:
         assert banded == brute
         assert brute, "fixtures contain planted near-dups"
 
-    def test_short_payload_hashes_to_zero(self, spark):
+    def test_short_and_null_payload_edges(self, spark):
+        """Shorter-than-gram payloads hash to 0 (empty vote vector, both
+        engines); NULL payloads hash to NULL, matching the oracle's
+        strlen(NULL) chain — the doc drops from every pair instead of
+        crashing the Python worker (the cross-engine NULL discipline of
+        ADVICE r10 item 2)."""
         from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
             payload_phash,
         )
 
         df = spark.createDataFrame(
-            [(1, bytearray(b"ab")), (2, bytearray(b""))],
+            [(1, bytearray(b"ab")), (2, bytearray(b"")), (3, None)],
             "doc_id long, payload binary",
         )
         got = {r["doc_id"]: r["sh"] for r in payload_phash(df).collect()}
-        assert got == {1: 0, 2: 0}
+        assert got == {1: 0, 2: 0, 3: None}
 
 
 class TestProductQuantization:
