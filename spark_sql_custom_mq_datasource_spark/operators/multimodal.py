@@ -262,9 +262,11 @@ def payload_phash(
         memo: dict[bytes, int] = {}
         shifts = np.arange(bits, dtype=np.uint64)
         for pdf in batches:
-            # object column: NULL payloads hash to NULL (the SQL twin's
-            # strlen(NULL) chain yields NULL, dropping the doc from every
-            # pair — match it instead of crashing on bytes(None))
+            # object column: NULL payloads hash to NULL — the doc joins no
+            # pair (NULL never equi-joins). The SQL twin pins the same
+            # semantics with an explicit CASE WHEN h IS NULL guard; its
+            # bare chain would otherwise collapse to phash=0 via the
+            # per-bit ELSE 0 (ADVICE r11 item 1).
             out: list[int | None] = [None] * len(pdf)
             for r, payload in enumerate(pdf["payload"]):
                 if payload is None:
@@ -301,9 +303,15 @@ _SQL_PHASH = f"""
     ),
     sh AS (
       SELECT doc_id,
+             -- NULL text => NULL phash (matches the Python side: the doc
+             -- joins no pair). Without this guard the per-bit CASE's
+             -- ELSE 0 swallows the NULL chain into phash=0, which would
+             -- pair a NULL doc at hamming 0 with every <4-byte payload
+             -- (ADVICE r11 item 1).
+             CASE WHEN h IS NULL THEN NULL ELSE
              list_sum(list_transform(generate_series(0, {PHASH_BITS - 1}), j ->
                CASE WHEN list_sum(list_transform(h, x -> 2 * ((x >> j) & 1) - 1)) > 0
-                    THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS phash
+                    THEN CAST(1 AS BIGINT) << j ELSE 0 END)) END AS phash
       FROM g
     )"""
 

@@ -2654,10 +2654,10 @@ class TestPayloadPhash:
 
     def test_short_and_null_payload_edges(self, spark):
         """Shorter-than-gram payloads hash to 0 (empty vote vector, both
-        engines); NULL payloads hash to NULL, matching the oracle's
-        strlen(NULL) chain — the doc drops from every pair instead of
-        crashing the Python worker (the cross-engine NULL discipline of
-        ADVICE r10 item 2)."""
+        engines); NULL payloads hash to NULL — the doc drops from every
+        pair instead of crashing the Python worker. The oracle pins the
+        same NULL with an explicit CASE WHEN h IS NULL guard (its bare
+        chain would yield 0 via the per-bit ELSE — ADVICE r11 item 1)."""
         from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
             payload_phash,
         )
@@ -2668,6 +2668,53 @@ class TestPayloadPhash:
         )
         got = {r["doc_id"]: r["sh"] for r in payload_phash(df).collect()}
         assert got == {1: 0, 2: 0, 3: None}
+
+    def test_oracle_null_and_short_semantics(self):
+        """Execute the ACTUAL _SQL_PHASH oracle on a NULL/short/normal
+        micro-corpus and pin the cross-engine contract directly: NULL
+        text -> NULL phash (the ADVICE r11 item 1 guard), <gram text ->
+        0, normal text -> the md5-vote hash. Guards against the oracle
+        and the Python side drifting apart again."""
+        import duckdb
+
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            _SQL_PHASH,
+        )
+
+        sql = (
+            "WITH documents(doc_id, text) AS "
+            "(VALUES (1, NULL), (2, 'ab'), (3, 'abcdef')),"
+            + _SQL_PHASH
+            + " SELECT doc_id, phash FROM sh ORDER BY doc_id"
+        )
+        rows = duckdb.connect().execute(sql).fetchall()
+        assert rows[0] == (1, None)
+        assert rows[1] == (2, 0)
+        assert rows[2][1] not in (None, 0)
+
+    def test_fixture_text_is_ascii(self, spark):
+        """The phash oracle grams text CHARACTER-wise (substr/strlen) while
+        the Spark side hashes utf-8 BYTES; they are equivalent only while
+        documents.text is pure ASCII. Pin that fixture invariant at every
+        available SF so a future fixture change fails loudly instead of
+        silently diverging the hashes (ADVICE r11 item 2)."""
+        import os
+
+        checked = 0
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            path = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(path):
+                continue
+            checked += 1
+            import pyspark.sql.functions as FF
+
+            bad = (
+                spark.read.parquet(path)
+                .where(FF.octet_length("text") != FF.length("text"))
+                .count()
+            )
+            assert bad == 0, f"{sf}: {bad} non-ASCII documents.text rows"
+        assert checked, "no fixture directories found"
 
 
 class TestProductQuantization:
