@@ -2717,6 +2717,59 @@ class TestPayloadPhash:
         assert checked, "no fixture directories found"
 
 
+class TestIvfPq:
+    """Round-12: composed IVF-PQ (operators/similarity.py:q_ann_ivf_pq)."""
+
+    def test_coarse_centroid_means(self, spark):
+        """pq_coarse_centroids is the exact per-(cell, subspace) dim-mean."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            PQ_SUBDIM,
+            pq_coarse_centroids,
+        )
+
+        rows = [
+            (1, 0, [float(d) for d in range(PQ_SUBDIM)], 7),
+            (2, 0, [float(d * 3) for d in range(PQ_SUBDIM)], 7),
+            (3, 0, [float(100)] * PQ_SUBDIM, 9),
+        ]
+        svl = spark.createDataFrame(
+            rows, "vec_id long, m int, sv array<double>, label int"
+        )
+        got = {
+            (r["label"], r["m"]): list(r["cu"])
+            for r in pq_coarse_centroids(svl).collect()
+        }
+        assert got[(7, 0)] == [float(d * 2) for d in range(PQ_SUBDIM)]
+        assert got[(9, 0)] == [100.0] * PQ_SUBDIM
+
+    def test_prune_is_real_and_bounded(self, spark, sf_dir):
+        """The composed query must actually prune: every query scans fewer
+        candidates than the corpus, and never more than its nprobe largest
+        cells could hold; hits are bounded by k."""
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            IVFPQ_NPROBE,
+            PQ_TOPK,
+            q_ann_ivf_pq,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        emb = t(spark, sf_dir, "embeddings")
+        n = emb.count()
+        sizes = sorted(
+            (r["c"] for r in emb.groupBy("label").agg(FF.count("*").alias("c")).collect()),
+            reverse=True,
+        )
+        cap = sum(sizes[:IVFPQ_NPROBE])
+        out = q_ann_ivf_pq(spark, sf_dir).collect()
+        assert out, "anchors must produce rows"
+        for r in out:
+            assert 0 < r["n_candidates"] < n
+            assert r["n_candidates"] <= cap
+            assert 0 <= r[f"hits_at_{PQ_TOPK}"] <= PQ_TOPK
+
+
 class TestProductQuantization:
     """Round-11: PQ codebooks + ADC recall (operators/similarity.py)."""
 
