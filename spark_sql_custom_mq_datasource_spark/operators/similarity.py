@@ -2066,14 +2066,22 @@ def _pq_oracle_chain(k: int = PQ_K, iters: int = PQ_ITERS) -> str:
     return "WITH " + ",\n".join(ctes)
 
 
-@register(
-    "q_embedding_pq_codebooks",
+# (m, code) occupancy of the encoded corpus — shared with the streaming
+# encode twin (streaming/pipelines.py:q_stream_pq_encode), whose converged
+# output is the same final assignment.
+PQ_OCCUPANCY_ORACLE = (
     _pq_oracle_chain()
-    + f"""
+    + """
     SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(SUM(vec_id) AS BIGINT) AS id_sum
     FROM afinal GROUP BY m, code ORDER BY m, code
-    """,
+    """
+)
+
+
+@register(
+    "q_embedding_pq_codebooks",
+    PQ_OCCUPANCY_ORACLE,
     doc=f"product-quantization codebook training + corpus encoding: "
     f"{PQ_M} subspaces x {PQ_K} codes, {PQ_ITERS} deterministic Lloyd "
     "rounds fused into one subspace-keyed loop; output is the encoded "
@@ -2433,4 +2441,127 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ncand, "qid")
         .select("qid", "n_candidates", f"hits_at_{PQ_TOPK}")
         .orderBy("qid")
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted PQ index (round 12, VERDICT r11 item 4): codebooks + code
+# table as DURABLE parquet, mirroring the LSH index's amortized-build
+# story (lsh_index_path above). At 100 TB the codebook training pass is
+# the expensive step; probes are cheap — production IVF-PQ trains once,
+# persists, and every probe job broadcast-loads the KB-sized codebooks
+# and equi-joins the code table.
+#
+# Layout is the IVFADC on-disk shape: codes carry the coarse cell id
+# INLINE (the join q_ann_ivf_pq pays per query is paid once at build)
+# and are PARTITIONED BY the cell, so a probe that has already chosen
+# its nprobe cells reads only those directories — partition pruning is
+# the storage analogue of the coarse prune. The probe query recomputes
+# ONLY the query-side subvectors (queries are new data at probe time);
+# Q20 quantization is per-element, parquet doubles round-trip exactly,
+# so the persisted path is bit-identical to the in-memory one and
+# shares its oracle discipline (q_ann_lsh_persisted).
+# --------------------------------------------------------------------------
+
+_pq_index_paths: dict[tuple[int, str], tuple[str, str]] = {}
+
+
+def pq_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per session+fixture) the persisted PQ index; return
+    (codebooks_path, codes_path). codebooks: (m, code, cu) — KBs, the
+    broadcast side of every probe. codes: (vec_id, m, code) partitioned
+    by label (the coarse cell)."""
+    import os
+    import re
+
+    key = (id(spark), sf_dir)
+    if key not in _pq_index_paths:
+        base = work_dir("pq_index_" + re.sub(r"\W+", "_", sf_dir))
+        cb_path = os.path.join(base, "codebooks")
+        codes_path = os.path.join(base, "codes")
+        emb = tp(spark, sf_dir, "embeddings")
+        sv, cents = _pq_loop(spark, emb.select("vec_id", "embedding"))
+        cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
+        cdf.write.mode("overwrite").parquet(cb_path)
+        (
+            pq_assign(sv, cdf)
+            .join(emb.select("vec_id", "label"), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(codes_path)
+        )
+        sv.unpersist()
+        _pq_index_paths[key] = (cb_path, codes_path)
+    return _pq_index_paths[key]
+
+
+_PQ_PROBE_ORACLE = (
+    _pq_oracle_chain()
+    + f""",
+    anch AS (SELECT DISTINCT vec_id FROM sv ORDER BY vec_id LIMIT {PQ_QUERIES}),
+    qd AS MATERIALIZED (
+      SELECT q.vec_id AS qid, c.m, c.code,
+             {_SQL_PQ_L2.format(a="q.sv", b="c.cu", n=PQ_SUBDIM)} AS dd
+      FROM sv q JOIN c{PQ_ITERS} c ON q.m = c.m
+      WHERE q.vec_id IN (SELECT vec_id FROM anch)
+    ),
+    adcd AS (
+      SELECT qd.qid, a.vec_id, qd.m AS m, qd.dd AS dd
+      FROM afinal a JOIN qd ON a.m = qd.m AND a.code = qd.code
+      WHERE a.vec_id <> qd.qid
+    ),
+    adc AS (SELECT qid, vec_id, {_sql_pq_msum()} AS dist
+            FROM adcd GROUP BY qid, vec_id)
+    SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM adc) WHERE rk <= {PQ_TOPK}
+    ORDER BY qid, rk
+    """
+)
+
+
+@register(
+    "q_pq_persisted_probe",
+    _PQ_PROBE_ORACLE,
+    doc=f"ADC top-{PQ_TOPK} probe over a PERSISTED PQ index: codebooks + "
+    "cell-partitioned code table written once as parquet (the durable, "
+    "amortized-build artifact), broadcast-reloaded and probed with "
+    "freshly-subvectorized queries — results, and oracle, identical to "
+    "the in-memory ADC path (the q_ann_lsh_persisted discipline).",
+)
+def q_pq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb_path, codes_path = pq_index_path(spark, sf_dir)
+    cdf = spark.read.parquet(cb_path)
+    codes = spark.read.parquet(codes_path)
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchor_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_QUERIES).collect()
+    ]
+    # query-side subvectors only — the corpus is never re-quantized
+    q = _pq_subvectors(emb.where(F.col("vec_id").isin(anchor_ids))).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    qd = (
+        F.broadcast(q)
+        .join(F.broadcast(cdf), "m")
+        .select("qid", "m", "code", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        codes.join(F.broadcast(qd), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "m", "dd")
+        .groupBy("qid", "vec_id")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
     )

@@ -3439,3 +3439,105 @@ def _register_stream_phash_dedup() -> None:
 
 
 _register_stream_phash_dedup()
+
+
+# --------------------------------------------------------------------------
+# Streaming PQ encode (round 12): new vectors coded against the FROZEN
+# persisted codebooks — the ingest half of a production IVF-PQ store
+# (train once, persist; every arriving vector is encoded to M one-byte
+# codes at ingest time). Same shape as q_stream_kmeans_assign: the
+# codebooks load once from the durable index (M·K rows, a literal in the
+# plan), the embedding firehose is encoded with a stateless append-mode
+# map (per subspace: slice, fold L2 against each code, struct-ordered
+# array_min for the argmin with ties to the LOWEST code — matching the
+# batch window's ORDER BY dist ASC, code ASC), and the memory-sink
+# occupancy equals the batch encode exactly, so the oracle is SHARED
+# with q_embedding_pq_codebooks.
+# --------------------------------------------------------------------------
+
+
+def _register_stream_pq_encode() -> None:
+    from ..operators.similarity import (
+        PQ_M,
+        PQ_OCCUPANCY_ORACLE,
+        PQ_SUBDIM,
+        QUANT,
+        pq_index_path,
+    )
+
+    @register(
+        "q_stream_pq_encode",
+        PQ_OCCUPANCY_ORACLE,
+        doc="STREAMING PQ encode against frozen persisted codebooks: the "
+        "embedding stream is subvectorized and coded per subspace with a "
+        "stateless append-mode map (codebooks are a plan literal loaded "
+        "from the durable PQ index; argmin via struct-ordered array_min, "
+        "ties to the lowest code); the landed (m, code) occupancy equals "
+        "the batch corpus encode — oracle shared with "
+        "q_embedding_pq_codebooks.",
+    )
+    def q_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..plans.util import tp
+
+        cb_path, _ = pq_index_path(spark, sf_dir)
+        cents = spark.read.parquet(cb_path).collect()  # bounded: M·K rows
+        by_m: dict[int, list] = {}
+        for r in cents:
+            by_m.setdefault(r["m"], []).append((r["code"], list(r["cu"])))
+
+        # warm the parquet-backed fixture cache so the stream reads the
+        # same file the batch side does
+        tp(spark, sf_dir, "embeddings")
+        file_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+        stream = (
+            spark.readStream.schema(file_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+        eq = F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("double"),
+        )
+
+        def code_for(m: int):
+            sv = F.slice(eq, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+            cands = F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                sv,
+                                F.array(*[F.lit(v) for v in cu]),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ).alias("dist"),
+                        F.lit(code).alias("code"),
+                    )
+                    for code, cu in sorted(by_m[m])
+                ]
+            )
+            return F.array_min(cands)["code"]
+
+        codes = F.array(
+            *[
+                F.struct(F.lit(m).alias("m"), code_for(m).alias("code"))
+                for m in range(PQ_M)
+            ]
+        )
+        encoded = stream.select(
+            "vec_id", F.explode(codes).alias("mc")
+        ).select("vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+        out = run_to_table(spark, encoded, "append")
+        return (
+            out.groupBy("m", "code")
+            .agg(
+                F.count("*").cast("bigint").alias("n_vectors"),
+                F.sum("vec_id").cast("bigint").alias("id_sum"),
+            )
+            .orderBy("m", "code")
+        )
+
+
+_register_stream_pq_encode()

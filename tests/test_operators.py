@@ -2770,6 +2770,58 @@ class TestIvfPq:
             assert 0 <= r[f"hits_at_{PQ_TOPK}"] <= PQ_TOPK
 
 
+class TestPqPersistedIndex:
+    """Round-12: durable PQ index (operators/similarity.py:pq_index_path)."""
+
+    def test_persisted_probe_equals_in_memory(self, spark, sf_dir):
+        """The persisted path must be bit-identical to rebuilding in
+        memory: same codebooks (parquet doubles round-trip exactly), same
+        codes, same ADC top-k — the q_ann_lsh_persisted discipline."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            _pq_loop,
+            pq_assign,
+            pq_index_path,
+            q_pq_persisted_probe,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        cb_path, codes_path = pq_index_path(spark, sf_dir)
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        sv, cents = _pq_loop(spark, emb)
+        cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
+        mem_codes = {
+            (r["vec_id"], r["m"]): r["code"] for r in pq_assign(sv, cdf).collect()
+        }
+        sv.unpersist()
+        disk_cb = {
+            (r["m"], r["code"]): list(r["cu"])
+            for r in spark.read.parquet(cb_path).collect()
+        }
+        assert disk_cb == {(m, c): list(cu) for m, c, cu in cents}
+        disk_codes = {
+            (r["vec_id"], r["m"]): r["code"]
+            for r in spark.read.parquet(codes_path).collect()
+        }
+        assert disk_codes == mem_codes
+        # probe twice: the cached index path must be deterministic
+        a = [tuple(r) for r in q_pq_persisted_probe(spark, sf_dir).collect()]
+        b = [tuple(r) for r in q_pq_persisted_probe(spark, sf_dir).collect()]
+        assert a == b and len(a) > 0
+
+    def test_index_is_cell_partitioned(self, spark, sf_dir):
+        """codes must be laid out partitioned by the coarse cell (label) —
+        the partition-pruning contract a cell-pruned probe relies on."""
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            pq_index_path,
+        )
+
+        _, codes_path = pq_index_path(spark, sf_dir)
+        parts = [d for d in os.listdir(codes_path) if d.startswith("label=")]
+        assert len(parts) > 1
+
+
 class TestProductQuantization:
     """Round-11: PQ codebooks + ADC recall (operators/similarity.py)."""
 
