@@ -1392,3 +1392,88 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(BPE_ENCODE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level BPE tokenization (round 12, VERDICT r11 item 3): the step a
+# training-data pipeline actually runs with the trained tokenizer —
+# tokenize EVERY document and read out token counts + fertility per
+# source. Closes the trainer→use loop: q_bpe_encode exercises the
+# merge-apply on the top-15 words; this gives the apply path a
+# corpus-WIDE value oracle (VERDICT r11 "What's wrong" 3) and replaces
+# the bpe_ish heuristic for the fertility read-out.
+#
+# Because BPE merges never cross word boundaries, tokenizing the corpus
+# is exactly ONE join of the corpus word stream against the trained
+# |V|-row vocabulary's per-word token counts — the vocab is broadcast
+# (millions of rows ≈ tens of MB at 100 TB; fall back to a co-keyed
+# shuffle join only past broadcast size). Words the trainer never saw
+# (length-1 here — the trainer's length>=2 floor) tokenize to one symbol
+# per character, COALESCE'd identically on both engines.
+#
+# Scale: corpus touched once (explode → broadcast-join → per-source
+# partial aggregate, map-side combinable); the trained-vocab build is
+# the bounded N-round loop already costed in q_bpe_train_merges.
+# --------------------------------------------------------------------------
+
+_BPE_CORPUS_ORACLE = (
+    _bpe_chain_sql(BPE_MERGES)
+    + f""",
+    vt AS (
+      SELECT word,
+             len(string_split(seq, chr(31) || chr(31))) - 2 AS n_tokens
+      FROM v{BPE_MERGES}
+    ),
+    cw AS (
+      SELECT source, word FROM (
+        SELECT source, unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+      ) WHERE length(word) >= 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(vt.n_tokens, length(cw.word))) AS BIGINT)
+             AS n_tokens,
+           CAST(floor(SUM(COALESCE(vt.n_tokens, length(cw.word))) * 1048576.0
+                      / COUNT(*) + 0.5) AS BIGINT) AS fertility_q20
+    FROM cw LEFT JOIN vt USING (word)
+    GROUP BY source ORDER BY source
+    """
+)
+
+
+@register(
+    "q_bpe_tokenize_corpus",
+    _BPE_CORPUS_ORACLE,
+    doc=f"corpus-level tokenization under the TRAINED {BPE_MERGES}-merge "
+    "BPE tokenizer: every document's words joined (broadcast) against the "
+    "trained vocabulary's per-word token counts — per-source word count, "
+    "token count, and fertility (tokens/word, Q20); unseen length-1 words "
+    "tokenize to one symbol per character. The merge-apply path's "
+    "corpus-wide value oracle, and the fertility read-out a pipeline "
+    "actually reports (vs the bpe_ish heuristic in q_tokenizer_fertility).",
+)
+def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, v = bpe_train(spark, sf_dir, BPE_MERGES)
+    vtok = v.select(
+        "word", (F.size(F.split("seq", _BPE_BOUND)) - 2).alias("n_tokens")
+    )
+    docs = tp(spark, sf_dir, "documents")
+    cw = docs.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("word")
+    ).where(F.length("word") >= 1)
+    tok = F.coalesce(F.col("n_tokens"), F.length("word")).cast("bigint")
+    return (
+        cw.join(F.broadcast(vtok), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(tok).cast("bigint").alias("n_tokens"),
+            F.floor(
+                F.sum(tok) * F.lit(1048576.0) / F.count("*") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("fertility_q20"),
+        )
+        .orderBy("source")
+    )

@@ -2578,6 +2578,49 @@ class TestBpeTrainer:
         assert before - after <= sum(counts)
 
 
+class TestBpeCorpusTokenize:
+    """Round-12: corpus-level tokenization under the trained tokenizer
+    (functions/text.py:q_bpe_tokenize_corpus)."""
+
+    def test_bounds_and_fertility_arithmetic(self, spark, sf_dir):
+        """Per source: every word is at least one token and at most its
+        character count (merges only shrink); fertility_q20 must be the
+        exact Q20 quotient of the emitted integers."""
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            q_bpe_tokenize_corpus,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        docs = t(spark, sf_dir, "documents")
+        chars = {
+            r["source"]: (r["nw"], r["nc"])
+            for r in docs.select(
+                "source", FF.explode(FF.split(FF.trim("text"), " ")).alias("w")
+            )
+            .where(FF.length("w") >= 1)
+            .groupBy("source")
+            .agg(
+                FF.count("*").alias("nw"),
+                FF.sum(FF.length("w")).alias("nc"),
+            )
+            .collect()
+        }
+        out = q_bpe_tokenize_corpus(spark, sf_dir).collect()
+        assert {r["source"] for r in out} == set(chars)
+        for r in out:
+            nw, nc = chars[r["source"]]
+            assert r["n_words"] == nw
+            assert nw <= r["n_tokens"] <= nc
+            assert r["n_tokens"] < nc, "trained merges must shrink something"
+            import math
+
+            assert r["fertility_q20"] == math.floor(
+                r["n_tokens"] * 1048576.0 / nw + 0.5
+            )
+
+
 class TestPayloadPhash:
     """Round-11: multimodal payload perceptual hash
     (operators/multimodal.py:payload_phash)."""
