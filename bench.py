@@ -151,6 +151,19 @@ def main() -> None:
                 el = round(time.perf_counter() - t0, 3)
                 times[name] = min(times.get(name, el), el)
                 draws.setdefault(name, []).append(el)
+        # Adaptive best-of-3 (VERDICT r11 item 7): two loaded draws in a
+        # row leave an inflated best-of floor (r11 recorded 63s/3s bm25,
+        # 2.8s/14.7s heavy-hitters on a hot box). Any query whose two
+        # draws spread by >3x gets ONE extra pass — cheap (only volatile
+        # queries pay), and the draw list in the JSON shows it happened.
+        for name in group:
+            d = draws.get(name, [])
+            if len(d) >= 2 and min(d) > 0 and max(d) / min(d) > 3.0:
+                t0 = time.perf_counter()
+                if run(name):
+                    el = round(time.perf_counter() - t0, 3)
+                    times[name] = min(times[name], el)
+                    draws[name].append(el)
 
     # A query that succeeded in any timed pass has a valid best-of time;
     # drop its (warm-up or first-pass) error record so `errors` lists only

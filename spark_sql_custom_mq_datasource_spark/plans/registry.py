@@ -186,67 +186,80 @@ def register(
 #      additions, then the r05 TPC-H/window/set-op block. Everything
 #      displaced stays green in CORRECTNESS_r08/r09.json.
 _PRIORITY: tuple[str, ...] = (
-    # ==== ROUND-11 PREFIX ===============================================
-    # (executes the round-10 rotation plan below + VERDICT r10 item 1)
-    # -- slot 1, NON-DEFERRABLE (VERDICT r10: r04-stale, deferred in r8/
-    #    r9/r10 on the bench-liveness argument; bench proves it RUNS, the
-    #    driver record proves it is CORRECT) --------------------------------
-    "q_wordcount_topk",
-    # -- round-11 additions (never driver-checked) -------------------------
+    # ==== ROUND-12 PREFIX ===============================================
+    # (executes the round-11 rotation plan below / VERDICT r11 item 1)
+    # -- the 3 late-round-11 additions: the ONLY registry queries with no
+    #    driver record in any round ----------------------------------------
+    "q_embedding_pq_codebooks",
+    "q_pq_adc_recall",
+    "q_stream_phash_dedup",
+    # -- round-12 additions (never driver-checked; locally green at
+    #    sf0.001 AND sf0.01) -----------------------------------------------
+    "q_ann_ivf_pq",
+    "q_pq_persisted_probe",
+    "q_stream_pq_encode",
+    "q_bpe_tokenize_corpus",
+    # -- code/oracle changed this round (payload_phash gram-hash
+    #    vectorization + the _SQL_PHASH NULL guard, ADVICE r11 item 1;
+    #    the streaming twin is already in slot 3) --------------------------
     "q_multimodal_phash_dedup",
     "q_multimodal_phash_apply",
-    "q_bpe_train_merges",
-    "q_bpe_encode",
-    # -- code changed this round (r10-green, but simhash_pairs was
-    #    refactored onto the shared hamming_band_pairs helper) -------------
-    "q_dedup_simhash",
-    # -- the 16 r05-stale entries displaced late in round 10 ---------------
-    "q_heavy_hitters_2gram",
-    "q_bm25_topk",
-    "q_tfidf_topterms",
-    "q_dsir_importance",
-    "q_chunk_documents",
-    "q_runtime_filter_join",
-    "q_stream_mq_wordcount",
-    "q_stream_decontaminate",
-    "q_stream_quality_gate",
-    "q_stream_pii_redact",
-    "q_percentiles_price",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q_anti_join_idle_customers",
-    "q_outer_join_nation_customers",
-    # -- r05-stale, oldest-first (tools/rotation_plan.py order) ------------
-    "q_rollup_returns",
-    "q_grouping_sets_sql",
-    "q_approx_distinct_parts",
-    "q_setops_active_customers",
-    "q_window_top_parts_per_brand",
-    "q_window_rank_dense_ntile",
-    "q_scalar_functions",
-    "q_date_functions",
-    "q_subquery_above_avg",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q11_important_parts",
-    "q12_priority_by_class",
-    "q16_supplier_diversity",
-    "q20_heavy_promo_shippers",
-    "q21_waiting_suppliers",
+    # -- the last r05-stale record (the oldest anywhere) -------------------
+    "q_full_outer_join_balance",
+    # -- r06-stale, oldest-first (tools/rotation_plan.py order) ------------
+    "q_text_token_stats",
+    "q_dedup_substring_spans",
+    "q_dedup_substring_apply",
+    "q_dedup_apply_clusters",
+    "q_lm_perplexity",
+    "q_lm_perplexity_persisted",
+    "q_sample_per_source_bottomk",
+    "q_curriculum_by_perplexity",
+    "q_bm25_persisted",
+    "q_bm25_index_update",
+    "q_semantic_kmeans",
+    "q_semantic_dedup_apply",
+    "q_decontaminate_apply",
+    "q_stream_chunk_documents",
+    "q_stream_scd2_enrich",
+    "q_stream_lm_score",
+    "q_rolling_dau_wau",
+    "q_cohort_retention",
+    "q_array_functions",
+    "q_events_global_stats",
+    "q_approx_percentile_bounds",
+    "q_window_time_range_avg",
+    "q_unpivot_daily",
+    "q_null_semantics",
+    "q_ordered_string_agg",
+    "q_histogram_totalprice",
+    "q_zorder_point_range",
+    "q_jsonl_roundtrip",
+    "q_csv_roundtrip",
+    "q_compact_small_files",
+    "q_backfill_day_partition",
+    "q_merge_upsert_customers",
+    "q_schema_evolution_merge",
+    "q_retention_prune",
+    "q_scd2_build",
+    "q_scd2_pointintime",
+    "q_incremental_mv_merge",
+    "q_top_customers",
+    "q_semi_join_priority",
+    "q_cube_orders",
 )
+# The ROUND-11 prefix this replaces (all 50 green in CORRECTNESS_r11.json):
+# q_wordcount_topk; the 4 round-11 additions (multimodal_phash_dedup/apply,
+# bpe_train_merges, bpe_encode); q_dedup_simhash; the 16 r05-stale entries
+# (heavy_hitters_2gram, bm25_topk, tfidf_topterms, dsir_importance,
+# chunk_documents, runtime_filter_join, stream_mq_wordcount,
+# stream_decontaminate, stream_quality_gate, stream_pii_redact,
+# percentiles_price, q1, q3, q5, anti_join_idle_customers,
+# outer_join_nation_customers); and the 27 remaining r05-stale TPC-H/
+# window/set-op/scalar queries (q2, q4, q6-q22, rollup_returns,
+# grouping_sets_sql, approx_distinct_parts, setops_active_customers,
+# window_top_parts_per_brand, window_rank_dense_ntile, scalar_functions,
+# date_functions, subquery_above_avg).
 # ROUND-11 NOTE: the round-10 rotation plan is EXECUTED by the prefix
 # above; 44 of the 45 r05-stale records are re-checked this round, plus
 # the r04 q_wordcount_topk — after the r11 driver run no record is older
@@ -254,18 +267,23 @@ _PRIORITY: tuple[str, ...] = (
 # one record (displaced by the 4 round-11 additions + the
 # q_dedup_simhash re-check); it leads the round-12 plan.
 #
-# ROUND-12 ROTATION PLAN: (1) the 3 late-round-11 additions
-# (q_embedding_pq_codebooks, q_pq_adc_recall, q_stream_phash_dedup —
-# never driver-checked; all green under the local mirror at sf0.001
-# AND sf0.01) plus
-# anything round 12 adds or edits, then (2) q_full_outer_join_balance
-# (the oldest record left, r05), then (3) the 45 r06-stale records
-# oldest-first
-# (q_text_token_stats, q_dedup_substring_spans/apply, q_dedup_apply_clusters,
-# the storage-maintenance family, LM perplexity/curriculum, top
-# customers, cube, z-order, JSONL/CSV, semantic k-means, incremental MV,
-# chunking-stream — tools/rotation_plan.py regenerates the exact order
-# from CORRECTNESS_r01..r11).
+# ROUND-12 ROTATION PLAN (EXECUTED by the prefix above): (1) the 3
+# late-round-11 additions (q_embedding_pq_codebooks, q_pq_adc_recall,
+# q_stream_phash_dedup — never driver-checked), (2) the 4 round-12
+# additions (q_ann_ivf_pq, q_pq_persisted_probe, q_stream_pq_encode,
+# q_bpe_tokenize_corpus) and the 2 phash queries whose code+oracle
+# changed this round, (3) q_full_outer_join_balance (the oldest record
+# left, r05), then (4) 40 of the 45 r06-stale records oldest-first.
+# After the r12 driver run: union coverage 240/240, no record older
+# than r06, and only FIVE r06 records remain.
+#
+# ROUND-13 ROTATION PLAN: (1) anything round 13 adds or edits, then
+# (2) the 5 remaining r06-stale records (q_distinct_parts_per_flag,
+# q_union_high_value, q_window_running_total, q_window_order_gaps,
+# q_right_join_order_coverage — all green in CORRECTNESS_r06.json and
+# re-verified by every local full battery since), then (3) the 39
+# r07-stale records oldest-first (tools/rotation_plan.py regenerates
+# the exact order from CORRECTNESS_r01..r12).
 
 
 def _load_all() -> None:

@@ -670,3 +670,44 @@ class TestRound11Plans:
         p = plan(spark, sf_dir, "q_pq_adc_recall")
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestRound12Plans:
+    """Plan pins for the round-12 operators."""
+
+    def test_ivf_pq_broadcast_prune_no_cartesian(self, spark, sf_dir):
+        """The composed IVF-PQ plan must keep every query-side table
+        (cell centroids, probe set, ADC lookup) on the broadcast side of
+        hash equi-joins and never fall back to a nested loop; no
+        raw-vector join may exist past the lookup/centroid builds."""
+        p = plan(spark, sf_dir, "q_ann_ivf_pq")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BroadcastHashJoin" in p
+
+    def test_pq_persisted_probe_reads_index_broadcasts_lookup(
+        self, spark, sf_dir
+    ):
+        """The persisted probe must read the durable code table from
+        parquet (no retraining subtree) and equi-join the broadcast ADC
+        lookup — the amortized-build contract."""
+        p = plan(spark, sf_dir, "q_pq_persisted_probe")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BroadcastHashJoin" in p
+        assert "pq_index" in p  # FileScan over the persisted index path
+
+    def test_bpe_corpus_tokenize_broadcast_vocab_partial_agg(
+        self, spark, sf_dir
+    ):
+        """Corpus tokenization is ONE broadcast join of the word stream
+        against the |V|-row token-count table plus a map-side-combinable
+        per-source aggregate — no shuffle join, no window, no sort of the
+        word stream."""
+        p = plan(spark, sf_dir, "q_bpe_tokenize_corpus")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "Window" not in p
+        assert p.count("HashAggregate") >= 2  # partial + final

@@ -329,6 +329,31 @@ SHOWCASE = [
         "(TakeOrderedAndProject) over the checkpointed |vocab|-row "
         "table — no join, no window, no global sort.",
     ),
+    (
+        "q_ann_ivf_pq",
+        "Composed IVF-PQ (the 100 TB serving shape): cell centroids, "
+        "probe set, and the QxMxK ADC lookup all ride BroadcastHashJoins "
+        "(KB-sized query-side tables); the coarse prune cuts the code "
+        "scan to the nprobe surviving cells BEFORE any distance work; "
+        "no raw-vector join exists past the centroid/lookup builds, no "
+        "nested loop anywhere.",
+    ),
+    (
+        "q_pq_persisted_probe",
+        "ADC probe over the DURABLE PQ index: the code table is a "
+        "parquet FileScan of the cell-partitioned index (no retraining "
+        "subtree in the plan — the amortized-build contract), the "
+        "codebooks and lookup table broadcast, and the top-k is a "
+        "bounded per-query window over the fixed-order subspace sums.",
+    ),
+    (
+        "q_bpe_tokenize_corpus",
+        "Corpus tokenization under the trained merges: the corpus word "
+        "stream (explode, zero-shuffle) BroadcastHashJoins the |V|-row "
+        "per-word token-count table, then ONE map-side-combinable "
+        "per-source aggregate — the corpus is touched once; no "
+        "sort-merge join, no window.",
+    ),
 ]
 
 
