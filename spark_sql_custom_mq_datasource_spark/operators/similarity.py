@@ -2278,7 +2278,11 @@ def pq_coarse_centroids(svl: DataFrame) -> DataFrame:
     )
 
 
-def _ivfpq_oracle_sql() -> str:
+def _ivfpq_common_ctes() -> str:
+    """The IVFADC pipeline as CTEs (coarse centroids → probes → ADC over
+    the probed cells), extending _pq_oracle_chain — shared by the recall
+    oracle (q_ann_ivf_pq) and the persisted-serving oracle
+    (q_ann_ivf_pq_persisted)."""
     msum = _sql_pq_msum()
     return (
         _pq_oracle_chain()
@@ -2325,7 +2329,15 @@ def _ivfpq_oracle_sql() -> str:
                          AND c.code = qd.code
     ),
     adc AS (SELECT qid, vec_id, {msum} AS dist
-            FROM adcd GROUP BY qid, vec_id),
+            FROM adcd GROUP BY qid, vec_id)"""
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    msum = _sql_pq_msum()
+    return (
+        _ivfpq_common_ctes()
+        + f""",
     ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
               FROM adc GROUP BY qid),
     adct AS (SELECT qid, vec_id FROM (
@@ -2463,14 +2475,16 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shares its oracle discipline (q_ann_lsh_persisted).
 # --------------------------------------------------------------------------
 
-_pq_index_paths: dict[tuple[int, str], tuple[str, str]] = {}
+_pq_index_paths: dict[tuple[int, str], tuple[str, str, str]] = {}
 
 
-def pq_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def pq_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     """Build (once per session+fixture) the persisted PQ index; return
-    (codebooks_path, codes_path). codebooks: (m, code, cu) — KBs, the
-    broadcast side of every probe. codes: (vec_id, m, code) partitioned
-    by label (the coarse cell)."""
+    (codebooks_path, codes_path, cells_path). codebooks: (m, code, cu) —
+    KBs, the broadcast side of every probe. codes: (vec_id, m, code)
+    partitioned by label (the coarse cell). cells: (label, m, cu) — the
+    coarse-quantizer centroids (|cells|·M rows), so an IVF-pruned probe
+    needs NOTHING beyond the index artifacts."""
     import os
     import re
 
@@ -2479,19 +2493,24 @@ def pq_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         base = work_dir("pq_index_" + re.sub(r"\W+", "_", sf_dir))
         cb_path = os.path.join(base, "codebooks")
         codes_path = os.path.join(base, "codes")
+        cells_path = os.path.join(base, "cells")
         emb = tp(spark, sf_dir, "embeddings")
+        lbl = emb.select("vec_id", "label")
         sv, cents = _pq_loop(spark, emb.select("vec_id", "embedding"))
         cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
         cdf.write.mode("overwrite").parquet(cb_path)
         (
             pq_assign(sv, cdf)
-            .join(emb.select("vec_id", "label"), "vec_id")
+            .join(lbl, "vec_id")
             .write.mode("overwrite")
             .partitionBy("label")
             .parquet(codes_path)
         )
+        pq_coarse_centroids(sv.join(lbl, "vec_id")).write.mode(
+            "overwrite"
+        ).parquet(cells_path)
         sv.unpersist()
-        _pq_index_paths[key] = (cb_path, codes_path)
+        _pq_index_paths[key] = (cb_path, codes_path, cells_path)
     return _pq_index_paths[key]
 
 
@@ -2532,7 +2551,7 @@ _PQ_PROBE_ORACLE = (
     "the in-memory ADC path (the q_ann_lsh_persisted discipline).",
 )
 def q_pq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cb_path, codes_path = pq_index_path(spark, sf_dir)
+    cb_path, codes_path, _ = pq_index_path(spark, sf_dir)
     cdf = spark.read.parquet(cb_path)
     codes = spark.read.parquet(codes_path)
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -2553,6 +2572,102 @@ def q_pq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         codes.join(F.broadcast(qd), ["m", "code"])
         .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "m", "dd")
+        .groupBy("qid", "vec_id")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ serving over the persisted index (round 12): the composed prune
+# with the I/O story made literal. q_ann_ivf_pq proves the composition's
+# arithmetic; this query runs it the way a 100 TB store does — every
+# input is a durable index artifact (cell centroids, codebooks, cell-
+# partitioned codes), and the coarse prune becomes a PARTITION FILTER on
+# the code scan: the union of the probed cells (≤ Q·nprobe labels, a
+# bounded driver collect) prunes the parquet read to those directories
+# before a single code row is touched. At 1000 executors that is the
+# difference between scanning nprobe/|cells| of the index and scanning
+# all of it and filtering — partition pruning IS the coarse quantizer's
+# storage dividend. Results are the ADC top-k (per-query candidates are
+# still restricted to that query's own probed cells via the probe
+# equi-join), bit-identical to the in-memory composition, so the oracle
+# is the shared IVFADC CTE chain ranked to top-k.
+# --------------------------------------------------------------------------
+
+_IVFPQ_SERVE_ORACLE = (
+    _ivfpq_common_ctes()
+    + f"""
+    SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM adc) WHERE rk <= {PQ_TOPK}
+    ORDER BY qid, rk
+    """
+)
+
+
+@register(
+    "q_ann_ivf_pq_persisted",
+    _IVFPQ_SERVE_ORACLE,
+    doc=f"IVF-PQ serving over the DURABLE index: coarse prune against the "
+    "persisted cell centroids, then the probed cells' labels (a bounded "
+    "collect, ≤ Q·nprobe values) PARTITION-PRUNE the cell-partitioned "
+    f"code scan before ADC — top-{PQ_TOPK} per query, bit-identical to "
+    "the in-memory composition (shared IVFADC oracle chain). The "
+    "partition filter is pinned in tests/test_plans.py.",
+)
+def q_ann_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb_path, codes_path, cells_path = pq_index_path(spark, sf_dir)
+    cdf = spark.read.parquet(cb_path)
+    cells = spark.read.parquet(cells_path)
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchor_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_QUERIES).collect()
+    ]
+    # query-side subvectors only — corpus quantization lives in the index
+    q = _pq_subvectors(emb.where(F.col("vec_id").isin(anchor_ids))).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    wprobe = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("label"))
+    probes = (
+        F.broadcast(q)
+        .join(F.broadcast(cells), "m")
+        .select("qid", "label", "m", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
+        .groupBy("qid", "label")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("prk", F.row_number().over(wprobe))
+        .where(F.col("prk") <= IVFPQ_NPROBE)
+        .select("qid", "label")
+        .localCheckpoint(eager=True)  # probes are reused twice below
+    )
+    # bounded: ≤ Q·nprobe labels — becomes a literal IN partition filter
+    probed_labels = sorted(
+        {r["label"] for r in probes.select("label").distinct().collect()}
+    )
+    pruned_codes = spark.read.parquet(codes_path).where(
+        F.col("label").isin(probed_labels)
+    )
+    qd = (
+        F.broadcast(q)
+        .join(F.broadcast(cdf), "m")
+        .select("qid", "m", "code", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        pruned_codes.join(F.broadcast(probes), "label")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qd), ["qid", "m", "code"])
         .select("qid", "vec_id", "m", "dd")
         .groupBy("qid", "vec_id")
         .agg(_pq_fixed_order_dist())

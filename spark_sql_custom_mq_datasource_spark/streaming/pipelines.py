@@ -3479,7 +3479,7 @@ def _register_stream_pq_encode() -> None:
     def q_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..plans.util import tp
 
-        cb_path, _ = pq_index_path(spark, sf_dir)
+        cb_path, _, _ = pq_index_path(spark, sf_dir)
         cents = spark.read.parquet(cb_path).collect()  # bounded: M·K rows
         by_m: dict[int, list] = {}
         for r in cents:

@@ -2828,7 +2828,7 @@ class TestPqPersistedIndex:
         )
         from spark_sql_custom_mq_datasource_spark.plans.util import t
 
-        cb_path, codes_path = pq_index_path(spark, sf_dir)
+        cb_path, codes_path, _ = pq_index_path(spark, sf_dir)
         emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         sv, cents = _pq_loop(spark, emb)
         cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
@@ -2860,7 +2860,7 @@ class TestPqPersistedIndex:
             pq_index_path,
         )
 
-        _, codes_path = pq_index_path(spark, sf_dir)
+        _, codes_path, _ = pq_index_path(spark, sf_dir)
         parts = [d for d in os.listdir(codes_path) if d.startswith("label=")]
         assert len(parts) > 1
 

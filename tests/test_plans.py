@@ -697,6 +697,22 @@ class TestRound12Plans:
         assert "BroadcastHashJoin" in p
         assert "pq_index" in p  # FileScan over the persisted index path
 
+    def test_ivf_pq_persisted_serving_partition_prunes_code_scan(
+        self, spark, sf_dir
+    ):
+        """The serving query's code scan must carry the probed cells as a
+        PARTITION filter on the durable index (the coarse quantizer's
+        storage dividend: nprobe/|cells| of the index is read, the rest
+        is never opened) — and still no nested loop anywhere."""
+        p = plan(spark, sf_dir, "q_ann_ivf_pq_persisted")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "pq_index" in p  # FileScan over the persisted index
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+        assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
+
     def test_bpe_corpus_tokenize_broadcast_vocab_partial_agg(
         self, spark, sf_dir
     ):

@@ -347,6 +347,14 @@ SHOWCASE = [
         "bounded per-query window over the fixed-order subspace sums.",
     ),
     (
+        "q_ann_ivf_pq_persisted",
+        "IVF-PQ serving over the durable index: the probed cells become "
+        "a literal `label IN (...)` PartitionFilter on the code FileScan "
+        "(plus a dynamic-pruning expression from the probe join) — the "
+        "scan opens only nprobe/|cells| of the index directories; "
+        "centroids/codebooks/lookup broadcast; no nested loop.",
+    ),
+    (
         "q_bpe_tokenize_corpus",
         "Corpus tokenization under the trained merges: the corpus word "
         "stream (explode, zero-shuffle) BroadcastHashJoins the |V|-row "
