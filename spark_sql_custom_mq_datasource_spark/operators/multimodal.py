@@ -482,3 +482,104 @@ def q_multimodal_phash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Frame-level payload containment (round 12): which payloads SHARE frames.
+# The video-dedup question phash cannot answer — phash says "these two
+# payloads are globally similar"; this says "these two payloads contain
+# identical fixed-size records" (shared scenes between different cuts,
+# re-muxed segments, spliced clips). The frame model is the same
+# fixed-size-record view sample_frames uses; the dedup granularity is a
+# finer DEDUP_FRAME_BYTES so shared segments inside short fixture
+# payloads are visible. Aligned-segment detection by design (frames are
+# fixed-offset records — the video model); UNALIGNED shared text is
+# q_dedup_substring_spans' job.
+#
+# Scale: frames are hashed executor-side in one Arrow-batched
+# mapInPandas pass — payloads never shuffle; only (doc_id, 32-hex-char)
+# rows do, deduplicated per doc BEFORE the join. Candidates come from an
+# equi-join on the frame hash (collisions only), never an all-pairs
+# compare — the chunk-level exact dedup shape applied to binary frames.
+# --------------------------------------------------------------------------
+
+DEDUP_FRAME_BYTES = 64
+
+_FRAME_HASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("fh", StringType())]
+)
+
+
+def frame_hashes(
+    df: DataFrame, frame_bytes: int = DEDUP_FRAME_BYTES
+) -> DataFrame:
+    """(doc_id, payload) → DISTINCT (doc_id, fh): md5 hex of every
+    fixed-size byte frame (trailing partial frame included; NULL payloads
+    contribute no frames, matching the oracle's NULL-strlen chain)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n = (len(b) + frame_bytes - 1) // frame_bytes
+                seen: set[str] = set()
+                for fi in range(n):
+                    h = hashlib.md5(
+                        b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ).hexdigest()
+                    if h not in seen:
+                        seen.add(h)
+                        ids.append(int(doc_id))
+                        hs.append(h)
+            yield pd.DataFrame(
+                {"doc_id": np.array(ids, dtype=np.int64), "fh": hs}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, _FRAME_HASH_SCHEMA)
+
+
+@register(
+    "q_multimodal_frame_dedup",
+    f"""
+    WITH f AS (
+      SELECT DISTINCT doc_id, fh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, CAST(ceil(strlen(text) / {DEDUP_FRAME_BYTES}.0) AS BIGINT)),
+                 i -> md5(substr(text, (i-1)*{DEDUP_FRAME_BYTES}+1, {DEDUP_FRAME_BYTES})))) AS fh
+        FROM documents)
+    )
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(COUNT(*) AS INT) AS n_shared_frames
+    FROM f a JOIN f b ON a.fh = b.fh AND a.doc_id < b.doc_id
+    GROUP BY da, db ORDER BY da, db
+    """,
+    doc=f"frame-level payload containment: payload pairs sharing identical "
+    f"{DEDUP_FRAME_BYTES}-byte frames (the shared-scene/re-mux detector — "
+    "exact aligned segments, complementing phash's global similarity); "
+    "frames md5'd executor-side in one mapInPandas pass (payloads never "
+    "shuffle), per-doc-distinct, candidates from the frame-hash equi-join "
+    "only. Oracle recomputes the frames via substr (ASCII fixture "
+    "invariant, test-pinned).",
+)
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payload(tp(spark, sf_dir, "documents"))
+    # hash once, sever lineage — both self-join sides read the same table
+    f = frame_hashes(mm).localCheckpoint(eager=True)
+    a = f.select(F.col("doc_id").alias("da"), "fh")
+    b = f.select(F.col("doc_id").alias("db"), "fh")
+    return (
+        a.join(b, "fh")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("int").alias("n_shared_frames"))
+        .orderBy("da", "db")
+    )

@@ -200,6 +200,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_pq_persisted",
     "q_stream_pq_encode",
     "q_bpe_tokenize_corpus",
+    "q_multimodal_frame_dedup",
     # -- code/oracle changed this round (payload_phash gram-hash
     #    vectorization + the _SQL_PHASH NULL guard, ADVICE r11 item 1;
     #    the streaming twin is already in slot 3) --------------------------
@@ -246,7 +247,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_scd2_pointintime",
     "q_incremental_mv_merge",
     "q_top_customers",
-    "q_semi_join_priority",
 )
 # The ROUND-11 prefix this replaces (all 50 green in CORRECTNESS_r11.json):
 # q_wordcount_topk; the 4 round-11 additions (multimodal_phash_dedup/apply,
@@ -269,22 +269,23 @@ _PRIORITY: tuple[str, ...] = (
 #
 # ROUND-12 ROTATION PLAN (EXECUTED by the prefix above): (1) the 3
 # late-round-11 additions (q_embedding_pq_codebooks, q_pq_adc_recall,
-# q_stream_phash_dedup — never driver-checked), (2) the 5 round-12
+# q_stream_phash_dedup — never driver-checked), (2) the 6 round-12
 # additions (q_ann_ivf_pq, q_pq_persisted_probe, q_ann_ivf_pq_persisted,
-# q_stream_pq_encode, q_bpe_tokenize_corpus) and the 2 phash queries
-# whose code+oracle changed this round, (3) q_full_outer_join_balance
-# (the oldest record left, r05), then (4) 39 of the 45 r06-stale records
-# oldest-first. After the r12 driver run: union coverage 241/241, no
-# record older than r06, and only SIX r06 records remain.
+# q_stream_pq_encode, q_bpe_tokenize_corpus, q_multimodal_frame_dedup)
+# and the 2 phash queries whose code+oracle changed this round,
+# (3) q_full_outer_join_balance (the oldest record left, r05), then
+# (4) 38 of the 45 r06-stale records oldest-first. After the r12 driver
+# run: union coverage 242/242, no record older than r06, and only SEVEN
+# r06 records remain.
 #
 # ROUND-13 ROTATION PLAN: (1) anything round 13 adds or edits, then
-# (2) the 6 remaining r06-stale records (q_cube_orders,
-# q_distinct_parts_per_flag, q_union_high_value, q_window_running_total,
-# q_window_order_gaps, q_right_join_order_coverage — all green in
-# CORRECTNESS_r06.json and re-verified by every local full battery
-# since), then (3) the 39 r07-stale records oldest-first
-# (tools/rotation_plan.py regenerates the exact order from
-# CORRECTNESS_r01..r12).
+# (2) the 7 remaining r06-stale records (q_semi_join_priority,
+# q_cube_orders, q_distinct_parts_per_flag, q_union_high_value,
+# q_window_running_total, q_window_order_gaps,
+# q_right_join_order_coverage — all green in CORRECTNESS_r06.json and
+# re-verified by every local full battery since), then (3) the 39
+# r07-stale records oldest-first (tools/rotation_plan.py regenerates
+# the exact order from CORRECTNESS_r01..r12).
 
 
 def _load_all() -> None:

@@ -2578,6 +2578,53 @@ class TestBpeTrainer:
         assert before - after <= sum(counts)
 
 
+class TestFrameDedup:
+    """Round-12: frame-level payload containment
+    (operators/multimodal.py:frame_hashes)."""
+
+    def test_shared_frames_counted_once_and_edges(self, spark):
+        """Two payloads sharing one aligned 64-byte frame pair once even
+        if the frame repeats inside a doc; partial trailing frames
+        compare by content; NULL payloads contribute nothing."""
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            DEDUP_FRAME_BYTES as W,
+        )
+        from spark_sql_custom_mq_datasource_spark.operators.multimodal import (
+            frame_hashes,
+        )
+
+        fa = b"A" * W
+        fb = b"B" * W
+        rows = [
+            (1, bytearray(fa + fb)),          # frames: A, B
+            (2, bytearray(fa + fa + b"xy")),  # frames: A, A, 'xy' (partial)
+            (3, bytearray(b"xy")),            # frame: 'xy' (partial only)
+            (4, None),
+            (5, bytearray(b"")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        f = frame_hashes(df)
+        got = {}
+        a = f.toDF("da", "fh")
+        b = f.toDF("db", "fh2")
+        import pyspark.sql.functions as FF
+
+        pairs = (
+            a.join(b, (a["fh"] == b["fh2"]) & (a["da"] < b["db"]))
+            .groupBy("da", "db")
+            .agg(FF.count("*").alias("n"))
+            .collect()
+        )
+        got = {(r["da"], r["db"]): r["n"] for r in pairs}
+        # doc2's duplicate A frame deduped per doc -> pair (1,2) counts 1
+        assert got == {(1, 2): 1, (2, 3): 1}
+        per_doc = {
+            r["doc_id"]: r["c"]
+            for r in f.groupBy("doc_id").agg(FF.count("*").alias("c")).collect()
+        }
+        assert per_doc == {1: 2, 2: 2, 3: 1}  # NULL + empty contribute none
+
+
 class TestBpeCorpusTokenize:
     """Round-12: corpus-level tokenization under the trained tokenizer
     (functions/text.py:q_bpe_tokenize_corpus)."""
