@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import register
-from ..plans.util import t, tp
+from ..plans.util import session_key, t, tp
 from ..functions.text import word_hash
 
 NGRAM_N = 3
@@ -122,7 +122,7 @@ def shingle_sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle/agg working memory."""
     from pyspark.storagelevel import StorageLevel
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _sets_cache:
         _sets_cache[key] = _shingle_sets(tp(spark, sf_dir, "documents")).persist(
             StorageLevel.DISK_ONLY
@@ -141,7 +141,7 @@ def clear_dedup_caches(spark: SparkSession) -> None:
     many sf_dirs/params still accumulates disk cache until shutdown
     (ADVICE r04 item 2). Call this between fixtures/corpora to reclaim
     the space; the next query simply re-materializes."""
-    for key in [k for k in _sets_cache if k[0] == id(spark)]:
+    for key in [k for k in _sets_cache if k[0] == session_key(spark)]:
         _sets_cache.pop(key).unpersist()
     # Drops ALL cached plans in the session, including the anonymous
     # persists that have no module-level handle to unpersist individually.
@@ -1563,7 +1563,7 @@ def minhash_index_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
 
     from ..plans.util import work_dir
 
-    key = (id(spark), sf_dir, cut)
+    key = (session_key(spark), sf_dir, cut)
     if key not in _minhash_index_paths:
         # cut is part of the on-disk name: the memo key includes it, so a
         # second call with a different cut for the same fixture must get a

@@ -42,7 +42,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from ..plans.registry import register
-from ..plans.util import t, tp, work_dir
+from ..plans.util import materialize_small, session_key, t, tp, work_dir
 
 TOPK = 5
 N_QUERIES = 5  # fixture queries: vec_id < 5
@@ -656,7 +656,7 @@ def lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from .dedup import normalized
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _lsh_index_paths:
         path = work_dir("lsh_index_" + re.sub(r"\W+", "_", sf_dir))
         (
@@ -1964,9 +1964,23 @@ def _pq_loop(
         .repartition(spark.sparkContext.defaultParallelism)
         .persist(StorageLevel.DISK_ONLY)
     )
+    return sv, _pq_train_sv(spark, sv)
+
+
+def _pq_train_sv(
+    spark: SparkSession, sv: DataFrame
+) -> list[tuple[int, int, list[float]]]:
+    """The Lloyd trainer core over ANY (vec_id, m, sv) subvector table —
+    split from _pq_loop so the residual IVFADC path can train codebooks
+    on residual subvectors with the identical loop. Init: the first PQ_K
+    vec_ids' subvectors (the oracle's `ids` CTE)."""
     ids = [
         r["vec_id"]
-        for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()
+        for r in sv.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
     ]
     code_of = {v: i for i, v in enumerate(ids)}
     init = sv.where(F.col("vec_id").isin(ids)).collect()  # bounded: K*M rows
@@ -1992,7 +2006,7 @@ def _pq_loop(
             "m", "code", F.array(*[f"c{d}" for d in dims]).alias("cu")
         ).collect()  # bounded: <= M*K rows
         cents = sorted((r["m"], r["code"], list(r["cu"])) for r in rows)
-    return sv, cents
+    return cents
 
 
 _SQL_PQ_L2 = (
@@ -2003,67 +2017,94 @@ _SQL_PQ_L2 = (
 )
 
 
-def _pq_oracle_chain(k: int = PQ_K, iters: int = PQ_ITERS) -> str:
-    """Unrolled PQ trainer as a materialized CTE chain (generated, like
-    the k-means oracle)."""
-    l2 = _SQL_PQ_L2.format(a="v.sv", b="c.cu", n=PQ_SUBDIM)
-    ctes = [
-        f"""ev AS MATERIALIZED (
+_SQL_EV_RAW = f"""ev AS MATERIALIZED (
       SELECT vec_id, d,
              CAST(floor(CAST(embedding[d] AS DOUBLE) * {QUANT}.0 + 0.5) AS BIGINT) AS eq,
              CAST((d - 1) // {PQ_SUBDIM} AS INT) AS m,
              ((d - 1) % {PQ_SUBDIM}) + 1 AS dl
       FROM embeddings, generate_series(1, {PQ_M * PQ_SUBDIM}) g(d)
-    )""",
-        """sv AS MATERIALIZED (
+    )"""
+
+
+def _pq_train_ctes(
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    pfx: str = "",
+    base: list[str] | None = None,
+) -> list[str]:
+    """The unrolled PQ trainer as a CTE list over {pfx}ev (vec_id, m, dl,
+    eq): emits {pfx}sv, {pfx}ids, {pfx}c0..{pfx}cN, {pfx}a*/{pfx}mm*, and
+    {pfx}afinal. ``base`` supplies the CTEs that DEFINE {pfx}ev (default:
+    the raw Q20 subvector build from embeddings). The prefix lets one
+    oracle carry TWO trainers — the residual IVFADC query trains raw and
+    residual codebooks side by side (pfx='' and pfx='r')."""
+    p = pfx
+    l2 = _SQL_PQ_L2.format(a="v.sv", b="c.cu", n=PQ_SUBDIM)
+    # alias the element table to bare `ev` when prefixed, so the mm CTEs'
+    # qualifiers keep one spelling (and pfx='' output stays byte-identical
+    # to the pre-refactor chain — pinned in tests)
+    ev_ref = "ev" if not p else f"{p}ev ev"
+    ctes = list(base) if base is not None else [_SQL_EV_RAW]
+    ctes.append(
+        f"""{p}sv AS MATERIALIZED (
       SELECT vec_id, m, list(CAST(eq AS DOUBLE) ORDER BY dl) AS sv
-      FROM ev GROUP BY vec_id, m
-    )""",
-        f"""ids AS (
+      FROM {p}ev GROUP BY vec_id, m
+    )"""
+    )
+    ctes.append(
+        f"""{p}ids AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-      FROM (SELECT DISTINCT vec_id FROM sv ORDER BY vec_id LIMIT {k})
-    )""",
-        """c0 AS MATERIALIZED (
-      SELECT s.m, i.code, s.sv AS cu FROM sv s JOIN ids i USING (vec_id)
-    )""",
-    ]
+      FROM (SELECT DISTINCT vec_id FROM {p}sv ORDER BY vec_id LIMIT {k})
+    )"""
+    )
+    ctes.append(
+        f"""{p}c0 AS MATERIALIZED (
+      SELECT s.m, i.code, s.sv AS cu FROM {p}sv s JOIN {p}ids i USING (vec_id)
+    )"""
+    )
     for i in range(1, iters + 1):
         ctes.append(
-            f"""a{i} AS MATERIALIZED (
+            f"""{p}a{i} AS MATERIALIZED (
       SELECT vec_id, m, code FROM (
         SELECT v.vec_id, v.m, c.code,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
                                   ORDER BY {l2} ASC, c.code) AS rk
-        FROM sv v JOIN c{i - 1} c ON v.m = c.m
+        FROM {p}sv v JOIN {p}c{i - 1} c ON v.m = c.m
       ) WHERE rk = 1
     )"""
         )
         ctes.append(
-            f"""mm{i} AS (
+            f"""{p}mm{i} AS (
       SELECT a.m, a.code, ev.dl, CAST(SUM(ev.eq) AS DOUBLE) / COUNT(*) AS c
-      FROM ev JOIN a{i} a ON ev.vec_id = a.vec_id AND ev.m = a.m
+      FROM {ev_ref} JOIN {p}a{i} a ON ev.vec_id = a.vec_id AND ev.m = a.m
       GROUP BY a.m, a.code, ev.dl
     )"""
         )
         ctes.append(
-            f"""c{i} AS MATERIALIZED (
-      SELECT m, code, list(c ORDER BY dl) AS cu FROM mm{i} GROUP BY m, code
+            f"""{p}c{i} AS MATERIALIZED (
+      SELECT m, code, list(c ORDER BY dl) AS cu FROM {p}mm{i} GROUP BY m, code
     )"""
         )
     # final encode: assign against the FINAL codebooks (the Spark side
     # re-assigns after the last update — same shape as the k-means
     # oracle's afinal)
     ctes.append(
-        f"""afinal AS MATERIALIZED (
+        f"""{p}afinal AS MATERIALIZED (
       SELECT vec_id, m, code FROM (
         SELECT v.vec_id, v.m, c.code,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
                                   ORDER BY {l2} ASC, c.code) AS rk
-        FROM sv v JOIN c{iters} c ON v.m = c.m
+        FROM {p}sv v JOIN {p}c{iters} c ON v.m = c.m
       ) WHERE rk = 1
     )"""
     )
-    return "WITH " + ",\n".join(ctes)
+    return ctes
+
+
+def _pq_oracle_chain(k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """Unrolled PQ trainer as a materialized CTE chain (generated, like
+    the k-means oracle)."""
+    return "WITH " + ",\n".join(_pq_train_ctes(k, iters))
 
 
 # (m, code) occupancy of the encoded corpus — shared with the streaming
@@ -2092,7 +2133,7 @@ def q_embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sv, cents = _pq_loop(spark, emb)
     cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
-    return (
+    out = (
         pq_assign(sv, cdf)
         .groupBy("m", "code")
         .agg(
@@ -2101,6 +2142,9 @@ def q_embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m", "code")
     )
+    # bounded (M·K rows): collect + unpersist so repeated battery runs in
+    # one session don't accumulate the DISK_ONLY sv table (ADVICE r12 4)
+    return materialize_small(spark, out, sv)
 
 
 def _pq_fixed_order_dist():
@@ -2216,7 +2260,7 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     adct = topk(adcd.groupBy("qid", "vec_id").agg(_pq_fixed_order_dist())).select(
         F.col("qid").alias("aqid"), F.col("vec_id").alias("aneighbor")
     )
-    return (
+    out = (
         ext.join(
             adct,
             (F.col("qid") == F.col("aqid"))
@@ -2227,6 +2271,8 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("aneighbor").cast("int").alias(f"hits_at_{PQ_TOPK}"))
         .orderBy("qid")
     )
+    # bounded (Q rows): collect + unpersist the DISK_ONLY sv (ADVICE r12 4)
+    return materialize_small(spark, out, sv)
 
 
 # --------------------------------------------------------------------------
@@ -2441,7 +2487,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "m", _pq_l2(F.col("qsv"), F.col("sv")).alias("dd"))
     )
     ext = topk(exd.groupBy("qid", "vec_id").agg(_pq_fixed_order_dist()))
-    return (
+    out = (
         ext.join(
             adct,
             (F.col("qid") == F.col("aqid"))
@@ -2454,6 +2500,8 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "n_candidates", f"hits_at_{PQ_TOPK}")
         .orderBy("qid")
     )
+    # bounded (Q rows): collect + unpersist the DISK_ONLY sv (ADVICE r12 4)
+    return materialize_small(spark, out, sv)
 
 
 # --------------------------------------------------------------------------
@@ -2488,7 +2536,7 @@ def pq_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     import os
     import re
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _pq_index_paths:
         base = work_dir("pq_index_" + re.sub(r"\W+", "_", sf_dir))
         cb_path = os.path.join(base, "codebooks")
@@ -2512,6 +2560,78 @@ def pq_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
         sv.unpersist()
         _pq_index_paths[key] = (cb_path, codes_path, cells_path)
     return _pq_index_paths[key]
+
+
+def pq_code_struct_array(by_m: dict[int, list[tuple[int, list[float]]]]):
+    """The frozen-codebook ENCODER as one Catalyst expression: an array of
+    (m, code) structs where code = argmin_code L2(subvector_m, codebook
+    entry), ties to the LOWEST code (struct-ordered array_min matches the
+    batch window's ORDER BY dist ASC, code ASC). The codebooks are plan
+    literals (M·K rows), so the expression is stateless and streams —
+    shared by the streaming encode twin and the incremental index-grow
+    fold (streaming/pipelines.py)."""
+    eq = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("double"),
+    )
+
+    def code_for(m: int):
+        sv = F.slice(eq, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv,
+                            F.array(*[F.lit(v) for v in cu]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    F.lit(code).alias("code"),
+                )
+                for code, cu in sorted(by_m[m])
+            ]
+        )
+        return F.array_min(cands)["code"]
+
+    return F.array(
+        *[
+            F.struct(F.lit(m).alias("m"), code_for(m).alias("code"))
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def adc_probe_topk(q: DataFrame, cdf: DataFrame, codes: DataFrame) -> DataFrame:
+    """ADC top-PQ_TOPK over a code table: the Q·M·K lookup table (query
+    subvectors × broadcast codebooks) equi-joined to the codes, distances
+    summed in fixed m-order — the probe body shared by the persisted-index
+    probe and the grown-index probe (both value-checked against
+    _PQ_PROBE_ORACLE). q: (qid, m, qsv); cdf: (m, code, cu);
+    codes: (vec_id, m, code, ...)."""
+    qd = (
+        F.broadcast(q)
+        .join(F.broadcast(cdf), "m")
+        .select("qid", "m", "code", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        codes.join(F.broadcast(qd), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "m", "dd")
+        .groupBy("qid", "vec_id")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
+    )
 
 
 _PQ_PROBE_ORACLE = (
@@ -2563,27 +2683,7 @@ def q_pq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _pq_subvectors(emb.where(F.col("vec_id").isin(anchor_ids))).select(
         F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
     )
-    qd = (
-        F.broadcast(q)
-        .join(F.broadcast(cdf), "m")
-        .select("qid", "m", "code", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
-        codes.join(F.broadcast(qd), ["m", "code"])
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "m", "dd")
-        .groupBy("qid", "vec_id")
-        .agg(_pq_fixed_order_dist())
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= PQ_TOPK)
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-        .orderBy("qid", "rk")
-    )
+    return adc_probe_topk(q, cdf, codes)
 
 
 # --------------------------------------------------------------------------

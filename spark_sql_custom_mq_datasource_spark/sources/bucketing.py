@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..plans.util import REVENUE_SQL, revenue, t
+from ..plans.util import REVENUE_SQL, revenue, session_key, t
 
 # Bucketed copies live inside the repo (external-table paths), keyed by
 # (sf_dir, table) so scale factors never collide; the session catalog entry
@@ -66,7 +66,7 @@ def bucketed_pair(
     copy is a projection of the fact table, not a second full copy."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     li_name, o_name = f"lineitem_b_{tag}", f"orders_b_{tag}"
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _prepared:
         write_bucketed(
             t(spark, sf_dir, "lineitem").select(
