@@ -186,68 +186,78 @@ def register(
 #      additions, then the r05 TPC-H/window/set-op block. Everything
 #      displaced stays green in CORRECTNESS_r08/r09.json.
 _PRIORITY: tuple[str, ...] = (
-    # ==== ROUND-12 PREFIX ===============================================
-    # (executes the round-11 rotation plan below / VERDICT r11 item 1)
-    # -- the 3 late-round-11 additions: the ONLY registry queries with no
-    #    driver record in any round ----------------------------------------
-    "q_embedding_pq_codebooks",
-    "q_pq_adc_recall",
-    "q_stream_phash_dedup",
-    # -- round-12 additions (never driver-checked; locally green at
+    # ==== ROUND-13 PREFIX ===============================================
+    # (executes the round-12 rotation plan below / VERDICT r12 item 1)
+    # -- the 3 round-13 additions (never driver-checked; locally green at
     #    sf0.001 AND sf0.01) -----------------------------------------------
-    "q_ann_ivf_pq",
-    "q_pq_persisted_probe",
-    "q_ann_ivf_pq_persisted",
-    "q_stream_pq_encode",
-    "q_bpe_tokenize_corpus",
+    "q_bpe_tokenize_persisted",
+    "q_stream_pq_index_grow",
+    "q_ann_ivf_pq_residual",
+    # -- code changed this round, so driver-RE-check even though r11/r12
+    #    green: frame dedup gained the hot-frame DF cap + vectorized
+    #    hashing; the BPE family gained the per-session trainer cache (+
+    #    tokenize-readout refactor); the PQ family was refactored onto the
+    #    shared trainer-core/encoder/probe helpers and the three _pq_loop
+    #    callers now materialize + unpersist (ADVICE r12 item 4) ----------
     "q_multimodal_frame_dedup",
-    # -- code/oracle changed this round (payload_phash gram-hash
-    #    vectorization + the _SQL_PHASH NULL guard, ADVICE r11 item 1;
-    #    the streaming twin is already in slot 3) --------------------------
-    "q_multimodal_phash_dedup",
-    "q_multimodal_phash_apply",
-    # -- the last r05-stale record (the oldest anywhere) -------------------
-    "q_full_outer_join_balance",
-    # -- r06-stale, oldest-first (tools/rotation_plan.py order) ------------
-    "q_text_token_stats",
-    "q_dedup_substring_spans",
-    "q_dedup_substring_apply",
-    "q_dedup_apply_clusters",
-    "q_lm_perplexity",
-    "q_lm_perplexity_persisted",
-    "q_sample_per_source_bottomk",
-    "q_curriculum_by_perplexity",
-    "q_bm25_persisted",
-    "q_bm25_index_update",
-    "q_semantic_kmeans",
-    "q_semantic_dedup_apply",
-    "q_decontaminate_apply",
-    "q_stream_chunk_documents",
-    "q_stream_scd2_enrich",
-    "q_stream_lm_score",
-    "q_rolling_dau_wau",
-    "q_cohort_retention",
-    "q_array_functions",
-    "q_events_global_stats",
-    "q_approx_percentile_bounds",
-    "q_window_time_range_avg",
-    "q_unpivot_daily",
-    "q_null_semantics",
-    "q_ordered_string_agg",
-    "q_histogram_totalprice",
-    "q_zorder_point_range",
-    "q_jsonl_roundtrip",
-    "q_csv_roundtrip",
-    "q_compact_small_files",
-    "q_backfill_day_partition",
-    "q_merge_upsert_customers",
-    "q_schema_evolution_merge",
-    "q_retention_prune",
-    "q_scd2_build",
-    "q_scd2_pointintime",
-    "q_incremental_mv_merge",
-    "q_top_customers",
+    "q_bpe_tokenize_corpus",
+    "q_bpe_train_merges",
+    "q_bpe_encode",
+    "q_ann_ivf_pq",
+    "q_pq_adc_recall",
+    "q_embedding_pq_codebooks",
+    "q_pq_persisted_probe",
+    "q_stream_pq_encode",
+    # -- the 7 r06-stale records (the oldest anywhere) ---------------------
+    "q_semi_join_priority",
+    "q_cube_orders",
+    "q_distinct_parts_per_flag",
+    "q_union_high_value",
+    "q_window_running_total",
+    "q_window_order_gaps",
+    "q_right_join_order_coverage",
+    # -- r07-stale, oldest-first (tools/rotation_plan.py order; the 8
+    #    displaced by this round's new/changed block lead the round-14
+    #    plan) -------------------------------------------------------------
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_bpeish_tokens",
+    "q_text_lang_agg",
+    "q_text_normalize",
+    "q_text_repetition_scores",
+    "q_langid_confusion",
+    "q_dedup_rerank_cosine",
+    "q_dedup_cross_source_matrix",
+    "q_dedup_keep_longest",
+    "q_sample_weighted_per_source",
+    "q_hybrid_rrf_topk",
+    "q_embedding_dim_stats",
+    "q_hard_negative_mining",
+    "q_mix_upsample",
+    "q_pack_sequences",
+    "q_pipeline_end_to_end",
+    "q_split_leakage_free",
+    "q_udf_scalar_tokens",
+    "q_multimodal_binary_meta",
+    "q_multimodal_frame_sample",
+    "q_attribution_last_view",
+    "q_manifest_retention_prune",
+    "q_manifest_stats_skip",
+    "q_manifest_row_deletes",
+    "q_manifest_partition_evolution",
+    "q_stream_mv_merge",
+    "q_stream_manifest_ingest",
+    "q_stream_kmeans_assign",
+    "q_ab_experiment_readout",
+    "q_funnel_time_to_convert",
 )
+# The ROUND-12 prefix this replaces (all 50 green in CORRECTNESS_r12.json):
+# the 3 late-r11 PQ/stream-phash additions; the 6 round-12 additions
+# (ann_ivf_pq, pq_persisted_probe, ann_ivf_pq_persisted, stream_pq_encode,
+# bpe_tokenize_corpus, multimodal_frame_dedup); the 2 re-checked phash
+# queries; q_full_outer_join_balance; and 38 r06-stale records
+# (text/dedup/lm/bm25/semantic/stream-scd2/cohort/array/window/maintenance
+# families — see CORRECTNESS_r12.json for the exact list).
 # The ROUND-11 prefix this replaces (all 50 green in CORRECTNESS_r11.json):
 # q_wordcount_topk; the 4 round-11 additions (multimodal_phash_dedup/apply,
 # bpe_train_merges, bpe_encode); q_dedup_simhash; the 16 r05-stale entries
@@ -278,14 +288,24 @@ _PRIORITY: tuple[str, ...] = (
 # run: union coverage 242/242, no record older than r06, and only SEVEN
 # r06 records remain.
 #
-# ROUND-13 ROTATION PLAN: (1) anything round 13 adds or edits, then
-# (2) the 7 remaining r06-stale records (q_semi_join_priority,
-# q_cube_orders, q_distinct_parts_per_flag, q_union_high_value,
-# q_window_running_total, q_window_order_gaps,
-# q_right_join_order_coverage — all green in CORRECTNESS_r06.json and
-# re-verified by every local full battery since), then (3) the 39
-# r07-stale records oldest-first (tools/rotation_plan.py regenerates
-# the exact order from CORRECTNESS_r01..r12).
+# ROUND-13 ROTATION PLAN (EXECUTED by the prefix above): (1) the 3
+# round-13 additions (bpe_tokenize_persisted, stream_pq_index_grow,
+# ann_ivf_pq_residual — never driver-checked), (2) the 9 queries whose
+# code changed this round (frame-dedup cap + vectorized hashing; BPE
+# trainer cache; PQ helper refactors + unpersist fixes), (3) the 7
+# remaining r06-stale records, then (4) the 31 oldest r07-stale records.
+# After the r13 driver run: no record older than r07, and only EIGHT r07
+# records remain.
+#
+# ROUND-14 ROTATION PLAN: (1) anything round 14 adds or edits, then
+# (2) the 8 remaining r07-stale records (q_event_transitions,
+# q_stream_funnel_stateful, q_stream_mq_to_manifest,
+# q_stream_gram_counts_mv, q_stream_split_route, q_session_paths_topk,
+# q_events_debounce, q_stream_debounce — all green in
+# CORRECTNESS_r07.json and re-verified by every local full battery
+# since), then (3) the r09-stale records oldest-first
+# (tools/rotation_plan.py regenerates the exact order from
+# CORRECTNESS_r01..r13).
 
 
 def _load_all() -> None:

@@ -564,3 +564,28 @@ class TestStreamPhashDedup:
         )
         kept = sorted(r["doc_id"] for r in surv.collect())
         assert kept == [1, 2, 30]
+
+
+class TestStreamPqIndexGrow:
+    def test_grow_redelivery_idempotent(self, spark, sf_dir, monkeypatch):
+        """Batch-keyed OVERWRITE appends: the probe over the grown index
+        with the last batch redelivered must equal the plain run
+        bit-for-bit (the MinHash/phash exactly-once pin)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import get_queries
+
+        fn = get_queries()["q_stream_pq_index_grow"]
+        monkeypatch.setenv("SPARK_GRAFT_REDELIVERY_EXERCISE", "0")
+        plain = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_REDELIVERY_EXERCISE", "1")
+        redelivered = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert plain == redelivered and plain
+
+    def test_grow_probe_equals_batch_index_probe(self, spark, sf_dir):
+        """Probe-after-growth == probe over the one-shot batch-built
+        index (the shared-oracle contract, pinned suite-side too)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import get_queries
+
+        qs = get_queries()
+        grown = sorted(map(tuple, qs["q_stream_pq_index_grow"](spark, sf_dir).collect()))
+        batch = sorted(map(tuple, qs["q_pq_persisted_probe"](spark, sf_dir).collect()))
+        assert grown == batch and grown

@@ -362,6 +362,29 @@ SHOWCASE = [
         "per-source aggregate — the corpus is touched once; no "
         "sort-merge join, no window.",
     ),
+    (
+        "q_bpe_tokenize_persisted",
+        "Tokenization under the PERSISTED tokenizer: the vocab side is a "
+        "parquet FileScan of the durable bpe_index artifact (no trainer "
+        "subtree in the plan — train once, apply forever), broadcast "
+        "into the same single corpus-scan shape as the inline query.",
+    ),
+    (
+        "q_stream_pq_index_grow",
+        "Probe over the GROWN PQ index: base + streamed delta subdirs "
+        "are parquet FileScans (each label-partitioned, per-dir "
+        "partition pruning preserved) unioned under the broadcast ADC "
+        "lookup equi-join — the probe never recomputes a single code; "
+        "growth itself was O(batch) appends.",
+    ),
+    (
+        "q_multimodal_frame_dedup",
+        "Frame containment with the hot-frame cap: ONE mapInPandas "
+        "digest pass (payloads never shuffle), the DF-cap aggregate and "
+        "the pair self-join all equi-join on the frame hash — the cap "
+        "bounds the worst join-key fan-out before it happens; no nested "
+        "loop, no cartesian product.",
+    ),
 ]
 
 
@@ -387,10 +410,23 @@ def main() -> None:
         "",
     ]
     for name, why in SHOWCASE:
-        df = QUERIES[name].fn(spark, sf_dir)
+        sv = None
+        if name == "q_ann_ivf_pq":
+            # the registered wrapper materializes the bounded result to
+            # release the sv persist (ADVICE r12 item 4); dump the LAZY
+            # composed builder, like tests/test_plans.py does
+            from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+                ivfpq_composed_plan,
+            )
+
+            df, sv = ivfpq_composed_plan(spark, sf_dir)
+        else:
+            df = QUERIES[name].fn(spark, sf_dir)
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+        if sv is not None:
+            sv.unpersist()
         lines = plan.rstrip().splitlines()
         # Composed DAGs (the end-to-end pipeline) print thousands of
         # detail lines; keep the tree + the first detail block readable
