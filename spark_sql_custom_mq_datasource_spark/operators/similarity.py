@@ -2130,6 +2130,17 @@ PQ_OCCUPANCY_ORACLE = (
     "the unrolled SQL iteration.",
 )
 def q_embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded (M·K rows): collect + unpersist so repeated battery runs in
+    # one session don't accumulate the DISK_ONLY sv table (ADVICE r12 4)
+    out, sv = pq_codebooks_plan(spark, sf_dir)
+    return materialize_small(spark, out, sv)
+
+
+def pq_codebooks_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy (occupancy result, persisted sv) — split from the registered
+    wrapper so plan tests assert on the encode plan itself."""
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sv, cents = _pq_loop(spark, emb)
     cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
@@ -2142,9 +2153,7 @@ def q_embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m", "code")
     )
-    # bounded (M·K rows): collect + unpersist so repeated battery runs in
-    # one session don't accumulate the DISK_ONLY sv table (ADVICE r12 4)
-    return materialize_small(spark, out, sv)
+    return out, sv
 
 
 def _pq_fixed_order_dist():
@@ -2213,6 +2222,16 @@ def _sql_pq_msum() -> str:
     "overlap counts, robust to float rank noise.",
 )
 def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded (Q rows): collect + unpersist the DISK_ONLY sv (ADVICE r12 4)
+    out, sv = pq_adc_recall_plan(spark, sf_dir)
+    return materialize_small(spark, out, sv)
+
+
+def pq_adc_recall_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy (recall result, persisted sv) — split from the registered
+    wrapper so plan tests assert on the ADC plan itself."""
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sv, cents = _pq_loop(spark, emb)
     cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
@@ -2271,8 +2290,7 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("aneighbor").cast("int").alias(f"hits_at_{PQ_TOPK}"))
         .orderBy("qid")
     )
-    # bounded (Q rows): collect + unpersist the DISK_ONLY sv (ADVICE r12 4)
-    return materialize_small(spark, out, sv)
+    return out, sv
 
 
 # --------------------------------------------------------------------------
@@ -2996,6 +3014,15 @@ def ivfpq_residual_readout(spark: SparkSession, emb: DataFrame) -> DataFrame:
     variant's recall edge is large and assertable (on the fixture's
     geometry-free random labels the two legs are statistically tied —
     the honest read-out the registered query records)."""
+    out, sv, rsv = ivfpq_residual_plan(spark, emb)
+    return materialize_small(spark, out, sv, rsv)
+
+
+def ivfpq_residual_plan(
+    spark: SparkSession, emb: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Lazy (result, persisted raw sv, persisted residual sv) — split so
+    plan tests can assert on the full residual composition."""
     from pyspark.storagelevel import StorageLevel
 
     sv, cents = _pq_loop(spark, emb.select("vec_id", "embedding"))
@@ -3119,4 +3146,4 @@ def ivfpq_residual_readout(spark: SparkSession, emb: DataFrame) -> DataFrame:
         )
         .orderBy("qid")
     )
-    return materialize_small(spark, out, sv, rsv)
+    return out, sv, rsv

@@ -3674,3 +3674,149 @@ def _register_stream_pq_index_grow() -> None:
 
 
 _register_stream_pq_index_grow()
+
+
+# --------------------------------------------------------------------------
+# PQ delta compaction (round 13): the maintenance story the grow query
+# above accumulates toward — at daily-ingest cadence the code table
+# becomes one bNNNNN subdir per trigger, the same small-files problem the
+# incremental dedup index solves with compact_dedup_index. Compaction
+# rewrites all committed batch subdirs into ONE subdir carrying the MAX
+# compacted batch id (still label-partitioned — per-cell partition
+# pruning is preserved through compaction), swaps it in with the
+# staged-rename pattern, and the query PROVES the probe is bit-identical
+# before and after while the parquet file count shrank. Read-out = the
+# ADC probe over the compacted index, value-checked by the shared
+# _PQ_PROBE_ORACLE — compaction is oracle-checked end-to-end, not just
+# asserted.
+# --------------------------------------------------------------------------
+
+
+def _register_pq_index_compact() -> None:
+    from ..operators.similarity import (
+        _PQ_PROBE_ORACLE,
+        PQ_QUERIES,
+        _pq_subvectors,
+        adc_probe_topk,
+        pq_assign,
+        pq_code_struct_array,
+        pq_index_path,
+    )
+
+    @register(
+        "q_pq_index_compact",
+        _PQ_PROBE_ORACLE,
+        doc="atomic small-file compaction of the incrementally-grown PQ "
+        "code table: base + 3 batch-keyed delta subdirs (the grow fold's "
+        "layout, built batch-side) are rewritten into ONE committed "
+        "label-partitioned subdir keeping the max batch id (staged-rename "
+        "swap, the dedup-index pattern); the query raises unless the ADC "
+        "probe is bit-identical across the swap and the parquet file "
+        "count shrank; the probe itself is value-checked by the oracle "
+        "shared with q_pq_persisted_probe.",
+    )
+    def q_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+
+        cb_path, _, _ = pq_index_path(spark, sf_dir)
+        cdf = spark.read.parquet(cb_path)
+        cents = cdf.collect()  # bounded: M·K rows
+        by_m: dict[int, list] = {}
+        for r in cents:
+            by_m.setdefault(r["m"], []).append((r["code"], list(r["cu"])))
+        codes_expr = pq_code_struct_array(by_m)
+
+        emb = t(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        state = work_dir("pq_compact_index")
+        codes_root = _os.path.join(state, "codes")
+        base = emb.where(F.col("vec_id") % 2 == 0)
+        (
+            pq_assign(_pq_subvectors(base.select("vec_id", "embedding")), cdf)
+            .join(base.select("vec_id", "label"), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(_os.path.join(codes_root, "b00000"))
+        )
+        # 3 deltas, encoded batch-side with the SAME expression encoder
+        # the streaming fold runs (grow's layout without the stream)
+        for i in range(3):
+            (
+                emb.where(F.col("vec_id") % 6 == 2 * i + 1)
+                .select("vec_id", F.explode(codes_expr).alias("mc"), "label")
+                .select(
+                    "vec_id",
+                    F.col("mc.m").alias("m"),
+                    F.col("mc.code").alias("code"),
+                    "label",
+                )
+                .write.mode("overwrite")
+                .partitionBy("label")
+                .parquet(_os.path.join(codes_root, f"b{i + 1:05d}"))
+            )
+
+        def read_grown() -> DataFrame:
+            dirs = committed_batch_dirs(codes_root)
+            out = None
+            for d in dirs:
+                part = spark.read.parquet(d)
+                out = part if out is None else out.unionByName(part)
+            return out
+
+        def nfiles() -> int:
+            return sum(
+                1
+                for root, _, files in _os.walk(codes_root)
+                for fn in files
+                if fn.endswith(".parquet")
+            )
+
+        anchor_ids = [
+            r["vec_id"]
+            for r in emb.select("vec_id")
+            .orderBy("vec_id")
+            .limit(PQ_QUERIES)
+            .collect()
+        ]
+        qsv = _pq_subvectors(
+            emb.where(F.col("vec_id").isin(anchor_ids)).select(
+                "vec_id", "embedding"
+            )
+        ).select(F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv"))
+
+        # bounded snapshot (Q·topk rows) BEFORE the swap
+        pre = sorted(map(tuple, adc_probe_topk(qsv, cdf, read_grown()).collect()))
+        files_before = nfiles()
+
+        dirs = committed_batch_dirs(codes_root)
+        max_id = max(int(_os.path.basename(d)[1:]) for d in dirs)
+        new_root = codes_root + "_new"
+        _shutil.rmtree(new_root, ignore_errors=True)
+        (
+            read_grown()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(_os.path.join(new_root, f"b{max_id:05d}"))
+        )
+        retired = codes_root + "_retired"
+        _shutil.rmtree(retired, ignore_errors=True)
+        _os.replace(codes_root, retired)
+        _os.replace(new_root, codes_root)
+        _shutil.rmtree(retired, ignore_errors=True)
+
+        files_after = nfiles()
+        if files_after >= files_before:
+            raise AssertionError(
+                f"compaction did not shrink files: {files_before} -> {files_after}"
+            )
+        post_df = adc_probe_topk(qsv, cdf, read_grown())
+        post = sorted(map(tuple, post_df.collect()))
+        if post != pre:
+            raise AssertionError("probe changed across PQ index compaction")
+        return post_df
+
+
+_register_pq_index_compact()

@@ -241,10 +241,12 @@ class TestCacheClearHook:
             shingle_sets_cached,
         )
 
+        from spark_sql_custom_mq_datasource_spark.plans.util import session_key
+
         shingle_sets_cached(spark, sf_dir).count()  # materialize
-        assert any(k[0] == id(spark) for k in _sets_cache)
+        assert any(k[0] == session_key(spark) for k in _sets_cache)
         clear_dedup_caches(spark)
-        assert not any(k[0] == id(spark) for k in _sets_cache)
+        assert not any(k[0] == session_key(spark) for k in _sets_cache)
         # and the session-level cache is empty (anonymous persists dropped)
         jcm = spark._jsparkSession.sharedState().cacheManager()
         assert jcm.isEmpty()

@@ -659,7 +659,15 @@ class TestRound11Plans:
         codebook into a map-side assign (hash equi-join on m) — never a
         cartesian product; the per-(vec_id, m) argmin is a bounded
         window over K codes."""
-        p = plan(spark, sf_dir, "q_embedding_pq_codebooks")
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            pq_codebooks_plan,
+        )
+
+        out, sv = pq_codebooks_plan(spark, sf_dir)
+        try:
+            p = df_plan(spark, out)
+        finally:
+            sv.unpersist()
         assert "CartesianProduct" not in p
         assert "BroadcastHashJoin" in p
         assert "BroadcastNestedLoopJoin" not in p
@@ -667,7 +675,15 @@ class TestRound11Plans:
     def test_pq_adc_lookup_table_equi_join(self, spark, sf_dir):
         """The ADC scan is the QxMxK lookup table equi-joined to the code
         table on (m, code) — no raw-vector join past the table build."""
-        p = plan(spark, sf_dir, "q_pq_adc_recall")
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            pq_adc_recall_plan,
+        )
+
+        out, sv = pq_adc_recall_plan(spark, sf_dir)
+        try:
+            p = df_plan(spark, out)
+        finally:
+            sv.unpersist()
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
 
@@ -769,40 +785,22 @@ class TestRound13Plans:
         """Residual IVFADC keeps every query-side table (int cell
         centroids, probes, residualized lookup) broadcast and never
         falls back to a nested loop — same contract as the raw
-        composition. (Lazy builder asserted; wrapper materializes.)"""
+        composition. (Full lazy composition asserted; the registered
+        wrapper materializes the bounded result to release the two
+        persisted subvector tables.)"""
         from spark_sql_custom_mq_datasource_spark.operators.similarity import (
-            ivfpq_residual_readout,
+            ivfpq_residual_plan,
         )
         from spark_sql_custom_mq_datasource_spark.plans.util import tp
 
-        # builder materializes via materialize_small; rebuild its lazy
-        # core by calling the pieces as the query does, cheaply: assert
-        # on the registered wrapper's input stage instead
-        emb = tp(spark, sf_dir, "embeddings")
-        # the readout collects; assert the composed legs via a probe of
-        # the residual plan pieces
-        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
-            _pq_loop,
-            pq_coarse_centroids_int,
+        out, sv, rsv = ivfpq_residual_plan(
+            spark, tp(spark, sf_dir, "embeddings")
         )
-        import pyspark.sql.functions as FF
-
-        sv, cents = _pq_loop(spark, emb.select("vec_id", "embedding"))
         try:
-            lbl = emb.select("vec_id", "label")
-            cci = pq_coarse_centroids_int(sv.join(lbl, "vec_id"))
-            rsv = (
-                sv.join(lbl, "vec_id")
-                .join(FF.broadcast(cci.withColumnRenamed("cu", "ccu")), ["label", "m"])
-                .select(
-                    "vec_id",
-                    "m",
-                    FF.zip_with("sv", "ccu", lambda x, y: x - y).alias("sv"),
-                )
-            )
-            p = df_plan(spark, rsv)
+            p = df_plan(spark, out)
         finally:
             sv.unpersist()
+            rsv.unpersist()
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
         assert "BroadcastHashJoin" in p

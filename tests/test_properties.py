@@ -386,7 +386,7 @@ class TestRound6KernelProperties:
         # monkeypatching the table loader's cache slot
         from spark_sql_custom_mq_datasource_spark.plans import util as u
 
-        key = (id(spark), "__synthetic_funnel__", "events")
+        key = (u.session_key(spark), "__synthetic_funnel__", "events")
         u._cache[key] = ev
         try:
             get_queries()
