@@ -1207,7 +1207,12 @@ _BPE_BOUND = _BPE_SEP * 2  # inter-symbol boundary in seq
 def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, seq, cnt): the BPE working table — seq is the word's symbol
     sequence, initially one symbol per character, SEP-bounded."""
-    docs = tp(spark, sf_dir, "documents")
+    return _bpe_vocab_of(tp(spark, sf_dir, "documents"))
+
+
+def _bpe_vocab_of(docs: DataFrame) -> DataFrame:
+    """The working-table build over ANY documents frame (the OOV-replay
+    query trains on a source subset)."""
     w = (
         docs.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
         .where(F.length("word") >= 2)
@@ -1297,16 +1302,19 @@ def bpe_train_vocab(
     return merges, v
 
 
-def _bpe_chain_sql(n_merges: int) -> str:
+def _bpe_chain_sql(n_merges: int, train_where: str = "") -> str:
     """The unrolled DuckDB twin of bpe_train: materialized CTEs w, v0..vN,
     m1..mN (CTE materialization is load-bearing — inlining would re-derive
-    the whole chain once per reference)."""
+    the whole chain once per reference). ``train_where`` optionally
+    restricts the TRAINING corpus (the OOV-replay query trains on a
+    source subset); default '' keeps the text byte-identical to the
+    chain every registered BPE oracle was checked under."""
     sep = "chr(31)"
     bound = "(chr(31) || chr(31))"
     sql = f"""
     WITH w AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-        SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+        SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents{train_where}
       ) WHERE length(word) >= 2 GROUP BY word
     ),
     v0 AS MATERIALIZED (
@@ -1563,3 +1571,160 @@ def q_bpe_tokenize_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", (F.size(F.split("seq", _BPE_BOUND)) - 2).alias("n_tokens")
     )
     return _tokenize_corpus_readout(spark, sf_dir, vtok)
+
+
+# --------------------------------------------------------------------------
+# OOV merge-replay tokenization (round 13): the tokenize path under
+# DOMAIN SHIFT — the tokenizer is trained on HALF the sources (src0-9)
+# and then tokenizes the WHOLE corpus by REPLAYING the trained merges on
+# every distinct word (the bpe_index_path docstring's "production
+# deployment" path made real: out-of-vocabulary words are segmented by
+# the merge rules, not a per-character fallback). BPE apply is
+# deterministic — replaying the N ordered merges with the trainer's own
+# anchored non-overlapping replace reproduces the training segmentation
+# for in-vocabulary words and extends it to unseen ones — so the replay
+# IS the tokenizer, and the vocab table is just its cache. The read-out
+# adds n_oov_words per source: the train/apply domain-shift diagnostic
+# (trained sources show near-zero OOV; held-out sources show their true
+# novelty rate), the number a curriculum/contamination pipeline actually
+# watches.
+#
+# Scale: the replay runs over DISTINCT corpus words (|vocab|, not
+# corpus-sized) as N chained scalar replaces — zero joins, zero shuffles
+# beyond the distinct; the corpus is then touched once through the same
+# broadcast word join as every other tokenize read-out.
+# --------------------------------------------------------------------------
+
+BPE_OOV_TRAIN_MAX_SRC = 10  # train on src0..src9, hold out src10..src19
+_SQL_OOV_TRAIN_WHERE = (
+    f" WHERE CAST(substr(source, 4, 10) AS INTEGER) < {BPE_OOV_TRAIN_MAX_SRC}"
+)
+
+
+def _bpe_oov_oracle() -> str:
+    sep = "chr(31)"
+    bound = "(chr(31) || chr(31))"
+    sql = _bpe_chain_sql(BPE_MERGES, train_where=_SQL_OOV_TRAIN_WHERE)
+    sql += f""",
+    aw AS MATERIALIZED (
+      SELECT DISTINCT word FROM (
+        SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+      ) WHERE length(word) >= 1
+    ),
+    r0 AS MATERIALIZED (
+      SELECT word,
+             {bound} || array_to_string(list_transform(generate_series(1, length(word)),
+               i -> substr(word, i, 1)), {bound}) || {bound} AS seq
+      FROM aw
+    )"""
+    for k in range(1, BPE_MERGES + 1):
+        sql += f""",
+    r{k} AS MATERIALIZED (
+      SELECT word,
+             replace(seq,
+                     {sep} || replace((SELECT pair FROM m{k}), {sep}, {bound}) || {sep},
+                     {sep} || replace((SELECT pair FROM m{k}), {sep}, '') || {sep}) AS seq
+      FROM r{k-1}
+    )"""
+    sql += f""",
+    vt AS (
+      SELECT word,
+             len(string_split(seq, {bound})) - 2 AS n_tokens
+      FROM r{BPE_MERGES}
+    ),
+    cw AS (
+      SELECT source, word FROM (
+        SELECT source, unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+      ) WHERE length(word) >= 1
+    )
+    SELECT cw.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN w.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_words,
+           CAST(SUM(vt.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(floor(SUM(vt.n_tokens) * 1048576.0 / COUNT(*) + 0.5) AS BIGINT)
+             AS fertility_q20
+    FROM cw JOIN vt USING (word) LEFT JOIN w ON cw.word = w.word
+    GROUP BY cw.source ORDER BY cw.source
+    """
+    return sql
+
+
+@register(
+    "q_bpe_tokenize_oov_replay",
+    _bpe_oov_oracle(),
+    doc=f"domain-shift tokenization by MERGE REPLAY: the {BPE_MERGES}-merge "
+    f"tokenizer is trained on sources src0..src{BPE_OOV_TRAIN_MAX_SRC - 1} "
+    "only, then every distinct corpus word — in-vocabulary or not — is "
+    "segmented by replaying the trained merges in order (the trainer's "
+    "own anchored non-overlapping replace); per-source word/token/OOV "
+    "counts + Q20 fertility. The replay runs over |distinct words| rows "
+    "with zero joins; held-out sources' n_oov_words is the novelty-rate "
+    "diagnostic a curriculum pipeline watches.",
+)
+def q_bpe_tokenize_oov_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_oov_readout(spark, tp(spark, sf_dir, "documents"))
+
+
+def bpe_oov_readout(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The merge-replay read-out over ANY (source, text) frame — split
+    from the registered query so tests can drive it with a constructed
+    disjoint-vocabulary corpus where the held-out OOV rate provably
+    dominates (the fixture's synthetic sources share one distribution,
+    so there the rates tie)."""
+    train_docs = docs.where(
+        F.substring("source", 4, 10).cast("int") < BPE_OOV_TRAIN_MAX_SRC
+    )
+    merges, _ = bpe_train_vocab(_bpe_vocab_of(train_docs), BPE_MERGES)
+    # replay: N chained anchored replaces over the distinct-word table
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .where(F.length("word") >= 1)
+        .distinct()
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    seq = F.concat(
+        F.lit(_BPE_BOUND), F.array_join(chars, _BPE_BOUND), F.lit(_BPE_BOUND)
+    )
+    for _step, left, right, _merged, _n in merges:
+        seq = F.replace(
+            seq,
+            F.lit(_BPE_SEP + left + _BPE_BOUND + right + _BPE_SEP),
+            F.lit(_BPE_SEP + left + right + _BPE_SEP),
+        )
+    vt = words.select(
+        "word", (F.size(F.split(seq, _BPE_BOUND)) - 2).alias("n_tokens")
+    )
+    # trained-vocab word set (length>=2 words of the TRAIN subset) for the
+    # OOV flag — |V| rows, broadcast
+    tw = (
+        train_docs.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .distinct()
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    cw = docs.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("word")
+    ).where(F.length("word") >= 1)
+    return (
+        cw.join(F.broadcast(vt), "word")
+        .join(F.broadcast(tw), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(
+                F.sum("n_tokens") * F.lit(1048576.0) / F.count("*") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("fertility_q20"),
+        )
+        .orderBy("source")
+    )

@@ -2866,12 +2866,10 @@ def pq_coarse_centroids_int(svl: DataFrame) -> DataFrame:
     )
 
 
-def _ivfpq_residual_oracle_sql() -> str:
-    """Raw + residual trainer chains side by side, one coarse prune over
-    the INT-rounded cell centroids, both ADC legs over the same probed
-    cells, exact top-k reference — per-query hits for both legs."""
-    msum = _sql_pq_msum()
-    res_base = [
+def _ivfpq_residual_base_ctes() -> list[str]:
+    """lbl + INT-rounded coarse centroids + residual element table — the
+    CTEs that define the residual trainer's input (reference `ev`)."""
+    return [
         """lbl AS (SELECT vec_id, label FROM embeddings)""",
         """cci AS MATERIALIZED (
       SELECT l.label, e.m, e.dl,
@@ -2885,8 +2883,16 @@ def _ivfpq_residual_oracle_sql() -> str:
       JOIN cci c ON c.label = l.label AND c.m = e.m AND c.dl = e.dl
     )""",
     ]
-    ctes = _pq_train_ctes() + _pq_train_ctes(pfx="r", base=res_base)
-    ctes += [
+
+
+def _ivfpq_residual_probe_ctes() -> list[str]:
+    """anch → INT-centroid coarse prune → residualized per-cell ADC →
+    radc(qid, vec_id, dist): the serving pipeline over the residual
+    trainer's outputs — shared by the recall read-out (which appends the
+    raw + exact legs) and the persisted serving oracle (which ranks radc
+    to top-k directly)."""
+    msum = _sql_pq_msum()
+    return [
         f"""anch AS (SELECT DISTINCT vec_id FROM sv ORDER BY vec_id LIMIT {PQ_QUERIES})""",
         """ccv AS MATERIALIZED (
       SELECT label, m, list(CAST(cq AS DOUBLE) ORDER BY dl) AS cu
@@ -2932,6 +2938,19 @@ def _ivfpq_residual_oracle_sql() -> str:
     )""",
         f"""radc AS (SELECT qid, vec_id, {msum} AS dist
             FROM radcd GROUP BY qid, vec_id)""",
+    ]
+
+
+def _ivfpq_residual_oracle_sql() -> str:
+    """Raw + residual trainer chains side by side, one coarse prune over
+    the INT-rounded cell centroids, both ADC legs over the same probed
+    cells, exact top-k reference — per-query hits for both legs."""
+    msum = _sql_pq_msum()
+    ctes = _pq_train_ctes() + _pq_train_ctes(
+        pfx="r", base=_ivfpq_residual_base_ctes()
+    )
+    ctes += _ivfpq_residual_probe_ctes()
+    ctes += [
         f"""radct AS (SELECT qid, vec_id FROM (
       SELECT qid, vec_id,
              ROW_NUMBER() OVER (PARTITION BY qid
@@ -3147,3 +3166,180 @@ def ivfpq_residual_plan(
         .orderBy("qid")
     )
     return out, sv, rsv
+
+
+# --------------------------------------------------------------------------
+# Persisted RESIDUAL IVFADC serving (round 13, completing the matrix): the
+# r12 persisted-serving story (durable artifacts, coarse prune as a
+# literal partition filter on the code scan) applied to the r13 residual
+# variant — i.e. the index layout a production vector store actually
+# ships: INT-quantized cell centroids, residual-trained codebooks, and
+# residual codes partitioned by cell. A probe loads three KB-to-MB
+# artifacts, prunes the code scan to its nprobe cells' directories, and
+# ADCs against per-cell residualized lookups. Bit-identical to the
+# in-memory residual composition (Q20 ints + parquet doubles round-trip
+# exactly), so the oracle is the shared residual CTE chain ranked to
+# top-k.
+# --------------------------------------------------------------------------
+
+_pq_residual_index_paths: dict[tuple, tuple[str, str, str]] = {}
+
+
+def pq_residual_index_path(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Build (once per session+fixture) the persisted RESIDUAL PQ index;
+    return (codebooks_path, codes_path, cells_path). codebooks: residual
+    (m, code, cu). codes: (vec_id, m, code) of the RESIDUAL assignment,
+    partitioned by label. cells: the INT-rounded coarse centroids
+    (label, m, cu) — both the prune table and the residualizer."""
+    import os
+    import re
+
+    from pyspark.storagelevel import StorageLevel
+
+    key = (session_key(spark), sf_dir)
+    if key not in _pq_residual_index_paths:
+        base = work_dir("pq_res_index_" + re.sub(r"\W+", "_", sf_dir))
+        cb_path = os.path.join(base, "codebooks")
+        codes_path = os.path.join(base, "codes")
+        cells_path = os.path.join(base, "cells")
+        emb = tp(spark, sf_dir, "embeddings")
+        sv = (
+            _pq_subvectors(emb.select("vec_id", "embedding"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        lbl = emb.select("vec_id", "label")
+        cci = pq_coarse_centroids_int(sv.join(lbl, "vec_id"))
+        rsv = (
+            sv.join(lbl, "vec_id")
+            .join(F.broadcast(cci.withColumnRenamed("cu", "ccu")), ["label", "m"])
+            .select(
+                "vec_id",
+                "m",
+                F.zip_with("sv", "ccu", lambda x, y: x - y).alias("sv"),
+            )
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        rcents = _pq_train_sv(spark, rsv)
+        rcdf = spark.createDataFrame(rcents, "m int, code int, cu array<double>")
+        rcdf.write.mode("overwrite").parquet(cb_path)
+        cci.write.mode("overwrite").parquet(cells_path)
+        (
+            pq_assign(rsv, rcdf)
+            .join(lbl, "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(codes_path)
+        )
+        sv.unpersist()
+        rsv.unpersist()
+        _pq_residual_index_paths[key] = (cb_path, codes_path, cells_path)
+    return _pq_residual_index_paths[key]
+
+
+def _ivfpq_residual_serve_oracle() -> str:
+    """The residual serving chain ranked to top-k: only the CTEs the
+    serving path needs (raw ev/sv for the query side, residual trainer,
+    probe pipeline) — no raw-codebook or exact legs."""
+    raw = _pq_train_ctes()
+    ctes = [raw[0], raw[1]]  # ev + sv (the Q20 subvector build)
+    ctes += _pq_train_ctes(pfx="r", base=_ivfpq_residual_base_ctes())
+    ctes += _ivfpq_residual_probe_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM radc) WHERE rk <= {PQ_TOPK}
+    ORDER BY qid, rk
+    """
+    )
+
+
+@register(
+    "q_ann_ivf_pq_residual_persisted",
+    _ivfpq_residual_serve_oracle(),
+    doc=f"RESIDUAL IVF-PQ serving over the DURABLE residual index "
+    "(residual codebooks + INT cell centroids + cell-partitioned "
+    "residual codes): coarse prune against the persisted centroids, the "
+    "probed labels PARTITION-PRUNE the code scan (bounded collect, "
+    f"≤ Q·nprobe values), ADC against per-cell residualized lookups — "
+    f"top-{PQ_TOPK} per query, bit-identical to the in-memory residual "
+    "composition (shared residual oracle chain). The partition filter "
+    "is pinned in tests/test_plans.py.",
+)
+def q_ann_ivf_pq_residual_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cb_path, codes_path, cells_path = pq_residual_index_path(spark, sf_dir)
+    rcdf = spark.read.parquet(cb_path)
+    cells = spark.read.parquet(cells_path)
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchor_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_QUERIES).collect()
+    ]
+    # query-side subvectors only — corpus quantization lives in the index
+    q = _pq_subvectors(emb.where(F.col("vec_id").isin(anchor_ids))).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    wprobe = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("label"))
+    probes = (
+        F.broadcast(q)
+        .join(F.broadcast(cells), "m")
+        .select("qid", "label", "m", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
+        .groupBy("qid", "label")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("prk", F.row_number().over(wprobe))
+        .where(F.col("prk") <= IVFPQ_NPROBE)
+        .select("qid", "label")
+        .localCheckpoint(eager=True)  # reused: literal filter + equi-join
+    )
+    # bounded: ≤ Q·nprobe labels — becomes a literal IN partition filter
+    probed_labels = sorted(
+        {r["label"] for r in probes.select("label").distinct().collect()}
+    )
+    pruned_codes = spark.read.parquet(codes_path).where(
+        F.col("label").isin(probed_labels)
+    )
+    # per-(query, probed cell) residualized ADC lookup (Q·nprobe·M·K rows)
+    qr = (
+        F.broadcast(probes)
+        .join(F.broadcast(q), "qid")
+        .join(F.broadcast(cells.withColumnRenamed("cu", "ccu")), ["label", "m"])
+        .select(
+            "qid",
+            "label",
+            "m",
+            F.zip_with("qsv", "ccu", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    rqd = (
+        F.broadcast(qr)
+        .join(F.broadcast(rcdf), "m")
+        .select(
+            "qid", "label", "m", "code", _pq_l2(F.col("rv"), F.col("cu")).alias("dd")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        pruned_codes.join(F.broadcast(probes), "label")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(rqd), ["qid", "label", "m", "code"])
+        .select("qid", "vec_id", "m", "dd")
+        .groupBy("qid", "vec_id")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
+    )

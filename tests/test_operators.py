@@ -3213,3 +3213,75 @@ class TestResidualIvfPq:
         for r in rows:
             assert 0 <= r["hits_res"] <= PQ_TOPK
             assert 0 <= r["hits_raw"] <= PQ_TOPK
+
+
+class TestBpeOovReplay:
+    """Round-13: domain-shift tokenization by merge replay
+    (functions/text.py:q_bpe_tokenize_oov_replay)."""
+
+    def test_replay_reproduces_trained_segmentation(self, spark, sf_dir):
+        """Replaying the trained merges on the training words yields the
+        EXACT segmentation lengths the trainer's vocab table holds —
+        the replay IS the tokenizer; the vocab is its cache."""
+        import pyspark.sql.functions as FF
+
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _BPE_BOUND,
+            _BPE_SEP,
+            BPE_MERGES,
+            bpe_train,
+        )
+
+        merges, v = bpe_train(spark, sf_dir, BPE_MERGES)
+        trained = {
+            r["word"]: r["n"]
+            for r in v.select(
+                "word", (FF.size(FF.split("seq", _BPE_BOUND)) - 2).alias("n")
+            ).collect()
+        }
+        words = spark.createDataFrame(
+            [(w,) for w in trained], "word string"
+        )
+        chars = FF.transform(
+            FF.sequence(FF.lit(1), FF.length("word")),
+            lambda i: FF.col("word").substr(i, FF.lit(1)),
+        )
+        seq = FF.concat(
+            FF.lit(_BPE_BOUND), FF.array_join(chars, _BPE_BOUND), FF.lit(_BPE_BOUND)
+        )
+        for _s, left, right, _m, _n in merges:
+            seq = FF.replace(
+                seq,
+                FF.lit(_BPE_SEP + left + _BPE_BOUND + right + _BPE_SEP),
+                FF.lit(_BPE_SEP + left + right + _BPE_SEP),
+            )
+        replayed = {
+            r["word"]: r["n"]
+            for r in words.select(
+                "word", (FF.size(FF.split(seq, _BPE_BOUND)) - 2).alias("n")
+            ).collect()
+        }
+        assert replayed == trained and trained
+
+    def test_oov_rate_dominates_on_disjoint_held_out_corpus(self, spark):
+        """Constructed corpus with DISJOINT vocabularies: train sources
+        (src0..) use one word set, held-out sources (src10..) another —
+        held-out n_oov_words must be ~100% of words, train near 0."""
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            bpe_oov_readout,
+        )
+
+        train_text = "alpha beta gamma delta alpha beta " * 4
+        held_text = "omega sigma kappa lambda omega sigma " * 4
+        rows = []
+        for i in range(4):
+            rows.append((i, f"src{i}", train_text))
+            rows.append((100 + i, f"src1{i}", held_text))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        out = {r["source"]: r for r in bpe_oov_readout(spark, docs).collect()}
+        for i in range(4):
+            assert out[f"src{i}"]["n_oov_words"] == 0
+            held = out[f"src1{i}"]
+            assert held["n_oov_words"] == held["n_words"] > 0

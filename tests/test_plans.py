@@ -822,3 +822,19 @@ class TestRound13Plans:
         assert "BroadcastNestedLoopJoin" not in p
         assert "BroadcastHashJoin" in p
         assert "pq_grow_index" in p  # FileScan over the grown index dirs
+
+    def test_residual_persisted_serving_partition_prunes_code_scan(
+        self, spark, sf_dir
+    ):
+        """The residual serving query's code scan must carry the probed
+        cells as a PARTITION filter on the durable residual index — the
+        same storage dividend as the raw persisted serving — with no
+        nested loop anywhere."""
+        p = plan(spark, sf_dir, "q_ann_ivf_pq_residual_persisted")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "pq_res_index" in p  # FileScan over the residual index
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+        assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
