@@ -385,6 +385,22 @@ SHOWCASE = [
         "bounds the worst join-key fan-out before it happens; no nested "
         "loop, no cartesian product.",
     ),
+    (
+        "q_ann_ivf_pq_residual_persisted",
+        "RESIDUAL IVF-PQ serving over the durable residual index: the "
+        "probed cells become a literal `label IN (...)` PartitionFilter "
+        "on the residual code FileScan; the per-cell residualized ADC "
+        "lookup (Q·nprobe·M·K rows) and the probe set ride "
+        "BroadcastHashJoins; no trainer subtree in the plan.",
+    ),
+    (
+        "q_bpe_tokenize_oov_replay",
+        "Merge-replay tokenization: the N trained merges apply as "
+        "chained scalar replaces over the distinct-word projection "
+        "(zero joins in the replay), then the corpus word stream "
+        "BroadcastHashJoins the replayed token counts and the trained "
+        "word set — one corpus scan, map-side-combinable aggregate.",
+    ),
 ]
 
 
