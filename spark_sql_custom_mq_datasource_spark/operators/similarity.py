@@ -3343,3 +3343,211 @@ def q_ann_ivf_pq_residual_persisted(
         )
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# nprobe sweep (round 13): the recall-vs-cost TUNING CURVE an IVF-PQ
+# deployment runs before fixing its serving knob — for nprobe = 1..K,
+# how many candidates does the coarse prune admit and how much exact-
+# top-k recall do they buy? The dedup family already has this discipline
+# (q_dedup_threshold_sweep); this is its ANN sibling. One pass computes
+# everything: probes keep their rank (prk), every candidate inherits its
+# cell's prk (a vector lives in exactly ONE cell), and cutoff k's
+# candidate set is simply prk <= k — so the sweep re-ranks per cutoff
+# without re-scanning or re-coding anything.
+#
+# Scale: identical shapes to q_ann_ivf_pq (broadcast centroids/lookup,
+# candidates only from probed cells); the sweep multiplies only the
+# final bounded per-query rankings (K window passes over ≤ |probed
+# candidates| rows), not the scan.
+# --------------------------------------------------------------------------
+
+IVFPQ_SWEEP_MAX = 4
+
+
+def _ivfpq_nprobe_sweep_oracle() -> str:
+    msum = _sql_pq_msum()
+    ctes = _pq_train_ctes()
+    ctes += [
+        """lbl AS (SELECT vec_id, label FROM embeddings)""",
+        f"""anch AS (SELECT DISTINCT vec_id FROM sv ORDER BY vec_id LIMIT {PQ_QUERIES})""",
+        """ccm AS (
+      SELECT l.label, e.m, e.dl, CAST(SUM(e.eq) AS DOUBLE) / COUNT(*) AS c
+      FROM ev e JOIN lbl l ON e.vec_id = l.vec_id
+      GROUP BY l.label, e.m, e.dl
+    )""",
+        """ccv AS MATERIALIZED (
+      SELECT label, m, list(c ORDER BY dl) AS cu FROM ccm GROUP BY label, m
+    )""",
+        f"""qcd AS (
+      SELECT q.vec_id AS qid, c.label, c.m AS m,
+             {_SQL_PQ_L2.format(a="q.sv", b="c.cu", n=PQ_SUBDIM)} AS dd
+      FROM sv q JOIN ccv c ON q.m = c.m
+      WHERE q.vec_id IN (SELECT vec_id FROM anch)
+    )""",
+        f"""cdist AS (SELECT qid, label, {msum} AS dist FROM qcd GROUP BY qid, label)""",
+        f"""probesr AS (
+      SELECT qid, label, prk FROM (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist ASC, label) AS prk
+        FROM cdist) WHERE prk <= {IVFPQ_SWEEP_MAX}
+    )""",
+        f"""qd AS MATERIALIZED (
+      SELECT q.vec_id AS qid, c.m, c.code,
+             {_SQL_PQ_L2.format(a="q.sv", b="c.cu", n=PQ_SUBDIM)} AS dd
+      FROM sv q JOIN c{PQ_ITERS} c ON q.m = c.m
+      WHERE q.vec_id IN (SELECT vec_id FROM anch)
+    )""",
+        """candr AS (
+      SELECT p.qid, a.vec_id, a.m, a.code, p.prk
+      FROM afinal a JOIN lbl l ON a.vec_id = l.vec_id
+      JOIN probesr p ON l.label = p.label
+      WHERE a.vec_id <> p.qid
+    )""",
+        """adcdr AS (
+      SELECT c.qid, c.vec_id, c.prk, c.m AS m, qd.dd AS dd
+      FROM candr c JOIN qd ON c.qid = qd.qid AND c.m = qd.m
+                          AND c.code = qd.code
+    )""",
+        f"""adcr AS MATERIALIZED (
+      SELECT qid, vec_id, prk, {msum} AS dist
+      FROM adcdr GROUP BY qid, vec_id, prk
+    )""",
+        f"""exd AS (
+      SELECT q.vec_id AS qid, v.vec_id, q.m AS m,
+             {_SQL_PQ_L2.format(a="q.sv", b="v.sv", n=PQ_SUBDIM)} AS dd
+      FROM sv q JOIN sv v ON q.m = v.m AND v.vec_id <> q.vec_id
+      WHERE q.vec_id IN (SELECT vec_id FROM anch)
+    )""",
+        f"""ex AS (SELECT qid, vec_id, {msum} AS dist FROM exd GROUP BY qid, vec_id)""",
+        f"""ext AS MATERIALIZED (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM ex) WHERE rk <= {PQ_TOPK})""",
+    ]
+    legs = []
+    for k in range(1, IVFPQ_SWEEP_MAX + 1):
+        ctes.append(
+            f"""adct{k} AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM adcr WHERE prk <= {k}) WHERE rk <= {PQ_TOPK})"""
+        )
+        legs.append(
+            f"""
+    SELECT {k} AS nprobe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM adcr WHERE prk <= {k})
+             AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ext e
+            JOIN adct{k} a ON e.qid = a.qid AND e.vec_id = a.vec_id)
+             AS hits_at_{PQ_TOPK}"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + " UNION ALL ".join(legs)
+        + "\n    ORDER BY nprobe"
+    )
+
+
+@register(
+    "q_ann_ivf_pq_nprobe_sweep",
+    _ivfpq_nprobe_sweep_oracle(),
+    doc=f"IVF-PQ nprobe TUNING CURVE: for nprobe = 1..{IVFPQ_SWEEP_MAX}, "
+    "the admitted candidate count and the exact-top-k recall those "
+    "candidates buy — computed in ONE pass (probes keep their rank, each "
+    "candidate inherits its cell's rank, cutoff k re-ranks the prk <= k "
+    "subset) — the knob read-out a deployment runs before fixing its "
+    "serving nprobe; the ANN sibling of q_dedup_threshold_sweep.",
+)
+def q_ann_ivf_pq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, sv = ivfpq_nprobe_sweep_plan(spark, sf_dir)
+    # bounded (IVFPQ_SWEEP_MAX rows): collect + release the sv persist
+    return materialize_small(spark, out, sv)
+
+
+def ivfpq_nprobe_sweep_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy (sweep result, persisted sv) — split for the plan pins."""
+    emb = tp(spark, sf_dir, "embeddings")
+    sv, cents = _pq_loop(spark, emb.select("vec_id", "embedding"))
+    cdf = spark.createDataFrame(cents, "m int, code int, cu array<double>")
+    lbl = emb.select("vec_id", "label")
+    coded = pq_assign(sv, cdf).join(lbl, "vec_id")
+    coarse = pq_coarse_centroids(sv.join(lbl, "vec_id"))
+    anchor_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_QUERIES).collect()
+    ]
+    q = sv.where(F.col("vec_id").isin(anchor_ids)).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    wprobe = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("label"))
+    probesr = (
+        F.broadcast(q)
+        .join(F.broadcast(coarse), "m")
+        .select("qid", "label", "m", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
+        .groupBy("qid", "label")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("prk", F.row_number().over(wprobe))
+        .where(F.col("prk") <= IVFPQ_SWEEP_MAX)
+        .select("qid", "label", "prk")
+    )
+    qd = (
+        F.broadcast(q)
+        .join(F.broadcast(cdf), "m")
+        .select("qid", "m", "code", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
+    )
+    adcr = (
+        coded.join(F.broadcast(probesr), "label")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qd), ["qid", "m", "code"])
+        .select("qid", "vec_id", "prk", "m", "dd")
+        .groupBy("qid", "vec_id", "prk")
+        .agg(_pq_fixed_order_dist())
+        # re-ranked IVFPQ_SWEEP_MAX times below; tiny (≤ probed candidates)
+        .localCheckpoint(eager=True)
+    )
+    topw = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    exd = (
+        F.broadcast(q)
+        .join(sv, "m")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "m", _pq_l2(F.col("qsv"), F.col("sv")).alias("dd"))
+    )
+    ext = (
+        exd.groupBy("qid", "vec_id")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("rk", F.row_number().over(topw))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    legs = []
+    for k in range(1, IVFPQ_SWEEP_MAX + 1):
+        sub = adcr.where(F.col("prk") <= k)
+        adct = (
+            sub.withColumn("rk", F.row_number().over(topw))
+            .where(F.col("rk") <= PQ_TOPK)
+            .select("qid", "vec_id")
+        )
+        legs.append(
+            adct.join(ext, ["qid", "vec_id"])
+            .agg(F.count("*").cast("bigint").alias(f"hits_at_{PQ_TOPK}"))
+            .crossJoin(
+                sub.agg(F.count("*").cast("bigint").alias("n_candidates"))
+            )
+            .select(
+                F.lit(k).alias("nprobe"),
+                "n_candidates",
+                f"hits_at_{PQ_TOPK}",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("nprobe"), sv

@@ -196,6 +196,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_pq_index_compact",
     "q_ann_ivf_pq_residual_persisted",
     "q_bpe_tokenize_oov_replay",
+    "q_ann_ivf_pq_nprobe_sweep",
     # -- code changed this round, so driver-RE-check even though r11/r12
     #    green: frame dedup gained the hot-frame DF cap + vectorized
     #    hashing; the BPE family gained the per-session trainer cache (+
@@ -249,7 +250,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_manifest_row_deletes",
     "q_manifest_partition_evolution",
     "q_stream_mv_merge",
-    "q_stream_manifest_ingest",
 )
 # The ROUND-12 prefix this replaces (all 50 green in CORRECTNESS_r12.json):
 # the 3 late-r11 PQ/stream-phash additions; the 6 round-12 additions
@@ -288,19 +288,20 @@ _PRIORITY: tuple[str, ...] = (
 # run: union coverage 242/242, no record older than r06, and only SEVEN
 # r06 records remain.
 #
-# ROUND-13 ROTATION PLAN (EXECUTED by the prefix above): (1) the 6
+# ROUND-13 ROTATION PLAN (EXECUTED by the prefix above): (1) the 7
 # round-13 additions (bpe_tokenize_persisted, stream_pq_index_grow,
 # ann_ivf_pq_residual, pq_index_compact, ann_ivf_pq_residual_persisted,
-# bpe_tokenize_oov_replay — never driver-checked), (2) the
-# 9 queries whose
+# bpe_tokenize_oov_replay, ann_ivf_pq_nprobe_sweep — never
+# driver-checked), (2) the 9 queries whose
 # code changed this round (frame-dedup cap + vectorized hashing; BPE
 # trainer cache; PQ helper refactors + unpersist fixes), (3) the 7
-# remaining r06-stale records, then (4) the 28 oldest r07-stale records.
-# After the r13 driver run: no record older than r07, and only ELEVEN
+# remaining r06-stale records, then (4) the 27 oldest r07-stale records.
+# After the r13 driver run: no record older than r07, and only TWELVE
 # r07 records remain.
 #
 # ROUND-14 ROTATION PLAN: (1) anything round 14 adds or edits, then
-# (2) the 11 remaining r07-stale records (q_stream_kmeans_assign,
+# (2) the 12 remaining r07-stale records (q_stream_manifest_ingest,
+# q_stream_kmeans_assign,
 # q_ab_experiment_readout, q_funnel_time_to_convert, q_event_transitions,
 # q_stream_funnel_stateful, q_stream_mq_to_manifest,
 # q_stream_gram_counts_mv, q_stream_split_route, q_session_paths_topk,

@@ -3285,3 +3285,48 @@ class TestBpeOovReplay:
             assert out[f"src{i}"]["n_oov_words"] == 0
             held = out[f"src1{i}"]
             assert held["n_oov_words"] == held["n_words"] > 0
+
+
+class TestIvfPqNprobeSweep:
+    """Round-13: the nprobe tuning curve
+    (operators/similarity.py:q_ann_ivf_pq_nprobe_sweep)."""
+
+    def test_curve_is_monotone(self, spark, sf_dir):
+        """Admitting more cells can only add candidates, and the top-k
+        over a superset of candidates can only match-or-beat recall in
+        aggregate is NOT guaranteed per query (a worse candidate can
+        displace a hit) — but the CANDIDATE count must be strictly
+        increasing and hits bounded by Q·topk."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            IVFPQ_SWEEP_MAX,
+            PQ_QUERIES,
+            PQ_TOPK,
+            q_ann_ivf_pq_nprobe_sweep,
+        )
+
+        rows = q_ann_ivf_pq_nprobe_sweep(spark, sf_dir).collect()
+        assert [r["nprobe"] for r in rows] == list(range(1, IVFPQ_SWEEP_MAX + 1))
+        cands = [r["n_candidates"] for r in rows]
+        assert cands == sorted(cands) and len(set(cands)) == len(cands)
+        for r in rows:
+            assert 0 <= r[f"hits_at_{PQ_TOPK}"] <= PQ_QUERIES * PQ_TOPK
+
+    def test_full_probe_matches_composed_recall(self, spark, sf_dir):
+        """At nprobe == IVFPQ_NPROBE the sweep's aggregate hits must equal
+        the sum of q_ann_ivf_pq's per-query hits — same prune, same ADC,
+        two independent implementations."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            IVFPQ_NPROBE,
+            PQ_TOPK,
+            q_ann_ivf_pq,
+            q_ann_ivf_pq_nprobe_sweep,
+        )
+
+        sweep = {
+            r["nprobe"]: r[f"hits_at_{PQ_TOPK}"]
+            for r in q_ann_ivf_pq_nprobe_sweep(spark, sf_dir).collect()
+        }
+        composed = sum(
+            r[f"hits_at_{PQ_TOPK}"] for r in q_ann_ivf_pq(spark, sf_dir).collect()
+        )
+        assert sweep[IVFPQ_NPROBE] == composed

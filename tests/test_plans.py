@@ -838,3 +838,25 @@ class TestRound13Plans:
 
         pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
         assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
+
+    def test_nprobe_sweep_only_one_row_count_joins_nonequi(self, spark, sf_dir):
+        """The sweep's only non-equi joins are the per-cutoff 1-row count
+        attaches (the q_tfidf discipline); the candidate/lookup work all
+        happened in the checkpointed equi-join stage."""
+        import re
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            IVFPQ_SWEEP_MAX,
+            ivfpq_nprobe_sweep_plan,
+        )
+
+        out, sv = ivfpq_nprobe_sweep_plan(spark, sf_dir)
+        try:
+            p = df_plan(spark, out)
+        finally:
+            sv.unpersist()
+        assert len(re.findall(r"\(\d+\) CartesianProduct", p)) == 0
+        assert (
+            len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+            <= IVFPQ_SWEEP_MAX
+        )
