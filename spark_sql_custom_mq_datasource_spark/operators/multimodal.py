@@ -680,14 +680,16 @@ def frame_pairs(
 @register(
     "q_multimodal_frame_dedup",
     f"""
-    WITH f AS (
+    WITH f0 AS (
       SELECT DISTINCT doc_id, fh FROM (
         SELECT doc_id,
                unnest(list_transform(
                  generate_series(1, CAST(ceil(strlen(text) / {DEDUP_FRAME_BYTES}.0) AS BIGINT)),
                  i -> md5(substr(text, (i-1)*{DEDUP_FRAME_BYTES}+1, {DEDUP_FRAME_BYTES})))) AS fh
         FROM documents)
-    )
+    ),
+    keep AS (SELECT fh FROM f0 GROUP BY fh HAVING COUNT(*) <= {FRAME_MAX_DF}),
+    f AS (SELECT doc_id, fh FROM f0 JOIN keep USING (fh))
     SELECT a.doc_id AS da, b.doc_id AS db,
            CAST(COUNT(*) AS INT) AS n_shared_frames
     FROM f a JOIN f b ON a.fh = b.fh AND a.doc_id < b.doc_id
@@ -700,9 +702,11 @@ def frame_pairs(
     "shuffle, per-payload-distinct frames digested once with a capped "
     "memo), candidates from the frame-hash equi-join only, with "
     f"ubiquitous frames (DF > {FRAME_MAX_DF}) dropped before the pair "
-    "join — the stop-shingle discipline applied to frames (fixture DFs "
-    "max 14, so the oracle needs no cap). Oracle recomputes the frames "
-    "via substr (ASCII fixture invariant, test-pinned).",
+    "join — the stop-shingle discipline applied to frames. The oracle "
+    "applies the IDENTICAL cap as a CTE, so query and oracle agree at "
+    "any scale, not just on the fixture's max-DF-14 geometry (ADVICE "
+    "r13 item 3); it recomputes the frames via substr (ASCII fixture "
+    "invariant, test-pinned).",
 )
 def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = attach_payload(tp(spark, sf_dir, "documents"))

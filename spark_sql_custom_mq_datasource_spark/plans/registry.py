@@ -188,7 +188,7 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # ==== ROUND-13 PREFIX ===============================================
     # (executes the round-12 rotation plan below / VERDICT r12 item 1)
-    # -- the 3 round-13 additions (never driver-checked; locally green at
+    # -- the 7 round-13 additions (never driver-checked; locally green at
     #    sf0.001 AND sf0.01) -----------------------------------------------
     "q_bpe_tokenize_persisted",
     "q_stream_pq_index_grow",

@@ -3610,7 +3610,10 @@ def _register_stream_pq_index_grow() -> None:
             "pq_grow", sf_dir, f"pq-grow-v1 slices={n_slices} odd-ids", build
         )
 
+        delivered: list[int] = []
+
         def fold(bdf: DataFrame, batch_id: int) -> None:
+            delivered.append(int(batch_id))
             (
                 bdf.select("vec_id", F.explode(codes_expr).alias("mc"), "label")
                 .select(
@@ -3643,10 +3646,13 @@ def _register_stream_pq_index_grow() -> None:
             q.stop()
 
         # Redelivery exercise (env-gated default ON, the incremental-dedup
-        # discipline): re-fold the LAST slice's exact content under its
-        # batch_id — batch-keyed OVERWRITE must leave the probe unchanged.
-        if _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0":
-            last = n_slices - 1
+        # discipline): re-fold the LAST DELIVERED batch's content under its
+        # recorded batch_id (max(delivered), the dedup/phash folds'
+        # pattern — hardcoding n_slices-1 would fabricate a spurious batch
+        # if availableNow ever grouped files; ADVICE r13 item 2) —
+        # batch-keyed OVERWRITE must leave the probe unchanged.
+        if delivered and _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0":
+            last = max(delivered)
             redelivered = spark.read.schema(
                 "vec_id long, embedding array<float>, label int"
             ).parquet(_os.path.join(inbox, f"{last:02d}.parquet"))
