@@ -2885,12 +2885,14 @@ def _ivfpq_residual_base_ctes() -> list[str]:
     ]
 
 
-def _ivfpq_residual_probe_ctes() -> list[str]:
+def _ivfpq_residual_probe_ctes(codes_cte: str = "rafinal") -> list[str]:
     """anch → INT-centroid coarse prune → residualized per-cell ADC →
     radc(qid, vec_id, dist): the serving pipeline over the residual
     trainer's outputs — shared by the recall read-out (which appends the
-    raw + exact legs) and the persisted serving oracle (which ranks radc
-    to top-k directly)."""
+    raw + exact legs), the persisted serving oracle (which ranks radc to
+    top-k directly), and the coarse-refresh oracle (which supplies its
+    own re-encoded code table via ``codes_cte``; the default `rafinal`
+    keeps every pre-existing oracle byte-identical)."""
     msum = _sql_pq_msum()
     return [
         f"""anch AS (SELECT DISTINCT vec_id FROM sv ORDER BY vec_id LIMIT {PQ_QUERIES})""",
@@ -2925,9 +2927,9 @@ def _ivfpq_residual_probe_ctes() -> list[str]:
              {_SQL_PQ_L2.format(a="v.rv", b="c.cu", n=PQ_SUBDIM)} AS dd
       FROM qrv v JOIN rc{PQ_ITERS} c ON v.m = c.m
     )""",
-        """rcand AS (
+        f"""rcand AS (
       SELECT p.qid, a.vec_id, a.m, a.code, l.label
-      FROM rafinal a JOIN lbl l ON a.vec_id = l.vec_id
+      FROM {codes_cte} a JOIN lbl l ON a.vec_id = l.vec_id
       JOIN probes p ON l.label = p.label
       WHERE a.vec_id <> p.qid
     )""",
@@ -3239,6 +3241,116 @@ def pq_residual_index_path(
     return _pq_residual_index_paths[key]
 
 
+def residualize_sv(svl: DataFrame, cells: DataFrame) -> DataFrame:
+    """(vec_id, m, sv) residual subvectors: subtract the INT cell centroid
+    per (label, m). svl: (vec_id, m, sv, label); cells: (label, m, cu) —
+    |cells|·M rows, always broadcast. Exact-int arithmetic (Q20 ints minus
+    floor'd-int centroids), so every downstream argmin is engine-portable."""
+    return svl.join(
+        F.broadcast(cells.withColumnRenamed("cu", "ccu")), ["label", "m"]
+    ).select(
+        "vec_id", "m", F.zip_with("sv", "ccu", lambda x, y: x - y).alias("sv")
+    )
+
+
+def pq_residual_encode(
+    batch: DataFrame, cells: DataFrame, rcdf: DataFrame
+) -> DataFrame:
+    """Encode a (vec_id, embedding, label) batch against FROZEN residual
+    artifacts: subvectorize, residualize against the INT cell centroids,
+    argmin against the residual codebooks — (vec_id, m, code, label).
+    The ingest-side encode of the residual index (bit-identical to the
+    build in pq_residual_index_path: same subvector build, same
+    residualize join, same pq_assign argmin), shared by the residual
+    grow fold, the compaction fixture, and the coarse refresh."""
+    lbl = batch.select("vec_id", "label")
+    svl = _pq_subvectors(batch.select("vec_id", "embedding")).join(lbl, "vec_id")
+    return pq_assign(residualize_sv(svl, cells), rcdf).join(lbl, "vec_id")
+
+
+def residual_probe_tables(
+    q: DataFrame, rcdf: DataFrame, cells: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The query-side tables of every residual ADC probe: the coarse
+    prune against the INT cell centroids (probes: qid, label —
+    localCheckpoint'd since every caller reuses it at least twice) and
+    the per-(query, probed cell) residualized ADC lookup (rqd:
+    Q·nprobe·M·K rows — broadcast). q: (qid, m, qsv)."""
+    wprobe = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("label"))
+    probes = (
+        F.broadcast(q)
+        .join(F.broadcast(cells), "m")
+        .select("qid", "label", "m", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
+        .groupBy("qid", "label")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("prk", F.row_number().over(wprobe))
+        .where(F.col("prk") <= IVFPQ_NPROBE)
+        .select("qid", "label")
+        .localCheckpoint(eager=True)  # reused: literal filter + equi-join
+    )
+    qr = (
+        F.broadcast(probes)
+        .join(F.broadcast(q), "qid")
+        .join(F.broadcast(cells.withColumnRenamed("cu", "ccu")), ["label", "m"])
+        .select(
+            "qid",
+            "label",
+            "m",
+            F.zip_with("qsv", "ccu", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    rqd = (
+        F.broadcast(qr)
+        .join(F.broadcast(rcdf), "m")
+        .select(
+            "qid", "label", "m", "code", _pq_l2(F.col("rv"), F.col("cu")).alias("dd")
+        )
+    )
+    return probes, rqd
+
+
+def residual_adc_rank(
+    codes: DataFrame, probes: DataFrame, rqd: DataFrame
+) -> DataFrame:
+    """ADC top-PQ_TOPK over a residual code table (vec_id, m, code,
+    label): candidates restricted to each query's probed cells, distances
+    summed in fixed m-order — the probe body shared by the persisted
+    residual serving, the grown-index probe, and the refresh/compaction
+    equivalence checks."""
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        codes.join(F.broadcast(probes), "label")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(rqd), ["qid", "label", "m", "code"])
+        .select("qid", "vec_id", "m", "dd")
+        .groupBy("qid", "vec_id")
+        .agg(_pq_fixed_order_dist())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+def residual_probe_topk(
+    q: DataFrame, rcdf: DataFrame, cells: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """Full residual probe over an in-memory code table: prune to the
+    probed labels (a bounded collect — the persisted serving path turns
+    the same literal into a parquet PARTITION filter), then ADC-rank."""
+    probes, rqd = residual_probe_tables(q, rcdf, cells)
+    probed = sorted(
+        {r["label"] for r in probes.select("label").distinct().collect()}
+    )
+    return residual_adc_rank(
+        codes.where(F.col("label").isin(probed)), probes, rqd
+    )
+
+
 def _ivfpq_residual_serve_oracle() -> str:
     """The residual serving chain ranked to top-k: only the CTEs the
     serving path needs (raw ev/sv for the query side, residual trainer,
@@ -3264,6 +3376,11 @@ def _ivfpq_residual_serve_oracle() -> str:
 @register(
     "q_ann_ivf_pq_residual_persisted",
     _ivfpq_residual_serve_oracle(),
+    # bench extended set (round 14, VERDICT r13 item 7): the residual
+    # serving path — the layout a production store actually ships — gets
+    # a per-round trend line next to q_ann_ivf_pq_persisted; NOT in the
+    # frozen legacy-14 set.
+    headline=True,
     doc=f"RESIDUAL IVF-PQ serving over the DURABLE residual index "
     "(residual codebooks + INT cell centroids + cell-partitioned "
     "residual codes): coarse prune against the persisted centroids, the "
@@ -3288,18 +3405,7 @@ def q_ann_ivf_pq_residual_persisted(
     q = _pq_subvectors(emb.where(F.col("vec_id").isin(anchor_ids))).select(
         F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
     )
-    wprobe = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("label"))
-    probes = (
-        F.broadcast(q)
-        .join(F.broadcast(cells), "m")
-        .select("qid", "label", "m", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
-        .groupBy("qid", "label")
-        .agg(_pq_fixed_order_dist())
-        .withColumn("prk", F.row_number().over(wprobe))
-        .where(F.col("prk") <= IVFPQ_NPROBE)
-        .select("qid", "label")
-        .localCheckpoint(eager=True)  # reused: literal filter + equi-join
-    )
+    probes, rqd = residual_probe_tables(q, rcdf, cells)
     # bounded: ≤ Q·nprobe labels — becomes a literal IN partition filter
     probed_labels = sorted(
         {r["label"] for r in probes.select("label").distinct().collect()}
@@ -3307,42 +3413,7 @@ def q_ann_ivf_pq_residual_persisted(
     pruned_codes = spark.read.parquet(codes_path).where(
         F.col("label").isin(probed_labels)
     )
-    # per-(query, probed cell) residualized ADC lookup (Q·nprobe·M·K rows)
-    qr = (
-        F.broadcast(probes)
-        .join(F.broadcast(q), "qid")
-        .join(F.broadcast(cells.withColumnRenamed("cu", "ccu")), ["label", "m"])
-        .select(
-            "qid",
-            "label",
-            "m",
-            F.zip_with("qsv", "ccu", lambda x, y: x - y).alias("rv"),
-        )
-    )
-    rqd = (
-        F.broadcast(qr)
-        .join(F.broadcast(rcdf), "m")
-        .select(
-            "qid", "label", "m", "code", _pq_l2(F.col("rv"), F.col("cu")).alias("dd")
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
-        pruned_codes.join(F.broadcast(probes), "label")
-        .where(F.col("vec_id") != F.col("qid"))
-        .join(F.broadcast(rqd), ["qid", "label", "m", "code"])
-        .select("qid", "vec_id", "m", "dd")
-        .groupBy("qid", "vec_id")
-        .agg(_pq_fixed_order_dist())
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= PQ_TOPK)
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-        .orderBy("qid", "rk")
-    )
+    return residual_adc_rank(pruned_codes, probes, rqd)
 
 
 # --------------------------------------------------------------------------
@@ -3551,3 +3622,277 @@ def ivfpq_nprobe_sweep_plan(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("nprobe"), sv
+
+
+# --------------------------------------------------------------------------
+# Coarse-quantizer refresh / incremental re-index (round 14, VERDICT r13
+# missing 3): after enough growth the FROZEN cell centroids the index was
+# built against drift from the data — the drift detector already exists
+# (q_embedding_centroid_drift); this is its APPLY step, the production
+# re-index a vector store runs in its maintenance window. The story:
+#
+#   stale state   cell centroids cci_h computed over the ORIGINAL half of
+#                 the corpus (even vec_ids) + residual codebooks trained
+#                 on that half's residuals; the index then GREW — every
+#                 vector (old and new) is encoded against those frozen
+#                 artifacts (the q_stream_pq_index_grow discipline).
+#   refresh       recompute the INT cell centroids over the FULL corpus
+#                 (cci_f); a cell whose INT centroid is UNCHANGED has
+#                 bit-identical residuals, so its codes are reused
+#                 BYTE-UNTOUCHED (file-level copy, never re-encoded);
+#                 only the changed cells' vectors are re-encoded — then
+#                 the new layout swaps in atomically (staged-rename, the
+#                 manifest discipline; the live index's files are
+#                 stat-pinned untouched until the swap).
+#   proof         the query RAISES unless the incremental result's probe
+#                 is bit-identical to a FULL re-encode of the corpus
+#                 against (cci_f, frozen codebooks) — re-encoding only
+#                 moved cells must be indistinguishable from re-encoding
+#                 everything. The probe itself is value-checked by an
+#                 oracle carrying the half-corpus trainer chain and the
+#                 full-corpus re-encode; n_moved / n_total /
+#                 n_changed_cells ride along as checked values.
+#
+# Residual codebooks stay FROZEN through the refresh (retraining them
+# would invalidate every code and make the re-index O(corpus) always —
+# codebook refresh is the q_embedding_centroid_drift -> full-rebuild
+# escalation, a different maintenance tier). INT-quantized centroids are
+# what make "unchanged cell" a meaningful, engine-portable predicate: a
+# real system quantizes the coarse reconstruction for exactly this
+# stability (plus storage) reason.
+#
+# Scale: the refresh touches (a) one centroid aggregate over the corpus
+# (the same one-pass groupBy every build runs), (b) re-encode of ONLY the
+# moved cells' vectors (worst case O(corpus), typical a small fraction),
+# (c) file-level copies of unchanged cells' partitions (metadata-rate at
+# an object store: server-side copy/rename). The equivalence comparator
+# is a test-time assertion the fixture affords; a 100 TB deployment runs
+# the refresh without it.
+# --------------------------------------------------------------------------
+
+
+def _pq_coarse_refresh_oracle() -> str:
+    l2 = _SQL_PQ_L2.format(a="v.sv", b="c.cu", n=PQ_SUBDIM)
+    raw = _pq_train_ctes()
+    half_base = [
+        """lbl AS (SELECT vec_id, label FROM embeddings)""",
+        """hev AS (SELECT * FROM ev WHERE vec_id % 2 = 0)""",
+        """ccih AS MATERIALIZED (
+      SELECT l.label, e.m, e.dl,
+             CAST(floor(CAST(SUM(e.eq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+      FROM hev e JOIN lbl l ON e.vec_id = l.vec_id
+      GROUP BY l.label, e.m, e.dl
+    )""",
+        """rev AS MATERIALIZED (
+      SELECT e.vec_id, e.m, e.dl, e.eq - c.cq AS eq
+      FROM hev e JOIN lbl l ON e.vec_id = l.vec_id
+      JOIN ccih c ON c.label = l.label AND c.m = e.m AND c.dl = e.dl
+    )""",
+    ]
+    ctes = [raw[0], raw[1]]  # ev + sv (the raw Q20 subvector build)
+    # residual trainer over the HALF corpus's residuals (the frozen rcdf)
+    ctes += _pq_train_ctes(pfx="r", base=half_base)
+    ctes += [
+        # refreshed centroids over the FULL corpus (named cci so the
+        # shared probe CTEs prune/residualize against them)
+        """cci AS MATERIALIZED (
+      SELECT l.label, e.m, e.dl,
+             CAST(floor(CAST(SUM(e.eq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+      FROM ev e JOIN lbl l ON e.vec_id = l.vec_id
+      GROUP BY l.label, e.m, e.dl
+    )""",
+        # full re-encode against (cci_f, frozen rc{N}) — what the
+        # incremental refresh must be bit-identical to
+        """revf AS MATERIALIZED (
+      SELECT e.vec_id, e.m, e.dl, e.eq - c.cq AS eq
+      FROM ev e JOIN lbl l ON e.vec_id = l.vec_id
+      JOIN cci c ON c.label = l.label AND c.m = e.m AND c.dl = e.dl
+    )""",
+        """rsvf AS MATERIALIZED (
+      SELECT vec_id, m, list(CAST(eq AS DOUBLE) ORDER BY dl) AS sv
+      FROM revf GROUP BY vec_id, m
+    )""",
+        f"""rall AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT v.vec_id, v.m, c.code,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {l2} ASC, c.code) AS rk
+        FROM rsvf v JOIN rc{PQ_ITERS} c ON v.m = c.m
+      ) WHERE rk = 1
+    )""",
+    ]
+    ctes += _ivfpq_residual_probe_ctes(codes_cte="rall")
+    ctes += [
+        """chg AS (
+      SELECT DISTINCT f.label FROM cci f
+      JOIN ccih h ON f.label = h.label AND f.m = h.m AND f.dl = h.dl
+      WHERE f.cq <> h.cq
+    )""",
+        """mv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_moved FROM lbl
+              WHERE label IN (SELECT label FROM chg))""",
+        """tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lbl)""",
+        """nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_changed_cells FROM chg)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT t.qid, t.neighbor_id, t.rk,
+           m.n_moved, o.n_total, c.n_changed_cells
+    FROM (
+      SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist ASC, vec_id) AS rk
+        FROM radc) WHERE rk <= {PQ_TOPK}
+    ) t, mv m, tot o, nc c
+    ORDER BY t.qid, t.rk
+    """
+    )
+
+
+@register(
+    "q_pq_coarse_refresh",
+    _pq_coarse_refresh_oracle(),
+    doc="coarse-quantizer REFRESH with incremental re-index: a residual "
+    "index built against stale cell centroids (trained on the original "
+    "even-id half, then grown to the whole corpus with frozen artifacts) "
+    "is refreshed by recomputing the INT cell centroids over the full "
+    "corpus and re-encoding ONLY the cells whose centroid moved — "
+    "unchanged cells' code files are copied byte-untouched, the new "
+    "layout swaps in by staged rename (live files stat-pinned unchanged "
+    "until the swap), and the query RAISES unless the refreshed probe is "
+    "bit-identical to a full re-encode; emits the probe plus "
+    "n_moved/n_total/n_changed_cells. The apply step of "
+    "q_embedding_centroid_drift.",
+)
+def q_pq_coarse_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.storagelevel import StorageLevel
+
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    lbl = emb.select("vec_id", "label")
+    sv = (
+        _pq_subvectors(emb.select("vec_id", "embedding"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    svl = sv.join(lbl, "vec_id")
+    half = svl.where(F.col("vec_id") % 2 == 0)
+
+    # stale artifacts: centroids + residual codebooks from the even half
+    cci_h = pq_coarse_centroids_int(half)
+    rsv_h = (
+        residualize_sv(half, cci_h)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    rcents = _pq_train_sv(spark, rsv_h)
+    rcdf = spark.createDataFrame(rcents, "m int, code int, cu array<double>")
+
+    # the grown index: EVERY vector encoded against the stale artifacts
+    state = work_dir("pq_refresh_index")
+    current = _os.path.join(state, "current")
+    (
+        pq_assign(residualize_sv(svl, cci_h), rcdf)
+        .join(lbl, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(current)
+    )
+
+    # refresh: new INT centroids over the full corpus; changed = any
+    # (m, dim) differs. Both tables are |cells|·M rows — bounded collects.
+    cci_f = pq_coarse_centroids_int(svl)
+
+    def by_label(rows) -> dict[int, dict[int, tuple]]:
+        out: dict[int, dict[int, tuple]] = {}
+        for r in rows:
+            out.setdefault(r["label"], {})[r["m"]] = tuple(r["cu"])
+        return out
+
+    h_map = by_label(cci_h.collect())
+    f_map = by_label(cci_f.collect())
+    missing = sorted(set(f_map) - set(h_map))
+    if missing:
+        # a cell with no vectors in the original half has no stale
+        # centroid — its vectors could never have been encoded, so the
+        # premise (a grown index over frozen artifacts) is violated
+        raise AssertionError(f"cells absent from the stale index: {missing}")
+    changed = sorted(lb for lb in f_map if f_map[lb] != h_map[lb])
+    n_changed_cells = len(changed)
+
+    # stat-pin the live index: no file may change before the swap
+    def stat_map(root: str) -> dict[str, tuple[int, int]]:
+        out = {}
+        for r, _, files in _os.walk(root):
+            for fn in files:
+                p = _os.path.join(r, fn)
+                st = _os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    pre_stats = stat_map(current)
+
+    staged = _os.path.join(state, "staged")
+    _shutil.rmtree(staged, ignore_errors=True)
+    _os.makedirs(staged, exist_ok=True)
+    if changed:
+        # re-encode ONLY the moved cells' vectors against the fresh
+        # centroids (codebooks frozen)
+        (
+            pq_residual_encode(
+                emb.where(F.col("label").isin(changed)), cci_f, rcdf
+            )
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(staged)
+        )
+    # unchanged cells: file-level copy, never re-encoded (at an object
+    # store this is a server-side copy/rename — metadata-rate)
+    for d in _os.listdir(current):
+        if d.startswith("label=") and int(d.split("=", 1)[1]) not in changed:
+            _shutil.copytree(
+                _os.path.join(current, d), _os.path.join(staged, d)
+            )
+
+    post_stats = stat_map(current)
+    if post_stats != pre_stats:
+        raise AssertionError("live index files changed before the swap")
+    retired = current + "_retired"
+    _shutil.rmtree(retired, ignore_errors=True)
+    _os.replace(current, retired)
+    _os.replace(staged, current)
+    _shutil.rmtree(retired, ignore_errors=True)
+
+    # probe the refreshed index; RAISE unless bit-identical to a full
+    # re-encode against (cci_f, frozen codebooks)
+    anchor_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_QUERIES).collect()
+    ]
+    q = sv.where(F.col("vec_id").isin(anchor_ids)).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    refreshed = spark.read.parquet(current)
+    probe = residual_probe_topk(q, rcdf, cci_f, refreshed)
+    full = residual_probe_topk(q, rcdf, cci_f, pq_residual_encode(emb, cci_f, rcdf))
+    probe_rows = probe.collect()
+    if sorted(map(tuple, probe_rows)) != sorted(map(tuple, full.collect())):
+        raise AssertionError(
+            "incremental refresh probe differs from the full re-encode"
+        )
+    sv.unpersist()
+    rsv_h.unpersist()
+    n_total = emb.count()
+    n_moved = (
+        emb.where(F.col("label").isin(changed)).count() if changed else 0
+    )
+    counts = spark.createDataFrame(
+        [(int(n_moved), int(n_total), int(n_changed_cells))],
+        "n_moved bigint, n_total bigint, n_changed_cells bigint",
+    )
+    out = spark.createDataFrame(probe_rows, probe.schema)
+    return out.crossJoin(F.broadcast(counts)).orderBy("qid", "rk")
