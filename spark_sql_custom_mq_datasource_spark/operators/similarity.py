@@ -3767,12 +3767,21 @@ def _pq_coarse_refresh_oracle() -> str:
     "q_embedding_centroid_drift.",
 )
 def q_pq_coarse_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return pq_coarse_refresh_readout(spark, emb)
+
+
+def pq_coarse_refresh_readout(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The refresh over ANY (vec_id, embedding, label) table — split from
+    the registered query so tests can drive it with a CONSTRUCTED corpus
+    where only SOME cells' centroids move (the fixture's half-vs-full
+    means shift nearly every cell, so the moved-subset arithmetic is only
+    assertable on constructed geometry)."""
     import os as _os
     import shutil as _shutil
 
     from pyspark.storagelevel import StorageLevel
 
-    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     lbl = emb.select("vec_id", "label")
     sv = (
         _pq_subvectors(emb.select("vec_id", "embedding"))

@@ -186,72 +186,81 @@ def register(
 #      additions, then the r05 TPC-H/window/set-op block. Everything
 #      displaced stays green in CORRECTNESS_r08/r09.json.
 _PRIORITY: tuple[str, ...] = (
-    # ==== ROUND-13 PREFIX ===============================================
-    # (executes the round-12 rotation plan below / VERDICT r12 item 1)
-    # -- the 7 round-13 additions (never driver-checked; locally green at
+    # ==== ROUND-14 PREFIX ===============================================
+    # (executes the round-13 rotation plan below / VERDICT r13 item 1)
+    # -- the 5 round-14 additions (never driver-checked; locally green at
     #    sf0.001 AND sf0.01) -----------------------------------------------
+    "q_bpe_tokenize_oov_persisted",
+    "q_pq_index_health",
+    "q_stream_pq_residual_index_grow",
+    "q_pq_residual_index_compact",
+    "q_pq_coarse_refresh",
+    # -- code or oracle changed this round, so driver-RE-check even though
+    #    r13 green: the tokenize read-outs dropped the forced vocab
+    #    broadcast + the OOV replay body was factored for the persisted
+    #    serving twin; bpe_index_path dirs are now parameter-keyed; the
+    #    frame-dedup ORACLE gained the DF cap CTE (ADVICE r13 item 3); the
+    #    grow fold records delivered batch ids (ADVICE r13 item 2); the
+    #    compact build moved onto _build_grown_pq_layout; the persisted
+    #    residual serving moved onto the shared residual probe helpers
+    #    (and joined the extended bench set) --------------------------------
+    "q_bpe_tokenize_corpus",
     "q_bpe_tokenize_persisted",
+    "q_bpe_tokenize_oov_replay",
+    "q_multimodal_frame_dedup",
     "q_stream_pq_index_grow",
-    "q_ann_ivf_pq_residual",
     "q_pq_index_compact",
     "q_ann_ivf_pq_residual_persisted",
-    "q_bpe_tokenize_oov_replay",
-    "q_ann_ivf_pq_nprobe_sweep",
-    # -- code changed this round, so driver-RE-check even though r11/r12
-    #    green: frame dedup gained the hot-frame DF cap + vectorized
-    #    hashing; the BPE family gained the per-session trainer cache (+
-    #    tokenize-readout refactor); the PQ family was refactored onto the
-    #    shared trainer-core/encoder/probe helpers and the three _pq_loop
-    #    callers now materialize + unpersist (ADVICE r12 item 4) ----------
-    "q_multimodal_frame_dedup",
-    "q_bpe_tokenize_corpus",
-    "q_bpe_train_merges",
-    "q_bpe_encode",
-    "q_ann_ivf_pq",
-    "q_pq_adc_recall",
-    "q_embedding_pq_codebooks",
-    "q_pq_persisted_probe",
-    "q_stream_pq_encode",
-    # -- the 7 r06-stale records (the oldest anywhere) ---------------------
-    "q_semi_join_priority",
-    "q_cube_orders",
-    "q_distinct_parts_per_flag",
-    "q_union_high_value",
-    "q_window_running_total",
-    "q_window_order_gaps",
-    "q_right_join_order_coverage",
-    # -- r07-stale, oldest-first (tools/rotation_plan.py order; the 8
-    #    displaced by this round's new/changed block lead the round-14
-    #    plan) -------------------------------------------------------------
-    "q_text_quality",
-    "q_text_fingerprint",
-    "q_text_bpeish_tokens",
-    "q_text_lang_agg",
-    "q_text_normalize",
-    "q_text_repetition_scores",
-    "q_langid_confusion",
-    "q_dedup_rerank_cosine",
-    "q_dedup_cross_source_matrix",
-    "q_dedup_keep_longest",
-    "q_sample_weighted_per_source",
-    "q_hybrid_rrf_topk",
-    "q_embedding_dim_stats",
-    "q_hard_negative_mining",
-    "q_mix_upsample",
-    "q_pack_sequences",
-    "q_pipeline_end_to_end",
-    "q_split_leakage_free",
-    "q_udf_scalar_tokens",
-    "q_multimodal_binary_meta",
-    "q_multimodal_frame_sample",
-    "q_attribution_last_view",
-    "q_manifest_retention_prune",
-    "q_manifest_stats_skip",
-    "q_manifest_row_deletes",
-    "q_manifest_partition_evolution",
-    "q_stream_mv_merge",
+    # -- the 12 r07-stale records (the oldest anywhere) --------------------
+    "q_stream_manifest_ingest",
+    "q_stream_kmeans_assign",
+    "q_ab_experiment_readout",
+    "q_funnel_time_to_convert",
+    "q_event_transitions",
+    "q_stream_funnel_stateful",
+    "q_stream_mq_to_manifest",
+    "q_stream_gram_counts_mv",
+    "q_stream_split_route",
+    "q_session_paths_topk",
+    "q_events_debounce",
+    "q_stream_debounce",
+    # -- 26 of the 49 r09-stale records, oldest-first
+    #    (tools/rotation_plan.py order) ------------------------------------
+    "q_text_lang_id",
+    "q_vocab_coverage",
+    "q_source_divergence_kl",
+    "q_tokenizer_fertility",
+    "q_bpe_pair_counts",
+    "q_dedup_exact",
+    "q_dedup_embedding_cosine",
+    "q_dedup_clusters",
+    "q_dedup_incremental_minhash",
+    "q_ann_bruteforce_topk",
+    "q_ann_lsh_bucketed",
+    "q_ann_ivf",
+    "q_ann_recall_lsh",
+    "q_ann_lsh_persisted",
+    "q_hard_negative_ann",
+    "q_ann_lsh_multiprobe",
+    "q_split_train_val_test",
+    "q_curation_pipeline",
+    "q_decontaminate_ngram",
+    "q_stratified_sample",
+    "q_dedup_incremental",
+    "q_token_budget_mix",
+    "q_mix_temperature",
+    "q_dedup_chunk_exact",
+    "q_shard_balanced",
+    "q_udf_grouped_user_stats",
 )
-# The ROUND-12 prefix this replaces (all 50 green in CORRECTNESS_r12.json):
+# The ROUND-13 prefix this replaces (all 50 green in CORRECTNESS_r13.json):
+# the 7 round-13 additions (bpe_tokenize_persisted, stream_pq_index_grow,
+# ann_ivf_pq_residual, pq_index_compact, ann_ivf_pq_residual_persisted,
+# bpe_tokenize_oov_replay, ann_ivf_pq_nprobe_sweep); the 9 r13-changed
+# re-checks (frame dedup, BPE train/encode/corpus, the PQ helper-refactor
+# family); the 7 r06-stale records; and 27 r07-stale records — see
+# CORRECTNESS_r13.json for the exact list.
+# The ROUND-12 prefix before that (all 50 green in CORRECTNESS_r12.json):
 # the 3 late-r11 PQ/stream-phash additions; the 6 round-12 additions
 # (ann_ivf_pq, pq_persisted_probe, ann_ivf_pq_persisted, stream_pq_encode,
 # bpe_tokenize_corpus, multimodal_frame_dedup); the 2 re-checked phash
@@ -299,17 +308,29 @@ _PRIORITY: tuple[str, ...] = (
 # After the r13 driver run: no record older than r07, and only TWELVE
 # r07 records remain.
 #
-# ROUND-14 ROTATION PLAN: (1) anything round 14 adds or edits, then
-# (2) the 12 remaining r07-stale records (q_stream_manifest_ingest,
-# q_stream_kmeans_assign,
-# q_ab_experiment_readout, q_funnel_time_to_convert, q_event_transitions,
-# q_stream_funnel_stateful, q_stream_mq_to_manifest,
-# q_stream_gram_counts_mv, q_stream_split_route, q_session_paths_topk,
-# q_events_debounce, q_stream_debounce — all green in
-# CORRECTNESS_r07.json and re-verified by every local full battery
-# since), then (3) the r09-stale records oldest-first
-# (tools/rotation_plan.py regenerates the exact order from
-# CORRECTNESS_r01..r13).
+# ROUND-14 ROTATION PLAN (EXECUTED by the prefix above): (1) the 5
+# round-14 additions (bpe_tokenize_oov_persisted, pq_index_health,
+# stream_pq_residual_index_grow, pq_residual_index_compact,
+# pq_coarse_refresh — never driver-checked), (2) the 7 queries whose code
+# or oracle changed this round, (3) the 12 remaining r07-stale records
+# (the oldest anywhere), then (4) the 26 oldest r09-stale records. After
+# the r14 driver run: no record older than r09, and only 23 r09 records
+# remain.
+#
+# ROUND-15 ROTATION PLAN: (1) anything round 15 adds or edits, then
+# (2) the 23 remaining r09-stale records (q_udf_grouped_agg_geomean,
+# q_udtf_tokenize, q_asof_join_last_order, q_range_join_acctbal,
+# q_salted_join_event_stats, q_join_key_skew_report, q_stream_tumbling_1d,
+# q_stream_tumbling_watermark, q_stream_dedup_pairs,
+# q_stream_dedup_within_watermark, q_stream_stream_join,
+# q_stream_stateful_stats, q_stream_session_windows, q_stream_mq_replay,
+# q_stream_foreachbatch_parquet, q_stream_transform_with_state,
+# q_stream_stream_left_outer, q_manifest_compact, q_attribution_linear,
+# q_events_anomaly_zscore, q_events_tumbling_1d, q_events_sessionize,
+# q_bucketed_join_revenue — all green in CORRECTNESS_r09.json and
+# re-verified by every local full battery since), then (3) the r10-stale
+# records oldest-first (tools/rotation_plan.py regenerates the exact
+# order from CORRECTNESS_r01..r14).
 
 
 def _load_all() -> None:

@@ -3330,3 +3330,139 @@ class TestIvfPqNprobeSweep:
             r[f"hits_at_{PQ_TOPK}"] for r in q_ann_ivf_pq(spark, sf_dir).collect()
         )
         assert sweep[IVFPQ_NPROBE] == composed
+
+
+class TestBpeOovPersisted:
+    """Round-14: OOV merge-replay served from the durable artifact
+    (functions/text.py:q_bpe_tokenize_oov_persisted, VERDICT r13
+    missing 4)."""
+
+    def test_persisted_oov_equals_inline(self, spark, sf_dir):
+        """Serving from merges/ + vocab/ is bit-identical to retraining
+        inline on the same train-half (the suite pin VERDICT r13 item 5
+        asks for)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        inline = sorted(
+            map(tuple, qs["q_bpe_tokenize_oov_replay"](spark, sf_dir).collect())
+        )
+        persisted = sorted(
+            map(
+                tuple,
+                qs["q_bpe_tokenize_oov_persisted"](spark, sf_dir).collect(),
+            )
+        )
+        assert persisted == inline and persisted
+
+    def test_index_dirs_keyed_by_params(self, spark, sf_dir):
+        """Differently-parameterized artifacts live in DIFFERENT dirs and
+        both stay intact — a second build must never wipe the first
+        (ADVICE r13 item 1: the work_dir clear-on-entry trap)."""
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            BPE_MERGES,
+            BPE_OOV_TRAIN_MAX_SRC,
+            bpe_index_path,
+        )
+
+        m_full, _ = bpe_index_path(spark, sf_dir, BPE_MERGES)
+        m_small, _ = bpe_index_path(spark, sf_dir, BPE_MERGES - 2)
+        m_sub, _ = bpe_index_path(
+            spark, sf_dir, BPE_MERGES, train_max_src=BPE_OOV_TRAIN_MAX_SRC
+        )
+        assert len({m_full, m_small, m_sub}) == 3
+        # every artifact still carries ITS OWN merge count after the
+        # later builds (the wrong-vocab staleness the fix kills)
+        assert spark.read.parquet(m_full).count() == BPE_MERGES
+        assert spark.read.parquet(m_small).count() == BPE_MERGES - 2
+        assert spark.read.parquet(m_sub).count() == BPE_MERGES
+
+
+class TestPqIndexHealth:
+    """Round-14: the PQ index health monitor
+    (streaming/pipelines.py:q_pq_index_health, VERDICT r13 missing 1)."""
+
+    def test_health_row_bounds_and_occupancy(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t as _t
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            PQ_HEALTH_SAMPLE,
+        )
+
+        [row] = get_queries()["q_pq_index_health"](spark, sf_dir).collect()
+        assert row["n_sampled"] == PQ_HEALTH_SAMPLE
+        assert 0 <= row["recall_hits"] <= row["recall_possible"]
+        # occupancy is read off the INDEX but must equal the corpus's
+        # per-label counts (every vector landed exactly once)
+        occ = {
+            r["label"]: r["n"]
+            for r in _t(spark, sf_dir, "embeddings")
+            .groupBy("label")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert row["n_cells"] == len(occ)
+        mx, tot = max(occ.values()), sum(occ.values())
+        assert row["hottest_cell"] in occ and occ[row["hottest_cell"]] == mx
+        assert 0 < row["hottest_share_q20"] <= 1048576
+        # max/avg >= 1 by construction
+        assert row["cell_max_over_avg_q20"] >= 1048576
+        import math
+
+        assert row["hottest_share_q20"] == int(
+            math.floor(mx * 1048576.0 / tot + 0.5)
+        )
+
+
+class TestPqCoarseRefresh:
+    """Round-14: coarse-quantizer refresh / incremental re-index
+    (operators/similarity.py:pq_coarse_refresh_readout, VERDICT r13
+    missing 3)."""
+
+    def test_moved_subset_on_constructed_corpus(self, spark):
+        """Constructed geometry where exactly ONE cell's INT centroid
+        moves between the original half and the grown corpus: label 0's
+        vectors are all identical (half mean == full mean, untouched);
+        label 1's odd-id vectors are shifted (full mean moves). The
+        refresh must re-encode ONLY label 1 — and still be bit-identical
+        to the full re-encode (the in-query assertion)."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            pq_coarse_refresh_readout,
+        )
+
+        dim = 64
+        rows = []
+        for vid in range(80):
+            label = vid // 40
+            if label == 0:
+                v = [1.0] * dim
+            else:
+                v = [2.0] * dim if vid % 2 == 0 else [6.0] * dim
+            rows.append((vid, v, label))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = pq_coarse_refresh_readout(spark, emb).collect()
+        assert out
+        for r in out:
+            assert r["n_changed_cells"] == 1
+            assert r["n_moved"] == 40
+            assert r["n_total"] == 80
+
+    def test_fixture_counts_consistent(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        rows = get_queries()["q_pq_coarse_refresh"](spark, sf_dir).collect()
+        assert rows
+        consts = {
+            (r["n_moved"], r["n_total"], r["n_changed_cells"]) for r in rows
+        }
+        assert len(consts) == 1
+        n_moved, n_total, n_changed = consts.pop()
+        assert 0 <= n_moved <= n_total and n_changed >= 0
