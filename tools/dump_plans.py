@@ -401,6 +401,26 @@ SHOWCASE = [
         "BroadcastHashJoins the replayed token counts and the trained "
         "word set — one corpus scan, map-side-combinable aggregate.",
     ),
+    (
+        "q_stream_pq_residual_index_grow",
+        "Probe over the GROWN residual index: base + streamed delta "
+        "subdirs are label-partitioned parquet FileScans (per-dir "
+        "partition pruning preserved through growth), pruned by the "
+        "probed-labels literal and equi-joined to the broadcast "
+        "residualized ADC lookup — the probe recomputes nothing; each "
+        "growth trigger was one O(batch) residual encode + append.",
+    ),
+    # (q_pq_index_health returns a driver-assembled one-row summary —
+    # its plan story lives in SCALING.md; the legs it composes are the
+    # already-showcased ADC probe and a fixed-N broadcast exact leg.)
+    (
+        "q_bpe_tokenize_oov_persisted",
+        "Persisted-artifact OOV serving: the merge table arrives as a "
+        "bounded parquet collect (no trainer subtree in the plan), the "
+        "replay is chained scalar replaces over the distinct-word "
+        "projection, and the OOV flag joins vocab/'s word-set FileScan "
+        "— train-free serving, one corpus scan.",
+    ),
 ]
 
 
