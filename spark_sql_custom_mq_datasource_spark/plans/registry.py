@@ -188,13 +188,14 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # ==== ROUND-14 PREFIX ===============================================
     # (executes the round-13 rotation plan below / VERDICT r13 item 1)
-    # -- the 5 round-14 additions (never driver-checked; locally green at
+    # -- the 6 round-14 additions (never driver-checked; locally green at
     #    sf0.001 AND sf0.01) -----------------------------------------------
     "q_bpe_tokenize_oov_persisted",
     "q_pq_index_health",
     "q_stream_pq_residual_index_grow",
     "q_pq_residual_index_compact",
     "q_pq_coarse_refresh",
+    "q_ann_ivf_pq_refine",
     # -- code or oracle changed this round, so driver-RE-check even though
     #    r13 green: the tokenize read-outs dropped the forced vocab
     #    broadcast + the OOV replay body was factored for the persisted
@@ -224,7 +225,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_session_paths_topk",
     "q_events_debounce",
     "q_stream_debounce",
-    # -- 26 of the 49 r09-stale records, oldest-first
+    # -- 25 of the 49 r09-stale records, oldest-first
     #    (tools/rotation_plan.py order) ------------------------------------
     "q_text_lang_id",
     "q_vocab_coverage",
@@ -251,7 +252,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_mix_temperature",
     "q_dedup_chunk_exact",
     "q_shard_balanced",
-    "q_udf_grouped_user_stats",
 )
 # The ROUND-13 prefix this replaces (all 50 green in CORRECTNESS_r13.json):
 # the 7 round-13 additions (bpe_tokenize_persisted, stream_pq_index_grow,
@@ -308,17 +308,18 @@ _PRIORITY: tuple[str, ...] = (
 # After the r13 driver run: no record older than r07, and only TWELVE
 # r07 records remain.
 #
-# ROUND-14 ROTATION PLAN (EXECUTED by the prefix above): (1) the 5
+# ROUND-14 ROTATION PLAN (EXECUTED by the prefix above): (1) the 6
 # round-14 additions (bpe_tokenize_oov_persisted, pq_index_health,
 # stream_pq_residual_index_grow, pq_residual_index_compact,
-# pq_coarse_refresh — never driver-checked), (2) the 7 queries whose code
-# or oracle changed this round, (3) the 12 remaining r07-stale records
-# (the oldest anywhere), then (4) the 26 oldest r09-stale records. After
-# the r14 driver run: no record older than r09, and only 23 r09 records
-# remain.
+# pq_coarse_refresh, ann_ivf_pq_refine — never driver-checked), (2) the
+# 7 queries whose code or oracle changed this round, (3) the 12
+# remaining r07-stale records (the oldest anywhere), then (4) the 25
+# oldest r09-stale records. After the r14 driver run: no record older
+# than r09, and only 24 r09 records remain.
 #
 # ROUND-15 ROTATION PLAN: (1) anything round 15 adds or edits, then
-# (2) the 23 remaining r09-stale records (q_udf_grouped_agg_geomean,
+# (2) the 24 remaining r09-stale records (q_udf_grouped_user_stats,
+# q_udf_grouped_agg_geomean,
 # q_udtf_tokenize, q_asof_join_last_order, q_range_join_acctbal,
 # q_salted_join_event_stats, q_join_key_skew_report, q_stream_tumbling_1d,
 # q_stream_tumbling_watermark, q_stream_dedup_pairs,

@@ -3466,3 +3466,27 @@ class TestPqCoarseRefresh:
         assert len(consts) == 1
         n_moved, n_total, n_changed = consts.pop()
         assert 0 <= n_moved <= n_total and n_changed >= 0
+
+
+class TestIvfPqRefine:
+    """Round-14: two-stage serving with exact re-rank
+    (operators/similarity.py:q_ann_ivf_pq_refine)."""
+
+    def test_shape_and_determinism(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            PQ_QUERIES,
+            PQ_TOPK,
+            q_ann_ivf_pq_refine,
+        )
+
+        rows = q_ann_ivf_pq_refine(spark, sf_dir).collect()
+        assert len(rows) == PQ_QUERIES * PQ_TOPK
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        for qid, rs in by_q.items():
+            assert sorted(r["rk"] for r in rs) == list(range(1, PQ_TOPK + 1))
+            neigh = [r["neighbor_id"] for r in rs]
+            assert len(set(neigh)) == PQ_TOPK and qid not in neigh
+        again = q_ann_ivf_pq_refine(spark, sf_dir).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

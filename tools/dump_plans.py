@@ -421,6 +421,15 @@ SHOWCASE = [
         "projection, and the OOV flag joins vocab/'s word-set FileScan "
         "— train-free serving, one corpus scan.",
     ),
+    (
+        "q_ann_ivf_pq_refine",
+        "Two-stage serving with exact re-rank: stage 1 is the persisted "
+        "IVF-PQ probe (literal `label IN (...)` PartitionFilter on the "
+        "code scan, broadcast ADC lookups) ranked to a top-R shortlist; "
+        "stage 2 BroadcastHashJoins the Q·R shortlist against ONE "
+        "subvector scan — the exact leg reads a constant number of "
+        "vectors, never corpus-proportional.",
+    ),
 ]
 
 
