@@ -1584,3 +1584,151 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= QUOTA_PER_SOURCE)
         .orderBy("source", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter benchmark decontamination (round 14).
+#
+# q_decontaminate_ngram broadcasts the RAW eval shingle index — right while
+# the benchmark suite is MBs. When the "benchmark" side grows (dozens of
+# eval suites, held-out corpora, the customer's full test split), the raw
+# index stops fitting a broadcast but its BLOOM FILTER still does: m bits
+# summarize any number of shingles at a fixed false-positive budget. The
+# production pattern (Spark's own runtime bloom-filter join, Iceberg/Delta
+# bloom indexes) is: (1) aggregate the eval shingles into packed bloom
+# words, (2) broadcast the words and test every corpus gram MAP-SIDE with
+# pure int arithmetic, (3) exact-confirm only the bloom-positive grams.
+# Bloom filters have NO false negatives, so step 3 makes the result exactly
+# the exact-join answer — the oracle value-checks it — while step 2 cuts
+# the shuffled/probed volume to (true matches + FP-rate * corpus grams).
+#
+# Semantics here are UNION containment (vs q_decontaminate_ngram's pairwise
+# leakage matrix): a training doc is contaminated by how much of it appears
+# in ANY eval item — the form pipelines actually gate on before training.
+#
+# Everything is JVM-side: positions via xxhash64 double hashing
+# (Kirsch-Mitzenmacher, h2 forced odd so probes cycle the power-of-two bit
+# space), the word table is a |m/64|-row aggregate collected bounded and
+# re-attached as ONE array column through a 1-row broadcast (not a literal
+# tree — the LSH analysis-cost lesson), membership is k AND-ed bit tests.
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 15  # m: sized to the benchmark side (bounded by nature)
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 4
+_BLOOM_SALT = 0x5F3759DF
+
+
+def _bloom_pos_sql(scol: str) -> list[str]:
+    """SQL for the k bit positions of an int64 key, all arithmetic < 2^18.
+
+    Double hashing (Kirsch-Mitzenmacher): pos_i = h1 + i*h2 mod m, with h2
+    forced odd so the probe stride cycles the power-of-two bit space."""
+    h1 = f"pmod(xxhash64({scol}), {BLOOM_BITS})"
+    h2 = f"pmod(xxhash64({scol}, {_BLOOM_SALT}L), {BLOOM_BITS})"
+    h2o = f"({h2} + 1 - pmod({h2}, 2))"
+    return [f"pmod({h1} + {i} * {h2o}, {BLOOM_BITS})" for i in range(BLOOM_K)]
+
+
+def bloom_build(spark: SparkSession, keys: DataFrame, col: str) -> DataFrame:
+    """1-row (bw array<bigint>) bloom word table for a key DataFrame.
+
+    The groupBy(word) bit_or is a |m/64|-row aggregate regardless of key
+    count; the collect is bounded by BLOOM_WORDS."""
+    pos_arr = "array(" + ", ".join(_bloom_pos_sql(col)) + ")"
+    words = (
+        keys.select(F.explode(F.expr(pos_arr)).alias("pos"))
+        .selectExpr(
+            "CAST(pos DIV 64 AS INT) AS w",
+            "shiftleft(1L, CAST(pos % 64 AS INT)) AS bit",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    bw = [0] * BLOOM_WORDS
+    for r in words:
+        bw[int(r["w"])] = int(r["bits"])
+    return spark.createDataFrame([(bw,)], "bw array<bigint>")
+
+
+def bloom_might_contain(scol: str, bwcol: str) -> Column:
+    """AND of k bit probes against the attached word-array column; takes
+    COLUMN NAMES (the probes are SQL expressions — shiftleft by a column
+    amount has no Column-API form)."""
+    probes = [
+        f"(element_at({bwcol}, CAST(({pos}) DIV 64 AS INT) + 1)"
+        f" & shiftleft(1L, CAST(({pos}) % 64 AS INT))) != 0"
+        for pos in _bloom_pos_sql(scol)
+    ]
+    return F.expr(" AND ".join(probes))
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sets: DataFrame,
+    eval_sets: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """(doc_id, common, n_shingles, containment) per contaminated train doc,
+    UNION semantics, bloom-prefiltered + exact-confirmed (exact result)."""
+    eval_hashes = (
+        eval_sets.select(F.explode("hset").alias("s")).distinct()
+    )
+    bw = bloom_build(spark, eval_hashes, "s")
+    train_sh = sets.select("doc_id", "n", F.explode("hset").alias("s"))
+    candidates = train_sh.crossJoin(F.broadcast(bw)).where(
+        bloom_might_contain("s", "bw")
+    )
+    confirmed = candidates.join(F.broadcast(eval_hashes), "s").groupBy(
+        "doc_id", "n"
+    ).agg(F.count("*").alias("common"))
+    return (
+        confirmed.select(
+            "doc_id",
+            F.col("common").cast("int").alias("common"),
+            F.col("n").cast("int").alias("n_shingles"),
+            (F.col("common") / F.col("n")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+@register(
+    "q_decontaminate_bloom",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+    m AS (SELECT t.doc_id, COUNT(*) AS common
+          FROM sh t JOIN ev ON t.s = ev.s
+          WHERE t.doc_id % {DECONTAM_EVAL_MOD} <> 0
+          GROUP BY 1)
+    SELECT m.doc_id, CAST(m.common AS INTEGER) AS common,
+           CAST(sz.n AS INTEGER) AS n_shingles,
+           CAST(m.common AS DOUBLE) / sz.n AS containment
+    FROM m JOIN sz ON m.doc_id = sz.doc_id
+    WHERE CAST(m.common AS DOUBLE) / sz.n >= {DECONTAM_THRESHOLD}
+    ORDER BY m.doc_id
+    """,
+    doc="bloom-prefiltered benchmark decontamination (union containment "
+    f"against the whole eval side): the eval shingle set folds into {BLOOM_BITS} "
+    "broadcast bloom bits (xxhash64 double hashing, map-side k-bit probe), "
+    "only bloom-positive grams reach the exact confirm join — no false "
+    "negatives, so the gated result is exactly the exact-join answer while "
+    "the probed volume drops to true matches + the FP budget.",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_sets_cached
+
+    sets = shingle_sets_cached(spark, sf_dir)
+    eval_sets = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    train_sets = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return decontaminate_bloom(
+        spark, train_sets, eval_sets, DECONTAM_THRESHOLD
+    ).orderBy("doc_id")

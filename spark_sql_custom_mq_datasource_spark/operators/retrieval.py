@@ -664,3 +664,171 @@ def _register_hybrid_rrf() -> None:
 
 
 _register_hybrid_rrf()
+
+
+# --------------------------------------------------------------------------
+# MaxSim late-interaction rerank (round 14): the ColBERT serving pattern
+# (Khattab & Zaharia, SIGIR 2020) — first-stage retrieval produces a
+# SHORTLIST, then a token-level scorer reranks only those candidates:
+# score(q, d) = sum over query tokens of the max similarity to any doc
+# token. The expensive interaction matrix is bounded by the shortlist
+# (Q · N docs · |q terms| · dl pairs), never corpus-sized — exactly how
+# late-interaction models deploy behind BM25/ANN first stages.
+#
+# Token vectors here are a DETERMINISTIC STUB for a learned embedding
+# table (the multimodal-decode discipline: the container has no model,
+# so the vector map is md5-derived integers both engines recompute;
+# swap in a real per-token embedding lookup in deployment — the Spark
+# plumbing, join shapes and the MaxSim fold are the deliverable).
+# Identical tokens get identical vectors (self-similarity = ||v||², the
+# max a query term can score), distinct tokens decorrelate — so the
+# scorer behaves like a soft term matcher, which is what MaxSim is.
+# All arithmetic int64: dim 16, |h| < 2^20 per entry, dot < 2^44.
+# --------------------------------------------------------------------------
+
+MAXSIM_SHORTLIST = 20  # stage-1 BM25 candidates per query
+MAXSIM_TOP_K = 5
+MAXSIM_DIM = 16
+_MAXSIM_RANGE = 1 << 20
+
+
+def _token_vec_expr(tcol: str) -> str:
+    """Spark SQL for the md5-derived int vector of token column `tcol` —
+    tv[j] = int64(md5('tv{j}:{token}')[:15]) % 2^21 - 2^20."""
+    items = ", ".join(
+        f"CAST(conv(substring(md5(concat('tv{j}:', {tcol})), 1, 15), 16, 10) "
+        f"AS BIGINT) % {2 * _MAXSIM_RANGE} - {_MAXSIM_RANGE}"
+        for j in range(MAXSIM_DIM)
+    )
+    return f"array({items})"
+
+
+def _sql_token_vec(tcol: str) -> str:
+    """DuckDB twin of _token_vec_expr (same md5 inputs, same ints)."""
+    items = ", ".join(
+        f"CAST(('0x' || substr(md5('tv{j}:' || {tcol}), 1, 15)) AS BIGINT) "
+        f"% {2 * _MAXSIM_RANGE} - {_MAXSIM_RANGE}"
+        for j in range(MAXSIM_DIM)
+    )
+    return f"[{items}]"
+
+
+def maxsim_rerank(
+    docs: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int = MAXSIM_TOP_K,
+) -> DataFrame:
+    """(qid, rank, doc_id, maxsim) — MaxSim over token vectors, candidates
+    restricted to the (qid, doc_id) shortlist. docs: (doc_id, text);
+    queries: (qid, qtext); shortlist: (qid, doc_id)."""
+    dtok = (
+        docs.join(F.broadcast(shortlist.select("doc_id").distinct()), "doc_id")
+        .select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("dt"))
+        .distinct()  # MaxSim is a max — duplicate doc tokens can't change it
+        .withColumn("dv", F.expr(_token_vec_expr("dt")))
+    )
+    qtok = (
+        queries.select(
+            "qid", F.explode(F.split(F.trim("qtext"), " ")).alias("qt")
+        )
+        .distinct()
+        .withColumn("qv", F.expr(_token_vec_expr("qt")))
+    )
+    pairs = (
+        F.broadcast(shortlist.select("qid", "doc_id"))
+        .join(F.broadcast(qtok), "qid")
+        .join(dtok, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            "qt",
+            F.aggregate(
+                F.zip_with("qv", "dv", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("sim"),
+        )
+    )
+    best = pairs.groupBy("qid", "doc_id", "qt").agg(F.max("sim").alias("mx"))
+    scored = best.groupBy("qid", "doc_id").agg(F.sum("mx").alias("maxsim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("maxsim").cast("bigint").alias("maxsim"),
+        )
+    )
+
+
+def _maxsim_oracle_sql() -> str:
+    # stage 1: the shared BM25 chain at shortlist depth
+    bm25_shortlist = _SQL_BM25.replace(
+        f"WHERE rank <= {BM25_TOP_K}", f"WHERE rank <= {MAXSIM_SHORTLIST}"
+    )
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, " + str(MAXSIM_DIM) + "), "
+        "i -> qv[i] * dv[i])), (acc, v) -> acc + v)"
+    )
+    return f"""
+    WITH shortlist AS (
+      SELECT qid, doc_id FROM ({bm25_shortlist})
+    ),
+    dtok AS (
+      SELECT DISTINCT d.doc_id, t.dt
+      FROM documents d,
+           unnest(string_split(trim(d.text), ' ')) AS t(dt)
+      WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM shortlist)
+    ),
+    dtv AS (SELECT doc_id, dt, {_sql_token_vec("dt")} AS dv FROM dtok),
+    q AS (SELECT * FROM (VALUES {_QUERY_VALUES}) AS v(qid, qtext)),
+    qtok AS (SELECT DISTINCT qid, unnest(string_split(trim(qtext), ' ')) AS qt
+             FROM q),
+    qtv AS (SELECT qid, qt, {_sql_token_vec("qt")} AS qv FROM qtok),
+    pairs AS (
+      SELECT s.qid, s.doc_id, qtv.qt, {dot} AS sim
+      FROM shortlist s
+      JOIN qtv ON qtv.qid = s.qid
+      JOIN dtv ON dtv.doc_id = s.doc_id
+    ),
+    best AS (SELECT qid, doc_id, qt, MAX(sim) AS mx
+             FROM pairs GROUP BY 1, 2, 3),
+    scored AS (SELECT qid, doc_id, SUM(mx) AS maxsim
+               FROM best GROUP BY 1, 2)
+    SELECT CAST(qid AS INTEGER) AS qid, CAST(rank AS INTEGER) AS rank,
+           doc_id, CAST(maxsim AS BIGINT) AS maxsim
+    FROM (SELECT qid, doc_id, maxsim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY maxsim DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= {MAXSIM_TOP_K}
+    ORDER BY qid, rank
+    """
+
+
+@register(
+    "q_retrieval_maxsim",
+    _maxsim_oracle_sql(),
+    doc=f"MaxSim late-interaction rerank (ColBERT serving shape): BM25 "
+    f"retrieves a top-{MAXSIM_SHORTLIST} shortlist per benchmark query, "
+    "then sum-of-max token-level similarity reranks ONLY the shortlist "
+    f"(interaction matrix bounded by Q·N·|q|·dl, never corpus-sized) to "
+    f"a final top-{MAXSIM_TOP_K}; token vectors are a deterministic "
+    "md5-derived stub for a learned embedding table (documented; the "
+    "join shapes and the MaxSim fold are the deliverable), all-int64, "
+    "full value oracle.",
+)
+def q_retrieval_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tp(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(list(BM25_QUERIES), "qid int, qtext string")
+    shortlist = bm25_topk(docs, queries, k=MAXSIM_SHORTLIST).select(
+        "qid", "doc_id"
+    )
+    return maxsim_rerank(docs, queries, shortlist, MAXSIM_TOP_K).orderBy(
+        "qid", "rank"
+    )

@@ -4039,3 +4039,405 @@ def pq_coarse_refresh_readout(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
     out = spark.createDataFrame(probe_rows, probe.schema)
     return out.crossJoin(F.broadcast(counts)).orderBy("qid", "rk")
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization (round 14): the OTHER compressed-domain index
+# family production vector stores ship next to PQ (FAISS
+# ScalarQuantizer/QT_8bit, Milvus/Lucene int8): each dimension is
+# quantized independently to an 8-bit code on a per-dimension [min, max]
+# grid trained from the corpus. 4x smaller than float32 with near-exact
+# recall at 64 dims — the default first step before PQ's more aggressive
+# 16-32x, and the two compose (SQ8 shortlist -> exact re-rank, like
+# q_ann_ivf_pq_refine).
+#
+# Exactness discipline (the lsh_bucket convention): embeddings are first
+# quantized to int64 on the shared Q20 grid (floor(x*2^20 + 0.5) — exact
+# in any engine), the per-dim [mn, mx] stats and the 0..255 codes are
+# integer arithmetic on that grid, and the asymmetric distance is computed
+# in a x255 integer space — reconstruction mn*255 + code*rng avoids the
+# float step size entirely, so Spark, numpy int64, and DuckDB agree
+# bit-for-bit and the oracle value-checks the full top-k, not a rows-only
+# shadow. Residual bound per dim: 0 <= qs - recon < rng <= 2^21, so the
+# 64-dim squared sum stays < 2^48 — no int64 overflow.
+#
+# Scale: stats = ONE corpus scan ending in 128 partial-aggregated min/max
+# cells (no explode, no shuffle of vectors); encode = a stateless map with
+# the 128 grid constants inlined as literals; serving = Arrow-batched
+# numpy over the CODED table (4x less I/O than raw), queries in the task
+# closure, per-batch top-k, window reduce — the brute-force shape with a
+# quarter of the bytes.
+# --------------------------------------------------------------------------
+
+SQ8_LEVELS = 255  # codes 0..255 via (e - mn) * 255 div rng
+SQ8_DIM = 64
+
+
+def sq8_stats(emb: DataFrame, dim: int = SQ8_DIM) -> tuple[list[int], list[int]]:
+    """Per-dimension (mn, rng) on the Q20 integer grid, one corpus scan.
+
+    rng is floored at 1 so constant dimensions encode to 0 instead of
+    dividing by zero. Bounded driver transfer: 2*dim int64 cells."""
+    eqd = [
+        F.floor(F.element_at("embedding", d + 1).cast("double") * QUANT + F.lit(0.5))
+        .cast("bigint")
+        for d in range(dim)
+    ]
+    aggs = [F.min(eqd[d]).alias(f"mn{d}") for d in range(dim)] + [
+        F.max(eqd[d]).alias(f"mx{d}") for d in range(dim)
+    ]
+    row = emb.agg(*aggs).collect()[0]
+    mn = [int(row[f"mn{d}"]) for d in range(dim)]
+    rng = [max(int(row[f"mx{d}"]) - mn[d], 1) for d in range(dim)]
+    return mn, rng
+
+
+def sq8_encode(
+    emb: DataFrame, mn: list[int], rng: list[int], levels: int = SQ8_LEVELS
+) -> DataFrame:
+    """(vec_id, codes array<int>): JVM-side stateless encode map.
+
+    The 128 grid constants ride as two literal arrays inside ONE
+    projection (no per-consumer re-inlining — the encode output feeds
+    either a parquet sink or an Arrow boundary). levels=1 with rng=1
+    degenerates to the identity grid (codes = e - mn) — the exact leg
+    of the recall read-out, kept unscaled so its 64-dim squared sums
+    stay far from int64 range."""
+    mn_sql = "array(" + ",".join(f"{v}L" for v in mn) + ")"
+    rng_sql = "array(" + ",".join(f"{v}L" for v in rng) + ")"
+    codes = F.expr(
+        f"transform(embedding, (x, i) -> CAST("
+        f"((floor(CAST(x AS DOUBLE) * {QUANT} + 0.5D) - element_at({mn_sql}, i + 1))"
+        f" * {levels}) DIV element_at({rng_sql}, i + 1) AS INT))"
+    )
+    keep = [c for c in emb.columns if c != "embedding"]
+    return emb.select(*keep, codes.alias("codes"))
+
+
+def sq8_topk(
+    coded: DataFrame,
+    queries_eq: list[tuple[int, list[int]]],
+    mn: list[int],
+    rng: list[int],
+    k: int = TOPK,
+    levels: int = SQ8_LEVELS,
+) -> DataFrame:
+    """Asymmetric top-k over the coded corpus: query int grid (x levels)
+    vs reconstructed codes, exact int64 numpy per Arrow batch."""
+    mn_a = np.asarray(mn, dtype=np.int64)
+    rng_a = np.asarray(rng, dtype=np.int64)
+    qids = np.asarray([q[0] for q in queries_eq], dtype=np.int64)
+    qs = np.asarray([q[1] for q in queries_eq], dtype=np.int64) * levels
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            recon = mn_a * levels + codes * rng_a  # (n, dim) int64
+            for qi in range(len(qids)):
+                diff = qs[qi][None, :] - recon  # exact int64
+                dist = (diff * diff).sum(axis=1)
+                mask = ids != qids[qi]
+                d, cid = dist[mask], ids[mask]
+                if len(cid) == 0:
+                    continue
+                order = np.lexsort((cid, d))[:k]
+                yield pd.DataFrame(
+                    {"qid": qids[qi], "neighbor_id": cid[order], "dist": d[order]}
+                )
+
+    schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("dist", LongType()),
+        ]
+    )
+    partial = coded.mapInPandas(scan, schema)
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "neighbor_id", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _collect_query_eq(queries: DataFrame) -> list[tuple[int, list[int]]]:
+    """Q20 integer grid of the (small-by-contract) query set."""
+    rows = (
+        queries.select("vec_id", "embedding")
+        .limit(MAX_COLLECTED_QUERIES + 1)
+        .collect()
+    )
+    if len(rows) > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"SQ8 query set exceeds MAX_COLLECTED_QUERIES={MAX_COLLECTED_QUERIES}"
+        )
+    out = []
+    for r in rows:
+        eq = np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * QUANT + 0.5
+        ).astype(np.int64)
+        out.append((int(r["vec_id"]), [int(v) for v in eq]))
+    return out
+
+
+_SQL_SQ8_CTES = f"""
+    eq AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS eqv
+           FROM embeddings),
+    ev AS (SELECT vec_id, d, eqv[d] AS e
+           FROM eq, generate_series(1, {SQ8_DIM}) g(d)),
+    st AS (SELECT d, MIN(e) AS mn, GREATEST(MAX(e) - MIN(e), 1) AS rng
+           FROM ev GROUP BY d),
+    recon AS (SELECT vec_id, d,
+                     mn * {SQ8_LEVELS} + ((e - mn) * {SQ8_LEVELS}) // rng * rng AS r
+              FROM ev JOIN st USING (d)),
+    sq8q AS (SELECT vec_id AS qid, d, e * {SQ8_LEVELS} AS qs
+             FROM ev WHERE vec_id < {N_QUERIES}),
+    sq8d AS (SELECT q.qid, r.vec_id,
+                    SUM((q.qs - r.r) * (q.qs - r.r)) AS dist
+             FROM sq8q q JOIN recon r ON q.d = r.d AND r.vec_id <> q.qid
+             GROUP BY 1, 2)"""
+
+
+@register(
+    "q_ann_sq8_topk",
+    f"""
+    WITH {_SQL_SQ8_CTES}
+    SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM sq8d) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """,
+    doc="SQ8 scalar-quantized ANN (FAISS QT_8bit family): per-dim 8-bit "
+    "codes on a corpus-trained integer grid (one stats scan, stateless "
+    "JVM encode), asymmetric top-k over the 4x-smaller coded table via "
+    "exact-int64 numpy batches; the whole chain is integer arithmetic on "
+    "the shared Q20 grid, so the oracle value-checks the full ranking.",
+)
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mn, rng = sq8_stats(emb)
+    coded = sq8_encode(emb, mn, rng)
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    return sq8_topk(coded, queries, mn, rng, TOPK).orderBy("qid", "rk")
+
+
+@register(
+    "q_ann_sq8_recall",
+    f"""
+    WITH {_SQL_SQ8_CTES},
+    sq8t AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM sq8d) WHERE rk <= {TOPK}),
+    exd AS (SELECT q.qid, r.vec_id,
+                   SUM((q.e - r.e) * (q.e - r.e)) AS dist
+            FROM (SELECT vec_id AS qid, d, e FROM ev
+                  WHERE vec_id < {N_QUERIES}) q
+            JOIN ev r ON q.d = r.d AND r.vec_id <> q.qid
+            GROUP BY 1, 2),
+    ext AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM exd) WHERE rk <= {TOPK})
+    SELECT e.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS recall_hits,
+           CAST({TOPK} AS BIGINT) AS recall_possible
+    FROM ext e LEFT JOIN sq8t a ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+    doc="SQ8 quantization-loss read-out: per-query overlap of the SQ8 "
+    "asymmetric top-k with the EXACT integer-grid L2 top-k (both legs "
+    "all-int64, both engines bit-identical) — the acceptance gate run "
+    "before swapping an SQ8 index into serving.",
+)
+def q_ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mn, rng = sq8_stats(emb)
+    coded = sq8_encode(emb, mn, rng)
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    sq8t = sq8_topk(coded, queries, mn, rng, TOPK).select("qid", "neighbor_id")
+
+    # exact leg on the same integer grid: the SQ8 scan with levels=1 and
+    # rng=1 degenerates to identity (codes = e - mn, recon = e), i.e. an
+    # exact integer-L2 brute force sharing the quantized scan machinery.
+    ones = [1] * len(mn)
+    exact_coded = sq8_encode(emb, mn, ones, levels=1)
+    ext = sq8_topk(exact_coded, queries, mn, ones, TOPK, levels=1).select(
+        "qid", "neighbor_id"
+    )
+    return (
+        ext.join(sq8t.withColumn("hit", F.lit(1)), ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("bigint").alias("recall_hits"),
+            F.lit(TOPK).cast("bigint").alias("recall_possible"),
+        )
+        .orderBy("qid")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-SQ8 (round 14): the coarse-quantizer + scalar-quantizer composition
+# (FAISS IVFScalarQuantizer / Milvus IVF_SQ8) — the default middle point
+# of the accuracy/compression ladder between IVF-Flat (no compression)
+# and IVF-PQ (16-32x): cells prune the scan, SQ8 shrinks what's read 4x,
+# and per-dim 8-bit reconstruction keeps recall near-exact. Same INT
+# discipline end-to-end: coarse centroids are INT-rounded per-dim means
+# on the Q20 grid (the residual-IVFADC cci convention), the coarse prune
+# and the SQ8 asymmetric distance are pure int64 — the oracle checks the
+# full ranking.
+#
+# Scale: the coarse table is |cells|x(dim+1) — a bounded collect whose
+# argmin runs driver-side for the fixed anchor set (production: broadcast);
+# the probed labels become a literal filter on the label-partitioned
+# coded scan (the persisted-serving partition-prune shape); the SQ8 scan
+# then touches only probed cells' codes — nprobe/|cells| of 1/4 the bytes.
+# --------------------------------------------------------------------------
+
+
+def _eqd_cols(dim: int = SQ8_DIM) -> list:
+    """Per-dim Q20 integer grid expressions over `embedding`."""
+    return [
+        F.floor(F.element_at("embedding", d + 1).cast("double") * QUANT + F.lit(0.5))
+        .cast("bigint")
+        .alias(f"e{d}")
+        for d in range(dim)
+    ]
+
+
+def ivf_sq8_cells(emb: DataFrame, dim: int = SQ8_DIM) -> list[tuple[int, list[int]]]:
+    """INT cell centroids per label: floor(mean(eq) + 0.5) per dim — one
+    scan, |cells| rows collected (bounded by the label domain)."""
+    eq = emb.select("label", *_eqd_cols(dim))
+    aggs = [F.sum(f"e{d}").alias(f"s{d}") for d in range(dim)] + [
+        F.count("*").alias("n")
+    ]
+    rows = eq.groupBy("label").agg(*aggs).collect()
+    import math as _math
+
+    return sorted(
+        (
+            int(r["label"]),
+            [
+                int(_math.floor(float(r[f"s{d}"]) / int(r["n"]) + 0.5))
+                for d in range(dim)
+            ],
+        )
+        for r in rows
+    )
+
+
+@register(
+    "q_ann_ivf_sq8",
+    f"""
+    WITH {_SQL_SQ8_CTES.replace("sq8q AS", "_sq8q_unused AS").replace("sq8d AS", "_sq8d_unused AS")},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cc AS (SELECT l.label, v.d,
+                  CAST(floor(CAST(SUM(v.e) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+           FROM ev v JOIN lbl l ON v.vec_id = l.vec_id
+           GROUP BY l.label, v.d),
+    qv AS (SELECT vec_id AS qid, d, e FROM ev WHERE vec_id < {N_QUERIES}),
+    qc AS (SELECT q.qid, c.label, SUM((q.e - c.cq) * (q.e - c.cq)) AS cdist
+           FROM qv q JOIN cc c ON q.d = c.d GROUP BY q.qid, c.label),
+    probes AS (SELECT qid, label FROM (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cdist ASC, label) AS prk
+      FROM qc) WHERE prk <= {IVF_NPROBE}),
+    cand AS (SELECT p.qid, r.vec_id, r.d, r.r
+             FROM recon r JOIN lbl l ON r.vec_id = l.vec_id
+             JOIN probes p ON l.label = p.label
+             WHERE r.vec_id <> p.qid),
+    qs AS (SELECT vec_id AS qid, d, e * {SQ8_LEVELS} AS qs
+           FROM ev WHERE vec_id < {N_QUERIES}),
+    dd AS (SELECT c.qid, c.vec_id, SUM((q.qs - c.r) * (q.qs - c.r)) AS dist
+           FROM cand c JOIN qs q ON q.qid = c.qid AND q.d = c.d
+           GROUP BY c.qid, c.vec_id)
+    SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM dd) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """,
+    doc=f"IVF-SQ8 ANN (FAISS IVFScalarQuantizer family): INT coarse "
+    f"centroids per cell prune the scan to nprobe={IVF_NPROBE} cells, "
+    "SQ8 asymmetric distance ranks only the probed cells' 4x-smaller "
+    "codes — the middle point of the compression ladder between IVF-Flat "
+    "and IVF-PQ; all-integer chain, full value oracle.",
+)
+def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    mn, rng = sq8_stats(emb)
+    coded = sq8_encode(emb, mn, rng)  # keeps label
+    cells = ivf_sq8_cells(emb)
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    # coarse prune: argmin over the bounded collected cell table (the
+    # persisted-serving pattern turns this literal into partition pruning)
+    probed: dict[int, list[int]] = {}
+    for qid, eq in queries:
+        dists = sorted(
+            (sum((e - c) ** 2 for e, c in zip(eq, cq)), label)
+            for label, cq in cells
+        )
+        probed[qid] = sorted(label for _, label in dists[:IVF_NPROBE])
+    all_probed = sorted({lb for labs in probed.values() for lb in labs})
+    pruned = coded.where(F.col("label").isin(all_probed))
+
+    # ONE scan over the union of probed cells; each query ranks only its
+    # own cells' members via a label mask inside the numpy batch (a
+    # per-query re-scan would multiply corpus reads by Q at scale)
+    mn_a = np.asarray(mn, dtype=np.int64)
+    rng_a = np.asarray(rng, dtype=np.int64)
+    qids = [qid for qid, _ in queries]
+    qs = {
+        qid: np.asarray(eq, dtype=np.int64) * SQ8_LEVELS for qid, eq in queries
+    }
+    probe_sets = {qid: set(labs) for qid, labs in probed.items()}
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            recon = mn_a * SQ8_LEVELS + codes * rng_a
+            for qid in qids:
+                mask = np.isin(labs, list(probe_sets[qid])) & (ids != qid)
+                if not mask.any():
+                    continue
+                diff = qs[qid][None, :] - recon[mask]
+                dist = (diff * diff).sum(axis=1)
+                cid = ids[mask]
+                order = np.lexsort((cid, dist))[:TOPK]
+                yield pd.DataFrame(
+                    {"qid": qid, "neighbor_id": cid[order], "dist": dist[order]}
+                )
+
+    schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("dist", LongType()),
+        ]
+    )
+    partial = pruned.select("vec_id", "label", "codes").mapInPandas(scan, schema)
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("qid", "neighbor_id", F.col("rk").cast("int").alias("rk"))
+        .orderBy("qid", "rk")
+    )

@@ -1025,3 +1025,79 @@ def q_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Time travel as a first-class query (round 14). The snapshot machinery has
+# always retained every manifest ("any retained snapshot is readable by
+# version" — module docstring) and the retention test pins old-snapshot
+# readability, but no REGISTERED query exercised version-pinned reads.
+# This one reads THREE versions of the same table concurrently — v0 (the
+# full original), v1 (after a metadata-only retention prune), v2 (after a
+# second, tighter prune) — the "reproduce last week's training set /
+# audit what a job saw" read pattern lake formats exist for.
+#
+# Scale: each versioned read plans from its manifest's file list (O(manifest)
+# metadata, no directory listing); the three reads share the SAME immutable
+# data files — time travel costs zero storage beyond the manifests, and a
+# concurrent writer can commit v3 mid-read without perturbing any leg.
+# --------------------------------------------------------------------------
+
+TIME_TRAVEL_CUTOFF_1 = "2024-01-05"
+TIME_TRAVEL_CUTOFF_2 = "2024-01-10"
+
+
+@register(
+    "q_manifest_time_travel",
+    f"""
+    WITH base AS (SELECT CAST(ts AS DATE) AS day FROM events),
+    v0 AS (SELECT 0 AS version, day, COUNT(*) AS n_events
+           FROM base GROUP BY day),
+    v1 AS (SELECT 1 AS version, day, COUNT(*) AS n_events
+           FROM base WHERE day >= DATE '{TIME_TRAVEL_CUTOFF_1}' GROUP BY day),
+    v2 AS (SELECT 2 AS version, day, COUNT(*) AS n_events
+           FROM base WHERE day >= DATE '{TIME_TRAVEL_CUTOFF_2}' GROUP BY day)
+    SELECT version, day, n_events FROM v0
+    UNION ALL SELECT version, day, n_events FROM v1
+    UNION ALL SELECT version, day, n_events FROM v2
+    ORDER BY version, day
+    """,
+    doc="snapshot time travel: events committed as a manifest table, two "
+    "successive METADATA-ONLY retention prunes create v1 and v2, then all "
+    "THREE versions are read concurrently by version-pinned file lists "
+    "(per-day counts per version) — the reproduce-last-week's-training-set "
+    "read; data files are shared across versions, so time travel costs "
+    "zero storage beyond the manifests.",
+)
+def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = work_dir("manifest_time_travel")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    v0 = write_snapshot(ev, table, "dt")
+    # same fixture guard as q_manifest_retention_prune: the oracle's
+    # CAST(ts AS DATE) drops NULL-ts rows, the pruner keeps the null
+    # partition — they only agree when no such partition exists
+    from .maintenance import HIVE_DEFAULT_PARTITION
+
+    m = read_manifest(table)
+    if any(e["dt"] == HIVE_DEFAULT_PARTITION for e in m["files"]):
+        raise RuntimeError(
+            "events.ts contains NULLs: extend the time-travel oracle "
+            "before running it on such a fixture"
+        )
+    v1 = prune_snapshot_before(table, TIME_TRAVEL_CUTOFF_1)
+    v2 = prune_snapshot_before(table, TIME_TRAVEL_CUTOFF_2)
+
+    legs = []
+    for version in (v0, v1, v2):
+        snap = read_snapshot(spark, table, version)
+        legs.append(
+            snap.groupBy(F.col("dt").cast("date").alias("day"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.lit(version).alias("version"), "day", "n_events")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("version", "day")

@@ -4193,13 +4193,52 @@ def _register_stream_pq_residual_index_grow() -> None:
 _register_stream_pq_residual_index_grow()
 
 
+def _build_grown_residual_layout(
+    spark: SparkSession, sf_dir: str, state_name: str
+) -> tuple[str, "DataFrame", "DataFrame", "DataFrame"]:
+    """The grown RESIDUAL-PQ index layout built batch-side — base b00000
+    (even vec_ids) + 3 delta subdirs (odd-id thirds), all through the
+    frozen-artifact residual encoder (the residual grow fold's on-disk
+    layout without the stream). Shared by the residual compaction query
+    and the residual index health monitor; returns (codes_root, residual
+    codebook DF, INT cell-centroid DF, embeddings DF)."""
+    import os as _os
+
+    from ..operators.similarity import (
+        pq_residual_encode,
+        pq_residual_index_path,
+    )
+
+    cb_path, _, cells_path = pq_residual_index_path(spark, sf_dir)
+    rcdf = spark.read.parquet(cb_path)
+    cells = spark.read.parquet(cells_path)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    state = work_dir(state_name)
+    codes_root = _os.path.join(state, "codes")
+    (
+        pq_residual_encode(emb.where(F.col("vec_id") % 2 == 0), cells, rcdf)
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(_os.path.join(codes_root, "b00000"))
+    )
+    # 3 deltas, residual-encoded batch-side (the grow fold's encode)
+    for i in range(3):
+        (
+            pq_residual_encode(
+                emb.where(F.col("vec_id") % 6 == 2 * i + 1), cells, rcdf
+            )
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(_os.path.join(codes_root, f"b{i + 1:05d}"))
+        )
+    return codes_root, rcdf, cells, emb
+
+
 def _register_pq_residual_index_compact() -> None:
     from ..operators.similarity import (
         PQ_QUERIES,
         _ivfpq_residual_serve_oracle,
         _pq_subvectors,
-        pq_residual_encode,
-        pq_residual_index_path,
         residual_probe_topk,
     )
 
@@ -4221,30 +4260,9 @@ def _register_pq_residual_index_compact() -> None:
         import os as _os
         import shutil as _shutil
 
-        cb_path, _, cells_path = pq_residual_index_path(spark, sf_dir)
-        rcdf = spark.read.parquet(cb_path)
-        cells = spark.read.parquet(cells_path)
-        emb = t(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", "label"
+        codes_root, rcdf, cells, emb = _build_grown_residual_layout(
+            spark, sf_dir, "pq_res_compact_index"
         )
-        state = work_dir("pq_res_compact_index")
-        codes_root = _os.path.join(state, "codes")
-        (
-            pq_residual_encode(emb.where(F.col("vec_id") % 2 == 0), cells, rcdf)
-            .write.mode("overwrite")
-            .partitionBy("label")
-            .parquet(_os.path.join(codes_root, "b00000"))
-        )
-        # 3 deltas, residual-encoded batch-side (the grow fold's encode)
-        for i in range(3):
-            (
-                pq_residual_encode(
-                    emb.where(F.col("vec_id") % 6 == 2 * i + 1), cells, rcdf
-                )
-                .write.mode("overwrite")
-                .partitionBy("label")
-                .parquet(_os.path.join(codes_root, f"b{i + 1:05d}"))
-            )
 
         def read_grown() -> DataFrame:
             dirs = committed_batch_dirs(codes_root)
@@ -4313,3 +4331,195 @@ def _register_pq_residual_index_compact() -> None:
 
 
 _register_pq_residual_index_compact()
+
+
+# --------------------------------------------------------------------------
+# RESIDUAL PQ index health monitor (round 14): the q_pq_index_health
+# discipline applied to the residual index — the layout a production
+# store actually ships. The grown residual index accumulates vectors
+# against a FROZEN residual codebook AND frozen INT cell centroids, so
+# it decays on two axes: residual-codebook staleness (sampled serving
+# recall drops) and coarse-quantizer staleness (cell occupancy skews).
+# One row: sampled exact recall of the residual SERVING path (coarse
+# prune + residual ADC, nprobe as in serving) over the grown index, plus
+# the per-cell occupancy read straight off the code table's m=0 rows.
+# Together with q_pq_coarse_refresh (the APPLY step) this closes the
+# grow → monitor → retrain loop for the residual layout.
+#
+# Scale: the exact leg is O(N_sample · corpus scan) with constant N; the
+# serving leg is the standard bounded residual probe; occupancy is one
+# |cells|-row aggregate over the m=0 slice — raw embeddings are touched
+# only by the exact reference leg and the N sampled queries.
+# --------------------------------------------------------------------------
+
+
+def _register_pq_residual_index_health() -> None:
+    from ..operators.similarity import (
+        _SQL_PQ_L2,
+        IVFPQ_NPROBE,
+        PQ_ITERS,
+        PQ_SUBDIM,
+        PQ_TOPK,
+        _ivfpq_residual_base_ctes,
+        _ivfpq_residual_probe_ctes,
+        _pq_train_ctes,
+        _sql_pq_msum,
+    )
+
+    hs = PQ_HEALTH_SAMPLE
+    msum = _sql_pq_msum()
+    raw = _pq_train_ctes()
+    ctes = [raw[0], raw[1]]  # ev + sv (the Q20 subvector build)
+    ctes += _pq_train_ctes(pfx="r", base=_ivfpq_residual_base_ctes())
+    probe_ctes = _ivfpq_residual_probe_ctes()
+    # the monitor samples its anchors pseudo-randomly (md5 order), NOT by
+    # vec_id like the serving queries — swap the anch CTE, keep the rest
+    probe_ctes[0] = (
+        f"anch AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM sv) "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {hs})"
+    )
+    ctes += probe_ctes
+    ctes += [
+        f"""radct AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM radc) WHERE rk <= {PQ_TOPK})""",
+        f"""exd AS (
+      SELECT q.vec_id AS qid, v.vec_id, q.m AS m,
+             {_SQL_PQ_L2.format(a="q.sv", b="v.sv", n=PQ_SUBDIM)} AS dd
+      FROM sv q JOIN sv v ON q.m = v.m AND v.vec_id <> q.vec_id
+      WHERE q.vec_id IN (SELECT vec_id FROM anch)
+    )""",
+        f"""ex AS (SELECT qid, vec_id, {msum} AS dist FROM exd GROUP BY qid, vec_id)""",
+        f"""ext AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM ex) WHERE rk <= {PQ_TOPK})""",
+        """rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS recall_hits
+            FROM ext e JOIN radct a ON e.qid = a.qid AND e.vec_id = a.vec_id)""",
+        """occ AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label)""",
+        """occs AS (SELECT MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS tot,
+                    CAST(COUNT(*) AS BIGINT) AS ncells FROM occ)""",
+        """hot AS (SELECT label AS hottest_cell FROM occ
+            ORDER BY n DESC, label LIMIT 1)""",
+    ]
+    oracle = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT CAST({hs} AS INT) AS n_sampled,
+           r.recall_hits,
+           CAST({hs * PQ_TOPK} AS BIGINT) AS recall_possible,
+           CAST(h.hottest_cell AS INT) AS hottest_cell,
+           CAST(o.ncells AS INT) AS n_cells,
+           CAST(floor(o.mx * 1048576.0 / o.tot + 0.5) AS BIGINT)
+             AS hottest_share_q20,
+           CAST(floor(o.mx * o.ncells * 1048576.0 / o.tot + 0.5) AS BIGINT)
+             AS cell_max_over_avg_q20
+    FROM rec r, occs o, hot h
+    """
+    )
+
+    @register(
+        "q_pq_residual_index_health",
+        oracle,
+        doc=f"RESIDUAL PQ index HEALTH MONITOR over the grown residual "
+        "index (base + delta subdirs): sampled exact recall of the "
+        f"residual SERVING path (coarse prune nprobe={IVFPQ_NPROBE} + "
+        f"residual ADC) on a fixed-{PQ_HEALTH_SAMPLE} md5-ordered anchor "
+        "draw, plus per-cell occupancy skew off the code table's m=0 "
+        "rows — recall decay alarms the residual codebooks, occupancy "
+        "skew alarms the coarse quantizer (the retrain thresholds and "
+        "the q_pq_coarse_refresh APPLY step are documented in "
+        "SCALING.md).",
+    )
+    def q_pq_residual_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import math as _math
+
+        from pyspark.storagelevel import StorageLevel
+
+        from ..operators.similarity import (
+            PQ_TOPK as _topk,
+        )
+        from ..operators.similarity import (
+            _pq_fixed_order_dist,
+            _pq_l2,
+            _pq_subvectors,
+            residual_probe_topk,
+        )
+
+        codes_root, rcdf, cells, emb = _build_grown_residual_layout(
+            spark, sf_dir, "pq_res_health_index"
+        )
+        dirs = committed_batch_dirs(codes_root)
+        grown = None
+        for d in dirs:
+            part = spark.read.parquet(d)
+            grown = part if grown is None else grown.unionByName(part)
+
+        anchor_ids = [
+            r["vec_id"]
+            for r in emb.select("vec_id")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(PQ_HEALTH_SAMPLE)
+            .collect()
+        ]
+        sv = (
+            _pq_subvectors(emb.select("vec_id", "embedding"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        q = sv.where(F.col("vec_id").isin(anchor_ids)).select(
+            F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+        )
+        radct = residual_probe_topk(q, rcdf, cells, grown).select(
+            "qid", F.col("neighbor_id").alias("vec_id")
+        )
+        topw = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+        ext = (
+            F.broadcast(q)
+            .join(sv, "m")
+            .where(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", "vec_id", "m", _pq_l2(F.col("qsv"), F.col("sv")).alias("dd")
+            )
+            .groupBy("qid", "vec_id")
+            .agg(_pq_fixed_order_dist())
+            .withColumn("rk", F.row_number().over(topw))
+            .where(F.col("rk") <= _topk)
+            .select("qid", "vec_id")
+        )
+        recall_hits = ext.join(radct, ["qid", "vec_id"]).count()
+        sv.unpersist()
+
+        occ_rows = (
+            grown.where(F.col("m") == 0)
+            .groupBy("label")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .collect()  # bounded: |cells| rows
+        )
+        mx = max(int(r["n"]) for r in occ_rows)
+        tot = sum(int(r["n"]) for r in occ_rows)
+        ncells = len(occ_rows)
+        hottest = min((-int(r["n"]), int(r["label"])) for r in occ_rows)[1]
+        row = (
+            PQ_HEALTH_SAMPLE,
+            int(recall_hits),
+            PQ_HEALTH_SAMPLE * _topk,
+            hottest,
+            ncells,
+            int(_math.floor(mx * 1048576.0 / tot + 0.5)),
+            int(_math.floor((mx * ncells) * 1048576.0 / tot + 0.5)),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_sampled int, recall_hits bigint, recall_possible bigint, "
+            "hottest_cell int, n_cells int, hottest_share_q20 bigint, "
+            "cell_max_over_avg_q20 bigint",
+        )
+
+
+_register_pq_residual_index_health()

@@ -3490,3 +3490,311 @@ class TestIvfPqRefine:
             assert len(set(neigh)) == PQ_TOPK and qid not in neigh
         again = q_ann_ivf_pq_refine(spark, sf_dir).collect()
         assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+class TestSq8:
+    """Round-14: SQ8 scalar quantization ANN
+    (operators/similarity.py:sq8_stats/sq8_encode/sq8_topk)."""
+
+    def test_codes_in_range(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            SQ8_LEVELS,
+            sq8_encode,
+            sq8_stats,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t as _t
+
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        mn, rng = sq8_stats(emb)
+        assert len(mn) == len(rng) == 64 and all(r >= 1 for r in rng)
+        coded = sq8_encode(emb, mn, rng)
+        row = coded.select(
+            F.min(F.array_min("codes")).alias("lo"),
+            F.max(F.array_max("codes")).alias("hi"),
+        ).collect()[0]
+        assert 0 <= row["lo"] and row["hi"] <= SQ8_LEVELS
+
+    def test_duplicate_vector_ranks_first(self, spark):
+        """A vector duplicated under another id reconstructs to the same
+        codes, so its SQ8 asymmetric distance is the per-dim quantization
+        floor — it must be the top-1 neighbor of its twin."""
+        import random
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            _collect_query_eq,
+            sq8_encode,
+            sq8_stats,
+            sq8_topk,
+        )
+
+        rnd = random.Random(7)
+        rows = []
+        for vid in range(60):
+            rows.append((vid, [rnd.uniform(-0.5, 0.5) for _ in range(64)]))
+        rows.append((100, list(rows[0][1])))  # exact twin of vec 0
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        mn, rng = sq8_stats(emb)
+        coded = sq8_encode(emb, mn, rng)
+        queries = _collect_query_eq(emb.where(F.col("vec_id") == 0))
+        top = sq8_topk(coded, queries, mn, rng, k=1).collect()
+        assert len(top) == 1 and top[0]["neighbor_id"] == 100
+
+    def test_recall_near_exact_on_fixture(self, spark, sf_dir):
+        """8-bit per-dim at 64 dims loses almost nothing — the acceptance
+        gate the read-out exists for. Floor pinned BELOW the observed
+        4-5/5 so fixture regrowth can't flake it."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        rows = get_queries()["q_ann_sq8_recall"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["recall_possible"] == 5
+            assert r["recall_hits"] >= 3
+
+
+class TestBloomDecontaminate:
+    """Round-14: bloom-prefiltered benchmark decontamination
+    (operators/curation.py:decontaminate_bloom)."""
+
+    def test_no_false_negatives_equals_exact(self, spark, sf_dir):
+        """Bloom filters never drop a true member, and the confirm join
+        removes false positives — the gated result must equal the plain
+        exact-join computation row for row."""
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            DECONTAM_EVAL_MOD,
+            DECONTAM_THRESHOLD,
+        )
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            shingle_sets_cached,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        got = sorted(
+            map(
+                tuple,
+                get_queries()["q_decontaminate_bloom"](spark, sf_dir).collect(),
+            )
+        )
+        sets = shingle_sets_cached(spark, sf_dir)
+        ev = (
+            sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+            .select(F.explode("hset").alias("s"))
+            .distinct()
+        )
+        exact = (
+            sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+            .select("doc_id", "n", F.explode("hset").alias("s"))
+            .join(ev, "s")
+            .groupBy("doc_id", "n")
+            .agg(F.count("*").alias("common"))
+            .select(
+                "doc_id",
+                F.col("common").cast("int").alias("common"),
+                F.col("n").cast("int").alias("n_shingles"),
+                (F.col("common") / F.col("n")).alias("containment"),
+            )
+            .where(F.col("containment") >= DECONTAM_THRESHOLD)
+        )
+        want = sorted(map(tuple, exact.collect()))
+        assert got == want and got
+
+    def test_bloom_prunes_but_superset_of_truth(self, spark, sf_dir):
+        """The map-side probe keeps every true match (no false negatives)
+        while rejecting the overwhelming majority of clean grams (the FP
+        budget) — the property that makes the broadcast worth it."""
+        from spark_sql_custom_mq_datasource_spark.operators.curation import (
+            DECONTAM_EVAL_MOD,
+            bloom_build,
+            bloom_might_contain,
+        )
+        from spark_sql_custom_mq_datasource_spark.operators.dedup import (
+            shingle_sets_cached,
+        )
+
+        sets = shingle_sets_cached(spark, sf_dir)
+        ev = (
+            sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+            .select(F.explode("hset").alias("s"))
+            .distinct()
+        )
+        bw = bloom_build(spark, ev, "s")
+        grams = (
+            sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+            .select(F.explode("hset").alias("s"))
+        )
+        tagged = grams.crossJoin(F.broadcast(bw)).select(
+            "s", bloom_might_contain("s", "bw").alias("hit")
+        )
+        true_hits = grams.join(ev, "s").count()
+        n_total = tagged.count()
+        n_pos = tagged.where("hit").count()
+        assert n_pos >= true_hits  # superset (no false negatives)
+        assert n_pos < n_total * 0.5  # actually prunes
+        # every true member probes positive
+        missed = (
+            grams.join(ev, "s")
+            .crossJoin(F.broadcast(bw))
+            .where(~bloom_might_contain("s", "bw"))
+            .count()
+        )
+        assert missed == 0
+
+
+class TestPqResidualIndexHealth:
+    """Round-14: the residual-index health monitor twin
+    (streaming/pipelines.py:q_pq_residual_index_health)."""
+
+    def test_health_row_bounds_and_occupancy(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t as _t
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            PQ_HEALTH_SAMPLE,
+        )
+
+        [row] = get_queries()["q_pq_residual_index_health"](
+            spark, sf_dir
+        ).collect()
+        assert row["n_sampled"] == PQ_HEALTH_SAMPLE
+        assert 0 <= row["recall_hits"] <= row["recall_possible"]
+        occ = {
+            r["label"]: r["n"]
+            for r in _t(spark, sf_dir, "embeddings")
+            .groupBy("label")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert row["n_cells"] == len(occ)
+        mx = max(occ.values())
+        assert row["hottest_cell"] in occ and occ[row["hottest_cell"]] == mx
+        assert row["cell_max_over_avg_q20"] >= 1048576
+
+
+class TestManifestTimeTravel:
+    """Round-14: version-pinned snapshot reads as a registered query
+    (sources/manifest.py:q_manifest_time_travel)."""
+
+    def test_versions_nest_and_v0_is_full(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t as _t
+
+        rows = get_queries()["q_manifest_time_travel"](spark, sf_dir).collect()
+        by_v = {}
+        for r in rows:
+            by_v.setdefault(r["version"], {})[r["day"]] = r["n_events"]
+        assert set(by_v) == {0, 1, 2}
+        # v0 must be the full corpus day histogram
+        full = {
+            r["day"]: r["n"]
+            for r in _t(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert by_v[0] == full
+        # retention only removes days: v2 ⊆ v1 ⊆ v0, counts identical
+        assert set(by_v[2]) <= set(by_v[1]) <= set(by_v[0])
+        for v in (1, 2):
+            for day, n in by_v[v].items():
+                assert by_v[0][day] == n
+
+
+class TestIvfSq8:
+    """Round-14: IVF-SQ8 composition
+    (operators/similarity.py:q_ann_ivf_sq8)."""
+
+    def test_subset_of_sq8_within_probed_cells(self, spark, sf_dir):
+        """Every IVF-SQ8 neighbor must live in one of its query's probed
+        cells, and the ranking within the probed slice must match the
+        global SQ8 scan restricted to those cells."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            IVF_NPROBE,
+            N_QUERIES,
+            TOPK,
+            ivf_sq8_cells,
+            sq8_stats,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t as _t
+
+        out = get_queries()["q_ann_ivf_sq8"](spark, sf_dir).collect()
+        assert out and all(1 <= r["rk"] <= TOPK for r in out)
+        emb = _t(spark, sf_dir, "embeddings")
+        labels = {
+            r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+        }
+        cells = ivf_sq8_cells(emb.select("vec_id", "embedding", "label"))
+        # recompute each query's probed cells the same way the query does
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            _collect_query_eq,
+        )
+
+        queries = _collect_query_eq(emb.where(F.col("vec_id") < N_QUERIES))
+        probed = {}
+        for qid, eq in queries:
+            dists = sorted(
+                (sum((e - c) ** 2 for e, c in zip(eq, cq)), label)
+                for label, cq in cells
+            )
+            probed[qid] = {label for _, label in dists[:IVF_NPROBE]}
+        for r in out:
+            assert labels[r["neighbor_id"]] in probed[r["qid"]]
+
+
+class TestMaxSimRerank:
+    """Round-14: ColBERT-shape MaxSim rerank
+    (operators/retrieval.py:q_retrieval_maxsim)."""
+
+    def test_rerank_stays_inside_shortlist(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.operators.retrieval import (
+            BM25_QUERIES,
+            MAXSIM_SHORTLIST,
+            MAXSIM_TOP_K,
+            bm25_topk,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t as _t
+
+        out = get_queries()["q_retrieval_maxsim"](spark, sf_dir).collect()
+        assert out and all(1 <= r["rank"] <= MAXSIM_TOP_K for r in out)
+        docs = _t(spark, sf_dir, "documents")
+        queries = spark.createDataFrame(
+            list(BM25_QUERIES), "qid int, qtext string"
+        )
+        shortlist = {
+            (r["qid"], r["doc_id"])
+            for r in bm25_topk(docs, queries, k=MAXSIM_SHORTLIST).collect()
+        }
+        for r in out:
+            assert (r["qid"], r["doc_id"]) in shortlist
+
+    def test_exact_token_match_dominates(self, spark):
+        """Identical tokens share a vector, so self-similarity ||v||² is
+        the max any query term can reach — a doc containing the query
+        term verbatim must outscore one with no shared tokens."""
+        from spark_sql_custom_mq_datasource_spark.operators.retrieval import (
+            maxsim_rerank,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame([(0, "alpha")], "qid int, qtext string")
+        shortlist = spark.createDataFrame(
+            [(0, 1), (0, 2)], "qid int, doc_id long"
+        )
+        rows = {r["doc_id"]: r for r in maxsim_rerank(docs, queries, shortlist, 2).collect()}
+        assert rows[1]["maxsim"] > rows[2]["maxsim"]
+        assert rows[1]["rank"] == 1

@@ -430,6 +430,33 @@ SHOWCASE = [
         "subvector scan — the exact leg reads a constant number of "
         "vectors, never corpus-proportional.",
     ),
+    (
+        "q_ann_sq8_topk",
+        "SQ8 serving: ONE embeddings FileScan feeds the stateless JVM "
+        "encode projection (the 128 grid constants ride as two literal "
+        "arrays in a single project), the coded stream crosses the Arrow "
+        "boundary into the numpy int64 scan (queries in the task "
+        "closure — no join, no shuffle before the bounded per-batch "
+        "top-k), and one window pass reduces ~k·batches rows per query.",
+    ),
+    (
+        "q_decontaminate_bloom",
+        "Bloom decontamination: the eval-side bit build is a |m/64|-row "
+        "bit_or aggregate; the corpus gram stream crosses a 1-row "
+        "BroadcastNestedLoopJoin (the packed word array — constant 4 KB) "
+        "and the k bit probes evaluate MAP-SIDE in the filter; only "
+        "bloom-positive grams reach the BroadcastHashJoin confirm and "
+        "the per-doc partial-agg — shuffled volume is overlap-bounded, "
+        "not corpus-bounded.",
+    ),
+    (
+        "q_retrieval_maxsim",
+        "MaxSim rerank: the BM25 stage-1 subtree ends in a bounded "
+        "shortlist; doc tokens explode ONLY for shortlisted docs (the "
+        "broadcast semi-join sits UNDER the explode), the interaction "
+        "pairs form by two BroadcastHashJoins, and the sum-of-max is a "
+        "two-level partial agg over shortlist-bounded rows.",
+    ),
 ]
 
 
