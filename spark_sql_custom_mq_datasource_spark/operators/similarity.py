@@ -4213,6 +4213,9 @@ _SQL_SQ8_CTES = f"""
       FROM sq8d) WHERE rk <= {TOPK}
     ORDER BY qid, rk
     """,
+    # bench extended set (round 14): the SQ8 serving scan gets a per-round
+    # trend line next to the PQ serving paths; NOT in the legacy-14 set.
+    headline=True,
     doc="SQ8 scalar-quantized ANN (FAISS QT_8bit family): per-dim 8-bit "
     "codes on a corpus-trained integer grid (one stats scan, stateless "
     "JVM encode), asymmetric top-k over the 4x-smaller coded table via "
@@ -4338,9 +4341,7 @@ def ivf_sq8_cells(emb: DataFrame, dim: int = SQ8_DIM) -> list[tuple[int, list[in
     )
 
 
-@register(
-    "q_ann_ivf_sq8",
-    f"""
+_SQL_IVF_SQ8 = f"""
     WITH {_SQL_SQ8_CTES.replace("sq8q AS", "_sq8q_unused AS").replace("sq8d AS", "_sq8d_unused AS")},
     lbl AS (SELECT vec_id, label FROM embeddings),
     cc AS (SELECT l.label, v.d,
@@ -4370,41 +4371,43 @@ def ivf_sq8_cells(emb: DataFrame, dim: int = SQ8_DIM) -> list[tuple[int, list[in
                                 ORDER BY dist ASC, vec_id) AS rk
       FROM dd) WHERE rk <= {TOPK}
     ORDER BY qid, rk
-    """,
-    doc=f"IVF-SQ8 ANN (FAISS IVFScalarQuantizer family): INT coarse "
-    f"centroids per cell prune the scan to nprobe={IVF_NPROBE} cells, "
-    "SQ8 asymmetric distance ranks only the probed cells' 4x-smaller "
-    "codes — the middle point of the compression ladder between IVF-Flat "
-    "and IVF-PQ; all-integer chain, full value oracle.",
-)
-def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    mn, rng = sq8_stats(emb)
-    coded = sq8_encode(emb, mn, rng)  # keeps label
-    cells = ivf_sq8_cells(emb)
-    queries = _collect_query_eq(
-        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
-    )
-    # coarse prune: argmin over the bounded collected cell table (the
-    # persisted-serving pattern turns this literal into partition pruning)
+    """
+
+
+def ivf_sq8_probes(
+    queries_eq: list[tuple[int, list[int]]],
+    cells: list[tuple[int, list[int]]],
+    nprobe: int = IVF_NPROBE,
+) -> dict[int, list[int]]:
+    """Per-query probed labels: argmin int L2 against the bounded cell
+    table, driver-side for the fixed anchor set (production: broadcast)."""
     probed: dict[int, list[int]] = {}
-    for qid, eq in queries:
+    for qid, eq in queries_eq:
         dists = sorted(
             (sum((e - c) ** 2 for e, c in zip(eq, cq)), label)
             for label, cq in cells
         )
-        probed[qid] = sorted(label for _, label in dists[:IVF_NPROBE])
-    all_probed = sorted({lb for labs in probed.values() for lb in labs})
-    pruned = coded.where(F.col("label").isin(all_probed))
+        probed[qid] = sorted(label for _, label in dists[:nprobe])
+    return probed
 
-    # ONE scan over the union of probed cells; each query ranks only its
-    # own cells' members via a label mask inside the numpy batch (a
-    # per-query re-scan would multiply corpus reads by Q at scale)
+
+def ivf_sq8_scan_topk(
+    pruned: DataFrame,
+    queries_eq: list[tuple[int, list[int]]],
+    probed: dict[int, list[int]],
+    mn: list[int],
+    rng: list[int],
+    k: int = TOPK,
+) -> DataFrame:
+    """ONE numpy scan over the probed-cell union; each query ranks only
+    its own cells' members via a label mask inside the batch (a per-query
+    re-scan would multiply corpus reads by Q at scale). pruned:
+    (vec_id, label, codes)."""
     mn_a = np.asarray(mn, dtype=np.int64)
     rng_a = np.asarray(rng, dtype=np.int64)
-    qids = [qid for qid, _ in queries]
+    qids = [qid for qid, _ in queries_eq]
     qs = {
-        qid: np.asarray(eq, dtype=np.int64) * SQ8_LEVELS for qid, eq in queries
+        qid: np.asarray(eq, dtype=np.int64) * SQ8_LEVELS for qid, eq in queries_eq
     }
     probe_sets = {qid: set(labs) for qid, labs in probed.items()}
 
@@ -4421,7 +4424,7 @@ def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 diff = qs[qid][None, :] - recon[mask]
                 dist = (diff * diff).sum(axis=1)
                 cid = ids[mask]
-                order = np.lexsort((cid, dist))[:TOPK]
+                order = np.lexsort((cid, dist))[:k]
                 yield pd.DataFrame(
                     {"qid": qid, "neighbor_id": cid[order], "dist": dist[order]}
                 )
@@ -4437,7 +4440,110 @@ def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return (
         partial.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOPK)
+        .where(F.col("rk") <= k)
         .select("qid", "neighbor_id", F.col("rk").cast("int").alias("rk"))
         .orderBy("qid", "rk")
     )
+
+
+@register(
+    "q_ann_ivf_sq8",
+    _SQL_IVF_SQ8,
+    doc=f"IVF-SQ8 ANN (FAISS IVFScalarQuantizer family): INT coarse "
+    f"centroids per cell prune the scan to nprobe={IVF_NPROBE} cells, "
+    "SQ8 asymmetric distance ranks only the probed cells' 4x-smaller "
+    "codes — the middle point of the compression ladder between IVF-Flat "
+    "and IVF-PQ; all-integer chain, full value oracle.",
+)
+def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    mn, rng = sq8_stats(emb)
+    coded = sq8_encode(emb, mn, rng)  # keeps label
+    cells = ivf_sq8_cells(emb)
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    # coarse prune: argmin over the bounded collected cell table (the
+    # persisted serving turns the same literal into partition pruning)
+    probed = ivf_sq8_probes(queries, cells)
+    all_probed = sorted({lb for labs in probed.values() for lb in labs})
+    pruned = coded.where(F.col("label").isin(all_probed))
+    return ivf_sq8_scan_topk(pruned, queries, probed, mn, rng, TOPK)
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF-SQ8 index + partition-pruned serving (round 14): the SQ8
+# family gets the same durable lifecycle as PQ — train the grid once,
+# land the codes label-partitioned, serve by loading the bounded
+# metadata (grid + cells) and letting the probed labels PARTITION-PRUNE
+# the code scan. The serving result is bit-identical to the in-memory
+# composition (shared oracle with q_ann_ivf_sq8).
+# --------------------------------------------------------------------------
+
+_sq8_index_paths: dict[tuple, tuple[str, str, str]] = {}
+
+
+def sq8_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Build (once per session+fixture) the persisted IVF-SQ8 index;
+    return (grid_path, codes_path, cells_path). grid: ONE row
+    (mn array<bigint>, rng array<bigint>) — the whole trained
+    quantizer. codes: (vec_id, codes array<int>) partitioned by label.
+    cells: (label, cq array<bigint>) INT coarse centroids."""
+    import os
+    import re
+
+    key = (session_key(spark), sf_dir)
+    if key not in _sq8_index_paths:
+        base = work_dir("sq8_index_" + re.sub(r"\W+", "_", sf_dir))
+        grid_path = os.path.join(base, "grid")
+        codes_path = os.path.join(base, "codes")
+        cells_path = os.path.join(base, "cells")
+        emb = tp(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        mn, rng = sq8_stats(emb)
+        spark.createDataFrame(
+            [(mn, rng)], "mn array<bigint>, rng array<bigint>"
+        ).write.mode("overwrite").parquet(grid_path)
+        spark.createDataFrame(
+            [(label, cq) for label, cq in ivf_sq8_cells(emb)],
+            "label int, cq array<bigint>",
+        ).write.mode("overwrite").parquet(cells_path)
+        (
+            sq8_encode(emb, mn, rng)
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(codes_path)
+        )
+        _sq8_index_paths[key] = (grid_path, codes_path, cells_path)
+    return _sq8_index_paths[key]
+
+
+@register(
+    "q_ann_sq8_persisted",
+    _SQL_IVF_SQ8,
+    doc="IVF-SQ8 serving over the DURABLE index (one-row grid + INT cell "
+    "centroids + label-partitioned codes): grid and cells load as bounded "
+    "metadata, the coarse prune's probed labels PARTITION-PRUNE the code "
+    "scan (pinned in tests/test_plans.py), one numpy scan ranks all "
+    "queries — bit-identical to the in-memory composition (shared oracle "
+    "with q_ann_ivf_sq8).",
+)
+def q_ann_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid_path, codes_path, cells_path = sq8_index_path(spark, sf_dir)
+    [grid] = spark.read.parquet(grid_path).collect()  # bounded: 1 row
+    mn, rng = list(grid["mn"]), list(grid["rng"])
+    cells = sorted(
+        (int(r["label"]), [int(v) for v in r["cq"]])
+        for r in spark.read.parquet(cells_path).collect()  # bounded: |cells|
+    )
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    probed = ivf_sq8_probes(queries, cells)
+    all_probed = sorted({lb for labs in probed.values() for lb in labs})
+    # the literal IN becomes a parquet PARTITION filter on the code scan
+    pruned = spark.read.parquet(codes_path).where(
+        F.col("label").isin(all_probed)
+    )
+    return ivf_sq8_scan_topk(pruned, queries, probed, mn, rng, TOPK)

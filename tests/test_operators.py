@@ -3798,3 +3798,35 @@ class TestMaxSimRerank:
         rows = {r["doc_id"]: r for r in maxsim_rerank(docs, queries, shortlist, 2).collect()}
         assert rows[1]["maxsim"] > rows[2]["maxsim"]
         assert rows[1]["rank"] == 1
+
+
+class TestSq8PersistedServing:
+    """Round-14: durable IVF-SQ8 index + partition-pruned serving
+    (operators/similarity.py:q_ann_sq8_persisted)."""
+
+    def test_serving_equals_inmemory_composition(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        served = sorted(map(tuple, qs["q_ann_sq8_persisted"](spark, sf_dir).collect()))
+        inmem = sorted(map(tuple, qs["q_ann_ivf_sq8"](spark, sf_dir).collect()))
+        assert served == inmem and served
+
+    def test_index_layout_bounded_metadata(self, spark, sf_dir):
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            sq8_index_path,
+        )
+
+        grid_path, codes_path, cells_path = sq8_index_path(spark, sf_dir)
+        grid = spark.read.parquet(grid_path).collect()
+        assert len(grid) == 1 and len(grid[0]["mn"]) == 64
+        cells = spark.read.parquet(cells_path).collect()
+        assert 1 <= len(cells) <= 64  # |label domain|
+        # codes are hive-partitioned by label on disk
+        assert any(
+            name.startswith("label=") for name in os.listdir(codes_path)
+        )

@@ -860,3 +860,22 @@ class TestRound13Plans:
             len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
             <= IVFPQ_SWEEP_MAX
         )
+
+
+class TestRound14Plans:
+    """Round-14 batch-3 plan pins."""
+
+    def test_sq8_persisted_serving_partition_prunes_code_scan(
+        self, spark, sf_dir
+    ):
+        """The persisted IVF-SQ8 serving's code scan must carry the probed
+        cells as a PARTITION filter on the durable index — the same
+        storage dividend as the PQ serving paths — with no nested loop."""
+        p = plan(spark, sf_dir, "q_ann_sq8_persisted")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "sq8_index" in p  # FileScan over the durable index
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+        assert pf and "label" in pf.group(1) and " IN " in pf.group(1)

@@ -450,6 +450,14 @@ SHOWCASE = [
         "not corpus-bounded.",
     ),
     (
+        "q_ann_sq8_persisted",
+        "Persisted IVF-SQ8 serving: the code scan is a FileScan over the "
+        "durable label-partitioned index with the probed cells as a "
+        "literal PartitionFilter (`label IN (...)`) — unprobed cells are "
+        "never opened; grid and cell metadata arrive as bounded collects, "
+        "and the numpy scan ranks every query in one pass.",
+    ),
+    (
         "q_retrieval_maxsim",
         "MaxSim rerank: the BM25 stage-1 subtree ends in a bounded "
         "shortlist; doc tokens explode ONLY for shortlisted docs (the "
