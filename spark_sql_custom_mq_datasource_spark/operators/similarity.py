@@ -4547,3 +4547,125 @@ def q_ann_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").isin(all_probed)
     )
     return ivf_sq8_scan_topk(pruned, queries, probed, mn, rng, TOPK)
+
+
+# --------------------------------------------------------------------------
+# SQ8 grid drift / saturation monitor (round 14): the scalar quantizer's
+# decay mode. The grid is TRAINED (per-dim [mn, mx] from the corpus at
+# build time); data that drifts outside it SATURATES — codes clamp to
+# 0 or 255 and those dimensions' distances silently flatten. Production
+# stores alarm on the saturation rate and retrain the ranges (FAISS SQ
+# trained ranges, Milvus segment stats). This read-out trains the grid
+# on the even-vec_id half (the "index build") and audits the odd half
+# (the "new data"): total out-of-grid value count, low/high split, and
+# the worst dimension's saturation share — the retrain trigger.
+#
+# Scale: ONE scan of the audited slice ending in 3·dim partial-agg
+# cells; the grid rides as literals. All-integer on the Q20 grid —
+# full value oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_sq8_grid_drift",
+    f"""
+    WITH eq AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS eqv
+           FROM embeddings),
+    ev AS (SELECT vec_id, d, eqv[d] AS e
+           FROM eq, generate_series(1, {SQ8_DIM}) g(d)),
+    st AS (SELECT d, MIN(e) AS mn, MAX(e) AS mx
+           FROM ev WHERE vec_id % 2 = 0 GROUP BY d),
+    audit AS (
+      SELECT v.d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN v.e < s.mn THEN 1 ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN v.e > s.mx THEN 1 ELSE 0 END) AS BIGINT) AS hi
+      FROM ev v JOIN st s ON v.d = s.d
+      WHERE v.vec_id % 2 = 1
+      GROUP BY v.d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_values,
+                   CAST(SUM(lo) AS BIGINT) AS n_sat_lo,
+                   CAST(SUM(hi) AS BIGINT) AS n_sat_hi
+            FROM audit),
+    worst AS (SELECT d, lo + hi AS sat, n FROM audit
+              ORDER BY sat DESC, d LIMIT 1)
+    SELECT t.n_values, t.n_sat_lo, t.n_sat_hi,
+           CAST(w.d - 1 AS INT) AS worst_dim,
+           CAST(floor(w.sat * 1048576.0 / w.n + 0.5) AS BIGINT)
+             AS worst_dim_sat_q20
+    FROM tot t, worst w
+    """,
+    doc="SQ8 grid drift monitor: the quantizer's trained per-dim [mn,mx] "
+    "ranges (built on the even-vec_id half) audited against the odd half "
+    "— out-of-grid values saturate to code 0/255 and flatten distances, "
+    "so the saturation count, its low/high split, and the worst "
+    "dimension's share are the retrain-the-ranges alarm (the SQ sibling "
+    "of the PQ health monitors); one scan, 3·dim partial-agg cells, "
+    "all-integer, full value oracle.",
+)
+def q_sq8_grid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sq8_grid_drift_readout(
+        spark, tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+
+def sq8_grid_drift_readout(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Drift audit body over any (vec_id, embedding) frame — grid from
+    the even-vec_id half, audit over the odd half (testable on
+    constructed corpora)."""
+    import math as _math
+
+    mn, _ = sq8_stats(emb.where(F.col("vec_id") % 2 == 0))
+    # sq8_stats floors rng at 1; the drift audit needs the raw mx
+    eqd = [
+        F.floor(F.element_at("embedding", d + 1).cast("double") * QUANT + F.lit(0.5))
+        .cast("bigint")
+        .alias(f"e{d}")
+        for d in range(SQ8_DIM)
+    ]
+    row = (
+        emb.where(F.col("vec_id") % 2 == 0)
+        .agg(*[F.max(e).alias(f"mx{d}") for d, e in enumerate(eqd)])
+        .collect()[0]
+    )
+    mx = [int(row[f"mx{d}"]) for d in range(SQ8_DIM)]
+
+    audit = emb.where(F.col("vec_id") % 2 == 1).select(*eqd)
+    aggs = []
+    for d in range(SQ8_DIM):
+        e = F.col(f"e{d}")
+        aggs.append(F.count(e).cast("bigint").alias(f"n{d}"))
+        aggs.append(
+            F.sum(F.when(e < F.lit(mn[d]), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"lo{d}")
+        )
+        aggs.append(
+            F.sum(F.when(e > F.lit(mx[d]), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"hi{d}")
+        )
+    arow = audit.agg(*aggs).collect()[0]  # bounded: 3·dim cells
+    n_values = sum(int(arow[f"n{d}"]) for d in range(SQ8_DIM))
+    n_lo = sum(int(arow[f"lo{d}"]) for d in range(SQ8_DIM))
+    n_hi = sum(int(arow[f"hi{d}"]) for d in range(SQ8_DIM))
+    worst_d, worst_sat, worst_n = 0, -1, 1
+    for d in range(SQ8_DIM):
+        sat = int(arow[f"lo{d}"]) + int(arow[f"hi{d}"])
+        if sat > worst_sat:
+            worst_d, worst_sat, worst_n = d, sat, int(arow[f"n{d}"])
+    out = (
+        n_values,
+        n_lo,
+        n_hi,
+        worst_d,
+        int(_math.floor(worst_sat * 1048576.0 / worst_n + 0.5)),
+    )
+    return spark.createDataFrame(
+        [out],
+        "n_values bigint, n_sat_lo bigint, n_sat_hi bigint, "
+        "worst_dim int, worst_dim_sat_q20 bigint",
+    )

@@ -3830,3 +3830,44 @@ class TestSq8PersistedServing:
         assert any(
             name.startswith("label=") for name in os.listdir(codes_path)
         )
+
+
+class TestSq8GridDrift:
+    """Round-14: SQ8 grid saturation monitor
+    (operators/similarity.py:q_sq8_grid_drift)."""
+
+    def test_shifted_audit_half_saturates_high(self, spark):
+        """Audit vectors shifted above the trained grid must saturate
+        HIGH on every value; an in-grid audit half saturates nowhere."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            sq8_grid_drift_readout,
+        )
+
+        dim = 64
+        rows = []
+        for vid in range(40):
+            base = 0.1 if vid % 2 == 0 else 0.9  # odd half far above
+            rows.append((vid, [base] * dim))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        [r] = sq8_grid_drift_readout(spark, emb).collect()
+        assert r["n_values"] == 20 * dim
+        assert r["n_sat_hi"] == 20 * dim and r["n_sat_lo"] == 0
+        assert r["worst_dim_sat_q20"] == 1048576  # 100% in Q20
+
+        flat = spark.createDataFrame(
+            [(vid, [0.1] * dim) for vid in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        [r2] = sq8_grid_drift_readout(spark, flat).collect()
+        assert r2["n_sat_hi"] == 0 and r2["n_sat_lo"] == 0
+
+    def test_fixture_bounds(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        [r] = get_queries()["q_sq8_grid_drift"](spark, sf_dir).collect()
+        assert r["n_values"] > 0
+        assert 0 <= r["n_sat_lo"] + r["n_sat_hi"] <= r["n_values"]
+        assert 0 <= r["worst_dim"] < 64
+        assert 0 <= r["worst_dim_sat_q20"] <= 1048576
