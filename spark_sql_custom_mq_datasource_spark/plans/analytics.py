@@ -1090,3 +1090,128 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equidepth_histogram(
         o, "o_totalprice", "o_orderkey", HIST_EQ_BUCKETS
     ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# Interval overlap join (round 14): which users' sessions OVERLAP IN TIME —
+# the concurrency / co-presence primitive behind fraud rings, shared-device
+# detection, and load attribution. The spec is a quadratic theta-join
+# (a.start <= b.end AND b.start <= a.end); the scale path is the standard
+# time-binning rewrite: explode each interval into the coarse hour bins it
+# spans, EQUI-join on the bin (overlapping intervals always share at least
+# one bin — any point of the intersection lies in a bin both spans cover),
+# dedup the candidate pair (one pair can share many bins), then re-check
+# the exact predicate. Cost is O(Σ bins + bin collisions), never
+# |sessions|² — the bin width tunes the collision rate against the
+# per-interval explode factor.
+#
+# The ORACLE runs the naive quadratic form (it IS the spec, fine at
+# fixture scale); the Spark side runs the binned rewrite — value equality
+# proves the rewrite lossless. Bins are internal to the Spark side, so
+# their epoch arithmetic needs no cross-engine agreement.
+# --------------------------------------------------------------------------
+
+OVERLAP_BIN_S = 3600  # 1-hour candidate bins
+
+
+def session_intervals(ev: DataFrame) -> DataFrame:
+    """(user_id, session_id, s_start, s_end) via the shared 30-min-gap
+    sessionization (q_events_sessionize's definition)."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_session = F.when(
+        (us - F.lag(us).over(order) > 1800 * 1_000_000)
+        | F.lag("ts").over(order).isNull(),
+        1,
+    ).otherwise(0)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "ts", "event_id", new_session.alias("new_session")
+    ).select("user_id", "ts", F.sum("new_session").over(running).alias("session_id"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+
+
+@register(
+    "q_sessions_overlap_pairs",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    ), iv AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="interval overlap join: cross-user session pairs overlapping in "
+    "time (co-presence / shared-device primitive), counted per user pair. "
+    "Oracle = the quadratic theta-join spec; Spark = the time-binning "
+    "rewrite (hour-bin explode -> bin EQUI-join -> pair dedup -> exact "
+    "re-check), O(bins + collisions) instead of |sessions|^2 — value "
+    "equality proves the rewrite lossless.",
+)
+def q_sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = session_intervals(t(spark, sf_dir, "events"))
+    binned = iv.select(
+        "user_id",
+        "session_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("s_start") / (OVERLAP_BIN_S * 1_000_000)),
+                F.floor(F.unix_micros("s_end") / (OVERLAP_BIN_S * 1_000_000)),
+            )
+        ).alias("bin"),
+    )
+    a = binned.select(
+        F.col("user_id").alias("ua"),
+        F.col("session_id").alias("sa"),
+        F.col("s_start").alias("a_start"),
+        F.col("s_end").alias("a_end"),
+        "bin",
+    )
+    b = binned.select(
+        F.col("user_id").alias("ub"),
+        F.col("session_id").alias("sb"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+        "bin",
+    )
+    pairs = (
+        a.join(b, "bin")
+        .where(F.col("ua") < F.col("ub"))
+        # one pair can share many bins: dedup BEFORE counting
+        .select("ua", "sa", "ub", "sb", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+        # bins are coarse — re-check the exact overlap predicate
+        .where(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+    )
+    return (
+        pairs.groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
+        .agg(F.count("*").cast("bigint").alias("n_overlaps"))
+        .orderBy("user_a", "user_b")
+    )

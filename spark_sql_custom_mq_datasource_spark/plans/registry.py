@@ -188,7 +188,7 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # ==== ROUND-14 PREFIX ===============================================
     # (executes the round-13 rotation plan below / VERDICT r13 item 1)
-    # -- the 15 round-14 additions (never driver-checked; locally green at
+    # -- the 16 round-14 additions (never driver-checked; locally green at
     #    sf0.001 AND sf0.01) -----------------------------------------------
     "q_bpe_tokenize_oov_persisted",
     "q_pq_index_health",
@@ -205,6 +205,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_retrieval_maxsim",
     "q_ann_sq8_persisted",
     "q_sq8_grid_drift",
+    "q_sessions_overlap_pairs",
     # -- code or oracle changed this round, so driver-RE-check even though
     #    r13 green: the tokenize read-outs dropped the forced vocab
     #    broadcast + the OOV replay body was factored for the persisted
@@ -234,7 +235,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_session_paths_topk",
     "q_events_debounce",
     "q_stream_debounce",
-    # -- 16 of the 49 r09-stale records, oldest-first
+    # -- 15 of the 49 r09-stale records, oldest-first
     #    (tools/rotation_plan.py order) ------------------------------------
     "q_text_lang_id",
     "q_vocab_coverage",
@@ -251,7 +252,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_recall_lsh",
     "q_ann_lsh_persisted",
     "q_hard_negative_ann",
-    "q_ann_lsh_multiprobe",
 )
 # The ROUND-13 prefix this replaces (all 50 green in CORRECTNESS_r13.json):
 # the 7 round-13 additions (bpe_tokenize_persisted, stream_pq_index_grow,
@@ -308,21 +308,22 @@ _PRIORITY: tuple[str, ...] = (
 # After the r13 driver run: no record older than r07, and only TWELVE
 # r07 records remain.
 #
-# ROUND-14 ROTATION PLAN (EXECUTED by the prefix above): (1) the 15
+# ROUND-14 ROTATION PLAN (EXECUTED by the prefix above): (1) the 16
 # round-14 additions (bpe_tokenize_oov_persisted, pq_index_health,
 # stream_pq_residual_index_grow, pq_residual_index_compact,
 # pq_coarse_refresh, ann_ivf_pq_refine, ann_sq8_topk, ann_sq8_recall,
 # decontaminate_bloom, pq_residual_index_health, manifest_time_travel,
-# ann_ivf_sq8, retrieval_maxsim, ann_sq8_persisted, sq8_grid_drift —
-# never driver-checked),
+# ann_ivf_sq8, retrieval_maxsim, ann_sq8_persisted, sq8_grid_drift,
+# sessions_overlap_pairs — never driver-checked),
 # (2) the 7 queries whose code or oracle changed this round (the
 # residual compact body moved onto _build_grown_residual_layout but was
 # already listed), (3) the 12 remaining r07-stale records (the oldest
-# anywhere), then (4) the 16 oldest r09-stale records. After the r14
-# driver run: no record older than r09, and only 33 r09 records remain.
+# anywhere), then (4) the 15 oldest r09-stale records. After the r14
+# driver run: no record older than r09, and only 34 r09 records remain.
 #
 # ROUND-15 ROTATION PLAN: (1) anything round 15 adds or edits, then
-# (2) the 33 remaining r09-stale records (q_split_train_val_test,
+# (2) the 34 remaining r09-stale records (q_ann_lsh_multiprobe,
+# q_split_train_val_test,
 # q_curation_pipeline,
 # q_decontaminate_ngram,
 # q_stratified_sample, q_dedup_incremental, q_token_budget_mix,

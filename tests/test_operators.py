@@ -3871,3 +3871,130 @@ class TestSq8GridDrift:
         assert 0 <= r["n_sat_lo"] + r["n_sat_hi"] <= r["n_values"]
         assert 0 <= r["worst_dim"] < 64
         assert 0 <= r["worst_dim_sat_q20"] <= 1048576
+
+
+class TestSessionsOverlapPairs:
+    """Round-14: interval overlap join via time-binning
+    (plans/analytics.py:q_sessions_overlap_pairs)."""
+
+    def test_binned_rewrite_equals_naive_on_constructed(self, spark):
+        """Known geometry: user 1's session [00:00, 02:00] overlaps user
+        2's [01:00, 03:00] (shares bins AND time) but not user 3's
+        [05:00, 06:00] (no shared time even though a quadratic bin width
+        would collide) — and a same-bin-but-disjoint pair must NOT count
+        (the exact re-check after the coarse bin join)."""
+        import datetime as dt
+
+        from spark_sql_custom_mq_datasource_spark.plans.analytics import (
+            session_intervals,
+        )
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ev(eid, uid, minutes):
+            return (eid, base + dt.timedelta(minutes=minutes), uid)
+
+        rows = [
+            # user 1: one session 00:00-02:00 (gap < 30 min inside)
+            ev(1, 1, 0), ev(2, 1, 25), ev(3, 1, 50), ev(4, 1, 75),
+            ev(5, 1, 100), ev(6, 1, 120),
+            # user 2: one session 01:00-03:00
+            ev(7, 2, 60), ev(8, 2, 85), ev(9, 2, 110), ev(10, 2, 135),
+            ev(11, 2, 160), ev(12, 2, 180),
+            # user 3: 05:00-05:45 — no overlap with anyone
+            ev(13, 3, 300), ev(14, 3, 325), ev(15, 3, 345),
+            # user 4: 02:10-02:20 — same HOUR BIN as users 1/2 tails;
+            # overlaps user 2 (02:10 <= 03:00) but NOT user 1 (> 02:00)
+            ev(16, 4, 130), ev(17, 4, 140),
+        ]
+        evdf = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        )
+        iv = session_intervals(evdf)
+        assert iv.count() == 4  # one session per user
+
+        from spark_sql_custom_mq_datasource_spark.plans.registry import QUERIES
+
+        # drive the registered body on the constructed frame via the
+        # same code path: rebuild inline (the query reads a fixture, so
+        # replicate its chain here)
+        import spark_sql_custom_mq_datasource_spark.plans.analytics as an
+
+        binned = iv.select(
+            "user_id", "session_id", "s_start", "s_end",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros("s_start") / (an.OVERLAP_BIN_S * 1_000_000)),
+                    F.floor(F.unix_micros("s_end") / (an.OVERLAP_BIN_S * 1_000_000)),
+                )
+            ).alias("bin"),
+        )
+        a = binned.select(
+            F.col("user_id").alias("ua"), F.col("session_id").alias("sa"),
+            F.col("s_start").alias("a_start"), F.col("s_end").alias("a_end"),
+            "bin",
+        )
+        b = binned.select(
+            F.col("user_id").alias("ub"), F.col("session_id").alias("sb"),
+            F.col("s_start").alias("b_start"), F.col("s_end").alias("b_end"),
+            "bin",
+        )
+        got = sorted(
+            map(
+                tuple,
+                a.join(b, "bin")
+                .where(F.col("ua") < F.col("ub"))
+                .select("ua", "sa", "ub", "sb", "a_start", "a_end", "b_start", "b_end")
+                .distinct()
+                .where(
+                    (F.col("a_start") <= F.col("b_end"))
+                    & (F.col("b_start") <= F.col("a_end"))
+                )
+                .groupBy("ua", "ub")
+                .agg(F.count("*").alias("n"))
+                .collect(),
+            )
+        )
+        assert got == [(1, 2, 1), (2, 4, 1)]
+
+    def test_fixture_matches_naive_quadratic(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.analytics import (
+            session_intervals,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t as _t
+
+        got = sorted(
+            map(
+                tuple,
+                get_queries()["q_sessions_overlap_pairs"](spark, sf_dir).collect(),
+            )
+        )
+        iv = session_intervals(_t(spark, sf_dir, "events"))
+        a = iv.select(
+            F.col("user_id").alias("ua"),
+            F.col("s_start").alias("a_start"),
+            F.col("s_end").alias("a_end"),
+        )
+        b = iv.select(
+            F.col("user_id").alias("ub"),
+            F.col("s_start").alias("b_start"),
+            F.col("s_end").alias("b_end"),
+        )
+        naive = sorted(
+            map(
+                tuple,
+                a.join(
+                    b,
+                    (F.col("ua") < F.col("ub"))
+                    & (F.col("a_start") <= F.col("b_end"))
+                    & (F.col("b_start") <= F.col("a_end")),
+                )
+                .groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
+                .agg(F.count("*").cast("bigint").alias("n_overlaps"))
+                .collect(),
+            )
+        )
+        assert got == naive and got
