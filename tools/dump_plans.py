@@ -465,6 +465,22 @@ SHOWCASE = [
         "pairs form by two BroadcastHashJoins, and the sum-of-max is a "
         "two-level partial agg over shortlist-bounded rows.",
     ),
+    (
+        "q_retrieval_maxsim_persisted",
+        "Persisted-artifact MaxSim (round 15): identical join topology to "
+        "the inline twin except token vectors arrive from a FileScan over "
+        "the durable (tok, tv) parquet through UNFORCED equi-joins — the "
+        "planner broadcasts the vocabulary side while it fits and keeps "
+        "the shuffle fallback for real |vocab|-sized learned tables.",
+    ),
+    (
+        "q_sessions_overlap_hotbins",
+        "Hot-bin diagnostic (round 15): sessionize window -> interval "
+        "Generate (bin explode) -> two-level partial count per bin -> "
+        "TakeOrderedAndProject. No pair join anywhere — the read-out that "
+        "prices the overlap join's skew costs one scan + one bounded "
+        "aggregate.",
+    ),
 ]
 
 
