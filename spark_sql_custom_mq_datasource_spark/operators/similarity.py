@@ -4864,3 +4864,368 @@ def sq8_grid_refresh_readout(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
     out = spark.createDataFrame(probe_rows, probe.schema)
     return out.crossJoin(F.broadcast(counts)).orderBy("qid", "rk")
+
+
+# --------------------------------------------------------------------------
+# Two-stage SQ8 serving with exact re-rank (round 15): the composition the
+# SQ8 header promises — "SQ8 shortlist -> exact re-rank, like
+# q_ann_ivf_pq_refine" (FAISS IndexRefineFlat over a ScalarQuantizer
+# base). Stage 1 ranks the 4x-smaller coded table asymmetrically to a
+# top-R shortlist; stage 2 recomputes EXACT integer-grid L2 for only the
+# Q·R shortlisted pairs (point lookups at scale — here a broadcast
+# semi-join of the shortlist against one integer-grid corpus projection)
+# and re-ranks to the final top-k. Repairs every in-shortlist SQ8 rank
+# error by construction; R trades stage-2 reads for recall exactly like
+# the PQ refine's knob. All-integer on the shared Q20 grid — full value
+# oracle.
+# --------------------------------------------------------------------------
+
+SQ8_REFINE_R = 2 * TOPK  # SQ8 shortlist size handed to the exact re-rank
+
+_SQL_EQV = (
+    f"transform(embedding, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5D) AS BIGINT))"
+)
+
+
+@register(
+    "q_ann_sq8_refine",
+    f"""
+    WITH {_SQL_SQ8_CTES},
+    shortl AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM sq8d) WHERE rk <= {SQ8_REFINE_R}),
+    rexd AS (SELECT s.qid, s.vec_id,
+                    SUM((q.e - r.e) * (q.e - r.e)) AS dist
+             FROM shortl s
+             JOIN ev r ON r.vec_id = s.vec_id
+             JOIN ev q ON q.vec_id = s.qid AND q.d = r.d
+             GROUP BY 1, 2)
+    SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM rexd) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """,
+    doc=f"two-stage SQ8 serving with EXACT RE-RANKING (FAISS "
+    f"IndexRefineFlat over a scalar-quantizer base): the asymmetric SQ8 "
+    f"pass keeps a top-{SQ8_REFINE_R} shortlist per query, exact "
+    "integer-grid L2 runs against only those Q·R candidates (a broadcast "
+    f"semi-join — point lookups at scale), and the final top-{TOPK} comes "
+    "from the exact re-rank; the SQ8 sibling of q_ann_ivf_pq_refine, "
+    "all-integer, full value oracle.",
+)
+def q_ann_sq8_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mn, rng = sq8_stats(emb)
+    coded = sq8_encode(emb, mn, rng)
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    shortlist = sq8_topk(coded, queries, mn, rng, SQ8_REFINE_R).select(
+        "qid", "neighbor_id"
+    )
+    # stage 2: exact integer L2 over ONLY the Q·R shortlisted pairs — the
+    # shortlist broadcasts against one integer-grid corpus projection
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.expr(_SQL_EQV).alias("ne")
+    )
+    qdf = spark.createDataFrame(
+        [(qid, eq) for qid, eq in queries], "qid bigint, qe array<bigint>"
+    )
+    dist = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(shortlist)
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(qdf), "qid")
+        .select("qid", "neighbor_id", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("qid", "neighbor_id", F.col("rk").cast("int").alias("rk"))
+        .orderBy("qid", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Residual IVF-SQ8 (round 15): FAISS IVFScalarQuantizer's by_residual
+# DEFAULT — the scalar quantizer encodes x - centroid(cell), not x.
+# Residuals concentrate near 0, so the per-dim [mn, rng] grid is tighter
+# than the absolute grid by roughly the ratio of corpus spread to
+# within-cell spread — the same 8 bits buy finer resolution, exactly why
+# FAISS residualizes by default. Same INT discipline end-to-end: INT cell
+# centroids (the ivf_sq8_cells convention), integer residuals on the Q20
+# grid, a residual-trained grid, and serving that reconstructs in
+# ABSOLUTE space (cq·255 + mn·255 + code·rng) so the asymmetric distance
+# needs no per-cell query re-centering inside the scan. Full value oracle.
+#
+# Scale: one extra bounded join (|cells| rows attach the centroid for the
+# residual subtraction) on top of the raw IVF-SQ8 costs; the serving scan
+# is the same one-pass numpy over probed cells' codes.
+# --------------------------------------------------------------------------
+
+
+def _arr_int_stats(
+    df: DataFrame, col: str, dim: int = SQ8_DIM
+) -> tuple[list[int], list[int]]:
+    """Per-dim (mn, rng) of an int64 array column — one scan, 2·dim
+    partial-agg cells (the sq8_stats shape over precomputed ints)."""
+    aggs = [
+        F.min(F.element_at(col, d + 1)).alias(f"mn{d}") for d in range(dim)
+    ] + [F.max(F.element_at(col, d + 1)).alias(f"mx{d}") for d in range(dim)]
+    row = df.agg(*aggs).collect()[0]
+    mn = [int(row[f"mn{d}"]) for d in range(dim)]
+    rng = [max(int(row[f"mx{d}"]) - mn[d], 1) for d in range(dim)]
+    return mn, rng
+
+
+def sq8_encode_ints(
+    df: DataFrame, col: str, mn: list[int], rng: list[int], levels: int = SQ8_LEVELS
+) -> DataFrame:
+    """codes array<int> from an int64 array column on a [mn, rng] grid —
+    the sq8_encode projection without the Q20 quantization step (the
+    input ints are already on the grid)."""
+    mn_sql = "array(" + ",".join(f"{v}L" for v in mn) + ")"
+    rng_sql = "array(" + ",".join(f"{v}L" for v in rng) + ")"
+    codes = F.expr(
+        f"transform({col}, (x, i) -> CAST("
+        f"((x - element_at({mn_sql}, i + 1)) * {levels})"
+        f" DIV element_at({rng_sql}, i + 1) AS INT))"
+    )
+    keep = [c for c in df.columns if c != col]
+    return df.select(*keep, codes.alias("codes"))
+
+
+def ivf_sq8_residual_scan_topk(
+    pruned: DataFrame,
+    queries_eq: list[tuple[int, list[int]]],
+    probed: dict[int, list[int]],
+    mn: list[int],
+    rng: list[int],
+    cells: list[tuple[int, list[int]]],
+    k: int = TOPK,
+) -> DataFrame:
+    """ONE numpy scan over the probed-cell union, residual arithmetic:
+    reconstruction is cq[label]·levels + mn·levels + code·rng (absolute
+    space), so queries stay un-recentered. pruned: (vec_id, label,
+    codes)."""
+    mn_a = np.asarray(mn, dtype=np.int64)
+    rng_a = np.asarray(rng, dtype=np.int64)
+    max_label = max(label for label, _ in cells)
+    cq_m = np.zeros((max_label + 1, len(mn)), dtype=np.int64)
+    for label, cq in cells:
+        cq_m[label] = np.asarray(cq, dtype=np.int64)
+    qids = [qid for qid, _ in queries_eq]
+    qs = {
+        qid: np.asarray(eq, dtype=np.int64) * SQ8_LEVELS for qid, eq in queries_eq
+    }
+    probe_sets = {qid: set(labs) for qid, labs in probed.items()}
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            recon = cq_m[labs] * SQ8_LEVELS + mn_a * SQ8_LEVELS + codes * rng_a
+            for qid in qids:
+                mask = np.isin(labs, list(probe_sets[qid])) & (ids != qid)
+                if not mask.any():
+                    continue
+                diff = qs[qid][None, :] - recon[mask]
+                dist = (diff * diff).sum(axis=1)
+                cid = ids[mask]
+                order = np.lexsort((cid, dist))[:k]
+                yield pd.DataFrame(
+                    {"qid": qid, "neighbor_id": cid[order], "dist": dist[order]}
+                )
+
+    schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("dist", LongType()),
+        ]
+    )
+    partial = pruned.select("vec_id", "label", "codes").mapInPandas(scan, schema)
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "neighbor_id", F.col("rk").cast("int").alias("rk"))
+        .orderBy("qid", "rk")
+    )
+
+
+_SQL_IVF_SQ8_RESIDUAL = f"""
+    WITH eq AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS eqv
+           FROM embeddings),
+    ev AS (SELECT vec_id, d, eqv[d] AS e
+           FROM eq, generate_series(1, {SQ8_DIM}) g(d)),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cc AS (SELECT l.label, v.d,
+                  CAST(floor(CAST(SUM(v.e) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+           FROM ev v JOIN lbl l ON v.vec_id = l.vec_id
+           GROUP BY l.label, v.d),
+    rv AS (SELECT e.vec_id, e.d, e.e - c.cq AS r, c.cq AS cq
+           FROM ev e JOIN lbl l ON e.vec_id = l.vec_id
+           JOIN cc c ON c.label = l.label AND c.d = e.d),
+    str AS (SELECT d, MIN(r) AS mn, GREATEST(MAX(r) - MIN(r), 1) AS rng
+            FROM rv GROUP BY d),
+    rrec AS (SELECT v.vec_id, v.d,
+                    v.cq * {SQ8_LEVELS} + s.mn * {SQ8_LEVELS}
+                      + ((v.r - s.mn) * {SQ8_LEVELS}) // s.rng * s.rng AS ra
+             FROM rv v JOIN str s ON v.d = s.d),
+    qv AS (SELECT vec_id AS qid, d, e FROM ev WHERE vec_id < {N_QUERIES}),
+    qc AS (SELECT q.qid, c.label, SUM((q.e - c.cq) * (q.e - c.cq)) AS cdist
+           FROM qv q JOIN cc c ON q.d = c.d GROUP BY q.qid, c.label),
+    probes AS (SELECT qid, label FROM (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cdist ASC, label) AS prk
+      FROM qc) WHERE prk <= {IVF_NPROBE}),
+    cand AS (SELECT p.qid, r.vec_id, r.d, r.ra
+             FROM rrec r JOIN lbl l ON r.vec_id = l.vec_id
+             JOIN probes p ON l.label = p.label
+             WHERE r.vec_id <> p.qid),
+    qs AS (SELECT qid, d, e * {SQ8_LEVELS} AS qs FROM qv),
+    dd AS (SELECT c.qid, c.vec_id, SUM((q.qs - c.ra) * (q.qs - c.ra)) AS dist
+           FROM cand c JOIN qs q ON q.qid = c.qid AND q.d = c.d
+           GROUP BY c.qid, c.vec_id)
+    SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM dd) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """
+
+
+@register(
+    "q_ann_ivf_sq8_residual",
+    _SQL_IVF_SQ8_RESIDUAL,
+    doc=f"residual IVF-SQ8 ANN (FAISS IVFScalarQuantizer by_residual — "
+    "the default): the scalar quantizer encodes x − centroid(cell) on a "
+    "residual-trained [mn,rng] grid (residuals concentrate near 0, so 8 "
+    "bits buy finer resolution than the absolute grid); serving "
+    f"reconstructs in ABSOLUTE space (cq·{SQ8_LEVELS} + mn·{SQ8_LEVELS} "
+    "+ code·rng) so one numpy pass ranks every query without per-cell "
+    "re-centering; all-integer chain on the Q20 grid, full value oracle.",
+)
+def q_ann_ivf_sq8_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cells = ivf_sq8_cells(emb)
+    cells_df = spark.createDataFrame(
+        [(label, cq) for label, cq in cells], "label int, cq array<bigint>"
+    )
+    rem = _sq8_residuals(emb, cells_df)
+    mn, rng = _arr_int_stats(rem, "rv")
+    coded = sq8_encode_ints(rem, "rv", mn, rng)
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    probed = ivf_sq8_probes(queries, cells)
+    all_probed = sorted({lb for labs in probed.values() for lb in labs})
+    pruned = coded.where(F.col("label").isin(all_probed))
+    return ivf_sq8_residual_scan_topk(pruned, queries, probed, mn, rng, cells, TOPK)
+
+
+def _sq8_residuals(emb: DataFrame, cells_df: DataFrame) -> DataFrame:
+    """(vec_id, label, rv array<bigint>): integer residuals eq − cq via
+    one bounded |cells|-row join (unhinted — the vocab-join discipline)."""
+    return emb.join(cells_df, "label").select(
+        "vec_id",
+        "label",
+        F.expr(f"zip_with({_SQL_EQV}, cq, (x, y) -> x - y)").alias("rv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted residual IVF-SQ8 index + partition-pruned serving (round 15):
+# the residual family gets the same durable lifecycle the raw SQ8 (and
+# both PQ layouts) have — train once, land (grid + cells + codes) on
+# disk, serve by loading the bounded metadata and letting the probed
+# labels PARTITION-PRUNE the code scan. Bit-identical to the in-memory
+# residual composition (shared oracle + suite pin); with FAISS shipping
+# by_residual as the IVF-SQ default, THIS is the layout an SQ8 store
+# actually persists.
+# --------------------------------------------------------------------------
+
+_sq8_res_index_paths: dict[tuple, tuple[str, str, str]] = {}
+
+
+def sq8_residual_index_path(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Build (once per session+fixture) the persisted residual IVF-SQ8
+    index; return (grid_path, codes_path, cells_path). grid: ONE row
+    (mn, rng) over the RESIDUALS. codes: (vec_id, codes) partitioned by
+    label. cells: (label, cq) INT coarse centroids."""
+    import os
+    import re
+
+    key = (session_key(spark), sf_dir)
+    if key not in _sq8_res_index_paths:
+        base = work_dir("sq8_res_index_" + re.sub(r"\W+", "_", sf_dir))
+        grid_path = os.path.join(base, "grid")
+        codes_path = os.path.join(base, "codes")
+        cells_path = os.path.join(base, "cells")
+        emb = tp(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        cells = ivf_sq8_cells(emb)
+        cells_df = spark.createDataFrame(
+            [(label, cq) for label, cq in cells], "label int, cq array<bigint>"
+        )
+        rem = _sq8_residuals(emb, cells_df)
+        mn, rng = _arr_int_stats(rem, "rv")
+        spark.createDataFrame(
+            [(mn, rng)], "mn array<bigint>, rng array<bigint>"
+        ).write.mode("overwrite").parquet(grid_path)
+        cells_df.write.mode("overwrite").parquet(cells_path)
+        (
+            sq8_encode_ints(rem, "rv", mn, rng)
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(codes_path)
+        )
+        _sq8_res_index_paths[key] = (grid_path, codes_path, cells_path)
+    return _sq8_res_index_paths[key]
+
+
+@register(
+    "q_ann_sq8_residual_persisted",
+    _SQL_IVF_SQ8_RESIDUAL,
+    doc="residual IVF-SQ8 serving over the DURABLE index (one-row "
+    "residual grid + INT cell centroids + label-partitioned residual "
+    "codes): grid and cells load as bounded metadata, the coarse prune's "
+    "probed labels PARTITION-PRUNE the code scan (plan-pinned), one "
+    "numpy pass reconstructs in absolute space and ranks all queries — "
+    "bit-identical to the in-memory composition (shared oracle with "
+    "q_ann_ivf_sq8_residual + suite pin). The layout an SQ8 store "
+    "actually ships: FAISS's IVF-SQ default IS by_residual.",
+)
+def q_ann_sq8_residual_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid_path, codes_path, cells_path = sq8_residual_index_path(spark, sf_dir)
+    [grid] = spark.read.parquet(grid_path).collect()  # bounded: 1 row
+    mn, rng = list(grid["mn"]), list(grid["rng"])
+    cells = sorted(
+        (int(r["label"]), [int(v) for v in r["cq"]])
+        for r in spark.read.parquet(cells_path).collect()  # bounded: |cells|
+    )
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    probed = ivf_sq8_probes(queries, cells)
+    all_probed = sorted({lb for labs in probed.values() for lb in labs})
+    # the literal IN becomes a parquet PARTITION filter on the code scan
+    pruned = spark.read.parquet(codes_path).where(F.col("label").isin(all_probed))
+    return ivf_sq8_residual_scan_topk(pruned, queries, probed, mn, rng, cells, TOPK)

@@ -1330,3 +1330,135 @@ def overlap_hotbins(
             .alias("candidate_pairs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bin-width sweep for the overlap join (round 15): the tuning-knob
+# read-out pattern (q_ann_ivf_pq_nprobe_sweep, q_dedup_threshold_sweep)
+# applied to bin_s. For each candidate width: the explode factor
+# (Σ per-interval bins — the row-multiplication cost), the bin count,
+# the candidate-pair mass (Σ n·(n-1)/2 — what the equi-join fans out),
+# and the TRUE pair count computed through that width's own rewrite —
+# identical in every row, proving bin_s-invariance inside the sweep
+# itself while the cost columns expose the trade: fine bins multiply
+# explode rows, coarse bins multiply false candidates. Pick the knee.
+#
+# Scale: per width one explode + two bounded aggregates + the binned
+# join; a production sweep runs on a sampled day, not the firehose —
+# the knob read-out is an offline audit, like the nprobe sweep.
+# --------------------------------------------------------------------------
+
+OVERLAP_SWEEP_BINS = (900, 3600, 14400)
+
+
+def _overlap_sweep_oracle() -> str:
+    per_width = []
+    for w in OVERLAP_SWEEP_BINS:
+        us = w * 1_000_000
+        per_width.append(
+            f"""
+    SELECT CAST({w} AS BIGINT) AS bin_s,
+           (SELECT CAST(COUNT(DISTINCT bin) AS BIGINT) FROM bw{w}) AS n_bins,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bw{w}) AS n_explode_rows,
+           (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM bw{w} GROUP BY bin))
+             AS candidate_pairs,
+           (SELECT true_pairs FROM tp) AS true_pairs
+    """
+        )
+        per_width.append(f"/*bw{w} base: {us}*/")
+    bw_ctes = ",\n".join(
+        f"""bw{w} AS (
+      SELECT unnest(generate_series(
+               epoch_us(s_start) // {w * 1_000_000},
+               epoch_us(s_end) // {w * 1_000_000})) AS bin
+      FROM iv
+    )"""
+        for w in OVERLAP_SWEEP_BINS
+    )
+    selects = "\n    UNION ALL\n".join(
+        s for s in per_width if s.startswith("\n    SELECT")
+    )
+    return f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    ), iv AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_id
+    ), tp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_pairs
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id
+       AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    ),
+    {bw_ctes}
+    {selects}
+    ORDER BY bin_s
+    """
+
+
+@register(
+    "q_overlap_bin_sweep",
+    _overlap_sweep_oracle(),
+    doc=f"bin-width sweep for the interval overlap join (the nprobe-sweep "
+    f"pattern on the bin_s knob): for each width in {OVERLAP_SWEEP_BINS} "
+    "the explode factor, bin count, candidate-pair mass, and the true "
+    "pair count computed through THAT width's own rewrite — constant "
+    "across rows, proving bin_s-invariance in-query while the cost "
+    "columns expose the fine-bins-multiply-explode vs "
+    "coarse-bins-multiply-candidates trade; oracle's true_pairs is the "
+    "quadratic spec, so every width is value-proven lossless.",
+)
+def q_overlap_bin_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = session_intervals(t(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )  # reused by 3 widths x (bins agg + pair join) — sever the lineage once
+    rows = []
+    for w in OVERLAP_SWEEP_BINS:
+        b = _interval_bins(iv, w)
+        [agg] = (
+            b.agg(
+                F.count("*").cast("bigint").alias("n_explode_rows"),
+                F.countDistinct("bin").cast("bigint").alias("n_bins"),
+            ).collect()
+        )  # bounded: 1 row
+        [cand] = (
+            b.groupBy("bin")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("cp")
+            )
+            .collect()
+        )  # bounded: 1 row
+        [tp_row] = (
+            overlap_pairs(iv, w)
+            .agg(F.sum("n_overlaps").cast("bigint").alias("tp"))
+            .collect()
+        )  # bounded: 1 row — the width's own rewrite proves invariance
+        rows.append(
+            (
+                w,
+                int(agg["n_bins"]),
+                int(agg["n_explode_rows"]),
+                int(cand["cp"]),
+                int(tp_row["tp"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "bin_s bigint, n_bins bigint, n_explode_rows bigint, "
+        "candidate_pairs bigint, true_pairs bigint",
+    ).orderBy("bin_s")

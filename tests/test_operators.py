@@ -4217,3 +4217,128 @@ class TestSq8IndexLifecycle:
         assert row["n_cells"] == len(occ)
         assert row["hottest_cell"] in occ
         assert occ[row["hottest_cell"]] == max(occ.values())
+
+
+class TestSq8Refine:
+    """Round-15: two-stage SQ8 serving with exact re-rank
+    (operators/similarity.py:q_ann_sq8_refine)."""
+
+    def test_refine_never_hurts_recall(self, spark, sf_dir):
+        """Within the shortlist the refine ranks EXACTLY, so every exact
+        top-k member the SQ8 shortlist contains survives to the final
+        top-k — refine recall >= plain SQ8 recall, per query."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            N_QUERIES,
+            TOPK,
+            _collect_query_eq,
+            q_ann_sq8_refine,
+            sq8_encode,
+            sq8_stats,
+            sq8_topk,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import tp as _tp
+
+        emb = _tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        mn, _ = sq8_stats(emb)
+        queries = _collect_query_eq(emb.where(F.col("vec_id") < N_QUERIES))
+        ones = [1] * len(mn)
+        exact = {}
+        for r in sq8_topk(
+            sq8_encode(emb, mn, ones, levels=1), queries, mn, ones, TOPK, levels=1
+        ).collect():
+            exact.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        sq8 = {}
+        for r in get_queries()["q_ann_sq8_topk"](spark, sf_dir).collect():
+            sq8.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        refined = {}
+        for r in q_ann_sq8_refine(spark, sf_dir).collect():
+            refined.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        for qid, ex in exact.items():
+            assert len(refined[qid] & ex) >= len(sq8.get(qid, set()) & ex)
+
+
+class TestIvfSq8Residual:
+    """Round-15: residual IVF-SQ8 (FAISS by_residual default,
+    operators/similarity.py:q_ann_ivf_sq8_residual)."""
+
+    def test_residual_grid_tighter_on_clustered_corpus(self, spark):
+        """The reason by_residual is the default: on a corpus with REAL
+        cluster structure the residual-trained per-dim ranges are far
+        tighter than the absolute grid — the same 8 bits buy finer
+        resolution."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            _SQL_EQV,
+            SQ8_DIM,
+            _arr_int_stats,
+            ivf_sq8_cells,
+            sq8_stats,
+        )
+
+        rows = []
+        for vid in range(60):
+            label = vid % 2
+            center = 0.0 if label == 0 else 1.0
+            v = [center + (vid % 5) * 0.001] * SQ8_DIM
+            rows.append((vid, v, label))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        _, rng_abs = sq8_stats(emb)
+        cells_df = spark.createDataFrame(
+            [(label, cq) for label, cq in ivf_sq8_cells(emb)],
+            "label int, cq array<bigint>",
+        )
+        rem = emb.join(cells_df, "label").select(
+            F.expr(f"zip_with({_SQL_EQV}, cq, (x, y) -> x - y)").alias("rv")
+        )
+        _, rng_res = _arr_int_stats(rem, "rv")
+        # absolute range spans the inter-cluster gap (~1.0); residual
+        # range spans only the within-cluster spread (~0.004)
+        assert sum(rng_res) * 10 < sum(rng_abs)
+
+    def test_persisted_serving_equals_in_memory(self, spark, sf_dir):
+        """Serving from the durable residual index must be bit-identical
+        to the in-memory composition (shared oracle + this suite pin)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        mem = sorted(
+            map(tuple, qs["q_ann_ivf_sq8_residual"](spark, sf_dir).collect())
+        )
+        per = sorted(
+            map(
+                tuple,
+                qs["q_ann_sq8_residual_persisted"](spark, sf_dir).collect(),
+            )
+        )
+        assert per == mem and per
+
+
+class TestOverlapBinSweep:
+    """Round-15: the bin_s knob read-out
+    (plans/analytics.py:q_overlap_bin_sweep)."""
+
+    def test_true_pairs_constant_and_explode_monotone(self, spark, sf_dir):
+        """true_pairs must be identical in every row (bin_s-invariance
+        proven in-query); explode rows and bin counts shrink as bins
+        coarsen (candidate mass is NOT monotone in general — a pair
+        sharing k fine bins counts k times — which is exactly why the
+        sweep exists: the knee is data-dependent)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        rows = sorted(
+            get_queries()["q_overlap_bin_sweep"](spark, sf_dir).collect(),
+            key=lambda r: r["bin_s"],
+        )
+        assert len({r["true_pairs"] for r in rows}) == 1
+        assert all(r["candidate_pairs"] >= r["true_pairs"] for r in rows)
+        for a, b in zip(rows, rows[1:]):
+            assert a["n_explode_rows"] >= b["n_explode_rows"]
+            assert a["n_bins"] >= b["n_bins"]

@@ -924,3 +924,17 @@ class TestRound15Plans:
         pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
         # 4 subdirs (base + 3 deltas), each scan label-partition-filtered
         assert len([f for f in pfs if "label" in f and " IN " in f]) == 4
+
+    def test_sq8_residual_persisted_partition_prunes_code_scan(
+        self, spark, sf_dir
+    ):
+        """The persisted RESIDUAL IVF-SQ8 serving must carry the probed
+        cells as a PARTITION filter on the durable code scan, like every
+        other persisted serving path."""
+        import re
+
+        p = plan(spark, sf_dir, "q_ann_sq8_residual_persisted")
+        assert "CartesianProduct" not in p
+        assert "sq8_res_index" in p  # FileScan over the durable index
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+        assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
