@@ -188,17 +188,21 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # ==== ROUND-15 PREFIX ===============================================
     # (executes the round-14 rotation plan below / VERDICT r14 item 1)
-    # -- the 10 round-15 additions (never driver-checked; locally green at
+    # -- the 13 round-15 additions (never driver-checked; locally green at
     #    sf0.001 AND sf0.01): the SQ8 index maintenance lifecycle
     #    (grow/compact/health — VERDICT r14 missing 1), the SQ8 grid
     #    refresh (missing 2), the overlap-join hot-bin diagnostic +
     #    bin-width sweep (missing 3), the persisted MaxSim token-vector
-    #    serving (missing 4), plus the SQ8 exact re-rank and residual
-    #    IVF-SQ8 with persisted serving (the FAISS by_residual default —
-    #    beyond the brief) --------------------------------------------------
+    #    serving (missing 4), plus the SQ8 exact re-rank, residual
+    #    IVF-SQ8 with persisted serving (the FAISS by_residual default),
+    #    and the residual-SQ8 grow/compact/health lifecycle — beyond the
+    #    brief, closing the maintenance loop on every persisted family ----
     "q_ann_sq8_refine",
     "q_ann_ivf_sq8_residual",
     "q_ann_sq8_residual_persisted",
+    "q_stream_sq8_residual_index_grow",
+    "q_sq8_residual_index_compact",
+    "q_sq8_residual_index_health",
     "q_overlap_bin_sweep",
     "q_stream_sq8_index_grow",
     "q_sq8_index_compact",
@@ -250,13 +254,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_events_tumbling_1d",
     "q_events_sessionize",
     "q_bucketed_join_revenue",
-    # -- 3 of the 49 r10-stale records, oldest-first, to fill 50 (the four
-    #    late additions displaced q_dedup_containment, q_dedup_minhash_lsh,
-    #    q_dedup_threshold_sweep and q_dedup_containment_apply to round 16
-    #    — all r10-green and re-verified by this round's local batteries) --
-    "q_quality_gopher",
-    "q_corpus_drift_psi",
-    "q_dedup_ngram_jaccard",
+    # (the seven late additions displaced ALL the r10-stale fillers —
+    #  q_quality_gopher, q_corpus_drift_psi, q_dedup_ngram_jaccard,
+    #  q_dedup_containment, q_dedup_minhash_lsh, q_dedup_threshold_sweep,
+    #  q_dedup_containment_apply — to round 16; every one is r10-green
+    #  and re-verified by this round's local full batteries)
 )
 # The ROUND-14 prefix this replaces (all 50 green in CORRECTNESS_r14.json):
 # the 16 round-14 additions (bpe_tokenize_oov_persisted, pq_index_health,
@@ -337,12 +339,12 @@ _PRIORITY: tuple[str, ...] = (
 # driver run: no record older than r09, and only 34 r09 records remain.
 #
 # ROUND-15 ROTATION PLAN (EXECUTED by the prefix above): (1) anything
-# round 15 adds or edits — the 10 additions (SQ8 lifecycle
-# grow/compact/health, SQ8 grid refresh, overlap hot-bin diagnostic +
-# bin-width sweep, persisted MaxSim, SQ8 exact re-rank, residual
-# IVF-SQ8 + its persisted serving) and the 3 changed queries (bloom
-# hint drop, maxsim_rerank token_vecs leg, overlap_pairs refactor) —
-# then
+# round 15 adds or edits — the 13 additions (SQ8 lifecycle
+# grow/compact/health on BOTH the raw and residual layouts, SQ8 grid
+# refresh, overlap hot-bin diagnostic + bin-width sweep, persisted
+# MaxSim, SQ8 exact re-rank, residual IVF-SQ8 + its persisted serving)
+# and the 3 changed queries (bloom hint drop, maxsim_rerank token_vecs
+# leg, overlap_pairs refactor) — then
 # (2) the 34 remaining r09-stale records (q_ann_lsh_multiprobe,
 # q_split_train_val_test,
 # q_curation_pipeline,
@@ -362,17 +364,19 @@ _PRIORITY: tuple[str, ...] = (
 # re-verified by every local full battery since), then (3) the r10-stale
 # records oldest-first (tools/rotation_plan.py regenerates the exact
 # order from CORRECTNESS_r01..r14). After the r15 driver run: no record
-# older than r10, and 46 r10 records remain.
+# older than r10, and all 49 r10 records remain (the late additions
+# consumed the filler slots).
 #
 # ROUND-16 ROTATION PLAN: (1) anything round 16 adds or edits, then
-# (2) the 46 remaining r10-stale records oldest-first, starting with
-# q_dedup_containment, q_dedup_minhash_lsh, q_dedup_threshold_sweep and
-# q_dedup_containment_apply (displaced from the r15 prefix by the four
-# late additions; all r10-green and locally re-verified since) —
-# tools/rotation_plan.py regenerates the exact order from
+# (2) the 49 r10-stale records oldest-first, starting with the seven
+# displaced from the r15 prefix by late additions (q_quality_gopher,
+# q_corpus_drift_psi, q_dedup_ngram_jaccard, q_dedup_containment,
+# q_dedup_minhash_lsh, q_dedup_threshold_sweep,
+# q_dedup_containment_apply — all r10-green and locally re-verified
+# since) — tools/rotation_plan.py regenerates the exact order from
 # CORRECTNESS_r01..r15 — then (3) r11-stale oldest-first to fill 50.
-# Done = CORRECTNESS_r16 green on all 50; additions permitting, after
-# the run few or no r10 records remain.
+# Done = CORRECTNESS_r16 green on all 50; at ~13 additions/round the
+# r10 block clears over rounds 16-17.
 
 
 def _load_all() -> None:

@@ -4981,3 +4981,467 @@ def _register_sq8_index_health() -> None:
 
 
 _register_sq8_index_health()
+
+
+# --------------------------------------------------------------------------
+# RESIDUAL SQ8 index maintenance lifecycle (round 15, closing the family
+# symmetry): with q_ann_sq8_residual_persisted the residual layout is the
+# one an SQ8 store ships (FAISS's IVF-SQ default IS by_residual), so it
+# gets the same grow/compact/health loop the raw SQ8 and both PQ layouts
+# run. The frozen artifacts are the residual [mn, rng] grid + the INT
+# cell centroids (sq8_residual_index_path); the ingest encode is
+# residualize-against-frozen-cells then the frozen-grid integer encode —
+# bit-identical to the one-shot build; landing, compaction, and the
+# health read-out reuse the shared machinery. Serving over base ∪ deltas
+# must equal the one-shot persisted serving — the shared
+# _SQL_IVF_SQ8_RESIDUAL oracle.
+# --------------------------------------------------------------------------
+
+
+def _sq8_res_load_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], list[int], list[tuple[int, list[int]]], DataFrame]:
+    """The frozen residual-SQ8 serving artifacts: ([mn], [rng],
+    [(label, cq)], cells DF) — grid row + |cells| rows, bounded."""
+    from ..operators.similarity import sq8_residual_index_path
+
+    grid_path, _, cells_path = sq8_residual_index_path(spark, sf_dir)
+    [grid] = spark.read.parquet(grid_path).collect()  # bounded: 1 row
+    cells_df = spark.read.parquet(cells_path)
+    cells = sorted(
+        (int(r["label"]), [int(v) for v in r["cq"]])
+        for r in cells_df.collect()  # bounded: |cells|
+    )
+    return list(grid["mn"]), list(grid["rng"]), cells, cells_df
+
+
+def _sq8_res_encode(
+    bdf: DataFrame, cells_df: DataFrame, mn: list[int], rng: list[int]
+) -> DataFrame:
+    """Frozen-artifact residual encode of a (vec_id, embedding, label)
+    batch: residualize against the frozen INT cells, integer-encode on
+    the frozen residual grid — the one-shot build's exact expressions."""
+    from ..operators.similarity import _sq8_residuals, sq8_encode_ints
+
+    return sq8_encode_ints(_sq8_residuals(bdf, cells_df), "rv", mn, rng)
+
+
+def _sq8_res_serve_grown(
+    spark: SparkSession,
+    sf_dir: str,
+    grown: DataFrame,
+    mn: list[int],
+    rng: list[int],
+    cells: list[tuple[int, list[int]]],
+) -> DataFrame:
+    """The residual IVF-SQ8 serving probe (standard anchors) over a grown
+    code table — must equal the one-shot persisted serving."""
+    from ..operators.similarity import (
+        N_QUERIES,
+        TOPK,
+        _collect_query_eq,
+        ivf_sq8_probes,
+        ivf_sq8_residual_scan_topk,
+    )
+
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    probed = ivf_sq8_probes(queries, cells)
+    all_probed = sorted({lb for labs in probed.values() for lb in labs})
+    pruned = grown.where(F.col("label").isin(all_probed))
+    return ivf_sq8_residual_scan_topk(pruned, queries, probed, mn, rng, cells, TOPK)
+
+
+def _register_stream_sq8_residual_index_grow() -> None:
+    from ..operators.similarity import _SQL_IVF_SQ8_RESIDUAL
+
+    @register(
+        "q_stream_sq8_residual_index_grow",
+        _SQL_IVF_SQ8_RESIDUAL,
+        doc="STREAMING growth of the RESIDUAL SQ8 index: a base index "
+        "(even vec_ids, batch residual-encoded) grows by foreachBatch "
+        "appends of the streamed remainder — residualize against the "
+        "frozen INT cells, integer-encode on the frozen residual grid, "
+        "batch-keyed OVERWRITE into label-partitioned subdirs "
+        "(redelivery-idempotent, exercised inline) — then the residual "
+        "IVF-SQ8 serving probe over base ∪ deltas must equal the "
+        "one-shot persisted serving (shared oracle with "
+        "q_ann_sq8_residual_persisted).",
+    )
+    def q_stream_sq8_residual_index_grow(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+
+        from ..plans.util import cached_fixture_dir
+
+        mn, rng, cells, cells_df = _sq8_res_load_artifacts(spark, sf_dir)
+        emb = t(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        state = work_dir("sq8_res_grow_index")
+        codes_root = _os.path.join(state, "codes")
+
+        (
+            _sq8_res_encode(emb.where(F.col("vec_id") % 2 == 0), cells_df, mn, rng)
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(_os.path.join(codes_root, "b00000"))
+        )
+
+        # the SAME deterministic 3-slice inbox every grow query replays
+        n_slices = 3
+
+        def build(inbox: str) -> None:
+            scratch = _os.path.join(inbox, "_scratch")
+            for i in range(n_slices):
+                part = _os.path.join(scratch, f"slice{i}")
+                (
+                    emb.where(F.col("vec_id") % (2 * n_slices) == 2 * i + 1)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(part)
+                )
+                src = next(
+                    f for f in _os.listdir(part) if f.endswith(".parquet")
+                )
+                _shutil.copyfile(
+                    _os.path.join(part, src),
+                    _os.path.join(inbox, f"{i:02d}.parquet"),
+                )
+            _shutil.rmtree(scratch, ignore_errors=True)
+
+        inbox = cached_fixture_dir(
+            "pq_grow", sf_dir, f"pq-grow-v1 slices={n_slices} odd-ids", build
+        )
+
+        delivered: list[int] = []
+
+        def fold(bdf: DataFrame, batch_id: int) -> None:
+            delivered.append(int(batch_id))
+            (
+                _sq8_res_encode(bdf, cells_df, mn, rng)
+                .write.mode("overwrite")
+                .partitionBy("label")
+                .parquet(_os.path.join(codes_root, f"b{batch_id + 1:05d}"))
+            )
+
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>, label int")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", _ckpt("sq8_res_grow"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("stream_sq8_residual_index_grow did not drain")
+        finally:
+            q.stop()
+
+        if delivered and _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0":
+            last = max(delivered)
+            redelivered = spark.read.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).parquet(_os.path.join(inbox, f"{last:02d}.parquet"))
+            fold(redelivered, last)
+
+        grown = _sq8_read_grown(spark, codes_root)
+        return _sq8_res_serve_grown(spark, sf_dir, grown, mn, rng, cells)
+
+
+_register_stream_sq8_residual_index_grow()
+
+
+def _build_grown_sq8_residual_layout(
+    spark: SparkSession, sf_dir: str, state_name: str
+) -> tuple[str, list[int], list[int], list[tuple[int, list[int]]], DataFrame]:
+    """The grown RESIDUAL-SQ8 index layout built batch-side — base b00000
+    (even vec_ids) + 3 delta subdirs (odd-id thirds), all through the
+    frozen-artifact residual encode. Shared by the residual compaction
+    query and the residual health monitor."""
+    import os as _os
+
+    mn, rng, cells, cells_df = _sq8_res_load_artifacts(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    state = work_dir(state_name)
+    codes_root = _os.path.join(state, "codes")
+    (
+        _sq8_res_encode(emb.where(F.col("vec_id") % 2 == 0), cells_df, mn, rng)
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(_os.path.join(codes_root, "b00000"))
+    )
+    for i in range(3):
+        (
+            _sq8_res_encode(
+                emb.where(F.col("vec_id") % 6 == 2 * i + 1), cells_df, mn, rng
+            )
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(_os.path.join(codes_root, f"b{i + 1:05d}"))
+        )
+    return codes_root, mn, rng, cells, emb
+
+
+def _register_sq8_residual_index_compact() -> None:
+    from ..operators.similarity import _SQL_IVF_SQ8_RESIDUAL
+
+    @register(
+        "q_sq8_residual_index_compact",
+        _SQL_IVF_SQ8_RESIDUAL,
+        doc="atomic small-file compaction of the incrementally-grown "
+        "RESIDUAL SQ8 code table: base + 3 batch-keyed delta subdirs "
+        "rewritten into ONE committed label-partitioned subdir keeping "
+        "the max batch id (staged-rename swap); the query raises unless "
+        "the residual serving probe is bit-identical across the swap and "
+        "the parquet file count shrank; the probe is value-checked by "
+        "the oracle shared with q_ann_sq8_residual_persisted.",
+    )
+    def q_sq8_residual_index_compact(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+
+        codes_root, mn, rng, cells, emb = _build_grown_sq8_residual_layout(
+            spark, sf_dir, "sq8_res_compact_index"
+        )
+
+        def nfiles() -> int:
+            return sum(
+                1
+                for root, _, files in _os.walk(codes_root)
+                for fn in files
+                if fn.endswith(".parquet")
+            )
+
+        def probe() -> DataFrame:
+            return _sq8_res_serve_grown(
+                spark, sf_dir, _sq8_read_grown(spark, codes_root), mn, rng, cells
+            )
+
+        pre = sorted(map(tuple, probe().collect()))
+        files_before = nfiles()
+
+        dirs = committed_batch_dirs(codes_root)
+        max_id = max(int(_os.path.basename(d)[1:]) for d in dirs)
+        new_root = codes_root + "_new"
+        _shutil.rmtree(new_root, ignore_errors=True)
+        (
+            _sq8_read_grown(spark, codes_root)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(_os.path.join(new_root, f"b{max_id:05d}"))
+        )
+        retired = codes_root + "_retired"
+        _shutil.rmtree(retired, ignore_errors=True)
+        _os.replace(codes_root, retired)
+        _os.replace(new_root, codes_root)
+        _shutil.rmtree(retired, ignore_errors=True)
+
+        files_after = nfiles()
+        if files_after >= files_before:
+            raise AssertionError(
+                f"compaction did not shrink files: {files_before} -> {files_after}"
+            )
+        post_df = probe()
+        post = sorted(map(tuple, post_df.collect()))
+        if post != pre:
+            raise AssertionError(
+                "probe changed across residual SQ8 index compaction"
+            )
+        return post_df
+
+
+_register_sq8_residual_index_compact()
+
+
+def _sq8_res_health_oracle() -> str:
+    from ..operators.similarity import (
+        IVF_NPROBE,
+        QUANT,
+        SQ8_DIM,
+        SQ8_LEVELS,
+        TOPK,
+    )
+
+    hs = PQ_HEALTH_SAMPLE
+    return f"""
+    WITH eq AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS eqv
+           FROM embeddings),
+    ev AS (SELECT vec_id, d, eqv[d] AS e
+           FROM eq, generate_series(1, {SQ8_DIM}) g(d)),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cc AS (SELECT l.label, v.d,
+                  CAST(floor(CAST(SUM(v.e) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+           FROM ev v JOIN lbl l ON v.vec_id = l.vec_id
+           GROUP BY l.label, v.d),
+    rv AS (SELECT e.vec_id, e.d, e.e - c.cq AS r, c.cq AS cq
+           FROM ev e JOIN lbl l ON e.vec_id = l.vec_id
+           JOIN cc c ON c.label = l.label AND c.d = e.d),
+    str AS (SELECT d, MIN(r) AS mn, GREATEST(MAX(r) - MIN(r), 1) AS rng
+            FROM rv GROUP BY d),
+    rrec AS (SELECT v.vec_id, v.d,
+                    v.cq * {SQ8_LEVELS} + s.mn * {SQ8_LEVELS}
+                      + ((v.r - s.mn) * {SQ8_LEVELS}) // s.rng * s.rng AS ra
+             FROM rv v JOIN str s ON v.d = s.d),
+    anch AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM eq)
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {hs}),
+    qv AS (SELECT vec_id AS qid, d, e FROM ev
+           WHERE vec_id IN (SELECT vec_id FROM anch)),
+    qc AS (SELECT q.qid, c.label, SUM((q.e - c.cq) * (q.e - c.cq)) AS cdist
+           FROM qv q JOIN cc c ON q.d = c.d GROUP BY q.qid, c.label),
+    probes AS (SELECT qid, label FROM (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cdist ASC, label) AS prk
+      FROM qc) WHERE prk <= {IVF_NPROBE}),
+    cand AS (SELECT p.qid, r.vec_id, r.d, r.ra
+             FROM rrec r JOIN lbl l ON r.vec_id = l.vec_id
+             JOIN probes p ON l.label = p.label
+             WHERE r.vec_id <> p.qid),
+    qs AS (SELECT qid, d, e * {SQ8_LEVELS} AS qs FROM qv),
+    dd AS (SELECT c.qid, c.vec_id, SUM((q.qs - c.ra) * (q.qs - c.ra)) AS dist
+           FROM cand c JOIN qs q ON q.qid = c.qid AND q.d = c.d
+           GROUP BY c.qid, c.vec_id),
+    srvt AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM dd) WHERE rk <= {TOPK}),
+    exd AS (SELECT q.qid, r.vec_id, SUM((q.e - r.e) * (q.e - r.e)) AS dist
+            FROM qv q JOIN ev r ON q.d = r.d AND r.vec_id <> q.qid
+            GROUP BY 1, 2),
+    ext AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM exd) WHERE rk <= {TOPK}),
+    rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS recall_hits
+            FROM ext e JOIN srvt a ON e.qid = a.qid AND e.vec_id = a.vec_id),
+    occ AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label),
+    occs AS (SELECT MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS tot,
+                    CAST(COUNT(*) AS BIGINT) AS ncells FROM occ),
+    hot AS (SELECT label AS hottest_cell FROM occ
+            ORDER BY n DESC, label LIMIT 1)
+    SELECT CAST({hs} AS INT) AS n_sampled,
+           r.recall_hits,
+           CAST({hs * TOPK} AS BIGINT) AS recall_possible,
+           CAST(h.hottest_cell AS INT) AS hottest_cell,
+           CAST(o.ncells AS INT) AS n_cells,
+           CAST(floor(o.mx * 1048576.0 / o.tot + 0.5) AS BIGINT)
+             AS hottest_share_q20,
+           CAST(floor(o.mx * o.ncells * 1048576.0 / o.tot + 0.5) AS BIGINT)
+             AS cell_max_over_avg_q20
+    FROM rec r, occs o, hot h
+    """
+
+
+def _register_sq8_residual_index_health() -> None:
+    from ..operators.similarity import IVF_NPROBE
+
+    @register(
+        "q_sq8_residual_index_health",
+        _sq8_res_health_oracle(),
+        doc=f"RESIDUAL SQ8 index HEALTH MONITOR over the grown residual "
+        "index (base + delta subdirs): sampled exact recall of the "
+        f"residual serving path (coarse prune nprobe={IVF_NPROBE} + "
+        "absolute-space SQ8 distance) on a fixed-"
+        f"{PQ_HEALTH_SAMPLE} md5-ordered anchor draw against the exact "
+        "integer-grid top-k, plus per-cell occupancy skew off the code "
+        "table — recall decay alarms the residual grid, occupancy skew "
+        "alarms the coarse quantizer; the loop-closer for the layout an "
+        "SQ8 store actually ships. All-integer, full value oracle.",
+    )
+    def q_sq8_residual_index_health(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import math as _math
+
+        from ..operators.similarity import (
+            TOPK,
+            _collect_query_eq,
+            ivf_sq8_probes,
+            ivf_sq8_residual_scan_topk,
+            sq8_encode,
+            sq8_stats,
+            sq8_topk,
+        )
+
+        codes_root, mn, rng, cells, emb = _build_grown_sq8_residual_layout(
+            spark, sf_dir, "sq8_res_health_index"
+        )
+        grown = _sq8_read_grown(spark, codes_root)
+
+        anchor_ids = [
+            r["vec_id"]
+            for r in emb.select("vec_id")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(PQ_HEALTH_SAMPLE)
+            .collect()
+        ]
+        queries = _collect_query_eq(emb.where(F.col("vec_id").isin(anchor_ids)))
+
+        probed = ivf_sq8_probes(queries, cells)
+        all_probed = sorted({lb for labs in probed.values() for lb in labs})
+        srvt = ivf_sq8_residual_scan_topk(
+            grown.where(F.col("label").isin(all_probed)),
+            queries,
+            probed,
+            mn,
+            rng,
+            cells,
+            TOPK,
+        ).select("qid", "neighbor_id")
+
+        # exact reference leg on the raw integer grid (identity-grid
+        # trick — quantizer-independent, shared with the raw monitor)
+        abs_mn, _ = sq8_stats(emb.select("vec_id", "embedding"))
+        ones = [1] * len(abs_mn)
+        exact_coded = sq8_encode(
+            emb.select("vec_id", "embedding"), abs_mn, ones, levels=1
+        )
+        ext = sq8_topk(exact_coded, queries, abs_mn, ones, TOPK, levels=1).select(
+            "qid", "neighbor_id"
+        )
+        recall_hits = ext.join(srvt, ["qid", "neighbor_id"]).count()
+
+        occ_rows = (
+            grown.groupBy("label")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .collect()  # bounded: |cells| rows
+        )
+        mx = max(int(r["n"]) for r in occ_rows)
+        tot = sum(int(r["n"]) for r in occ_rows)
+        ncells = len(occ_rows)
+        hottest = min((-int(r["n"]), int(r["label"])) for r in occ_rows)[1]
+        row = (
+            PQ_HEALTH_SAMPLE,
+            int(recall_hits),
+            PQ_HEALTH_SAMPLE * TOPK,
+            hottest,
+            ncells,
+            int(_math.floor(mx * 1048576.0 / tot + 0.5)),
+            int(_math.floor((mx * ncells) * 1048576.0 / tot + 0.5)),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_sampled int, recall_hits bigint, recall_possible bigint, "
+            "hottest_cell int, n_cells int, hottest_share_q20 bigint, "
+            "cell_max_over_avg_q20 bigint",
+        )
+
+
+_register_sq8_residual_index_health()

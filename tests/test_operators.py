@@ -4318,6 +4318,29 @@ class TestIvfSq8Residual:
         )
         assert per == mem and per
 
+    def test_grown_residual_serving_equals_persisted(self, spark, sf_dir):
+        """base ∪ deltas under the frozen residual artifacts must serve
+        bit-identically to the one-shot persisted residual index (shared
+        oracle; pinned suite-side like the raw-SQ8 twin)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        one_shot = sorted(
+            map(
+                tuple,
+                qs["q_ann_sq8_residual_persisted"](spark, sf_dir).collect(),
+            )
+        )
+        compacted = sorted(
+            map(
+                tuple,
+                qs["q_sq8_residual_index_compact"](spark, sf_dir).collect(),
+            )
+        )
+        assert compacted == one_shot and compacted
+
 
 class TestOverlapBinSweep:
     """Round-15: the bin_s knob read-out

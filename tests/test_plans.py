@@ -938,3 +938,28 @@ class TestRound15Plans:
         assert "sq8_res_index" in p  # FileScan over the durable index
         pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
         assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
+
+    def test_sq8_residual_grown_serving_partition_prunes_every_subdir(
+        self, spark, sf_dir
+    ):
+        """The grown RESIDUAL SQ8 index's serving probe must carry the
+        probed labels as a PARTITION filter on every batch subdir's
+        scan — growth keeps the pruning dividend, like the raw twin."""
+        import re
+
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            _build_grown_sq8_residual_layout,
+            _sq8_read_grown,
+            _sq8_res_serve_grown,
+        )
+
+        codes_root, mn, rng, cells, _ = _build_grown_sq8_residual_layout(
+            spark, sf_dir, "sq8_res_plan_pin_index"
+        )
+        out = _sq8_res_serve_grown(
+            spark, sf_dir, _sq8_read_grown(spark, codes_root), mn, rng, cells
+        )
+        p = df_plan(spark, out)
+        assert "CartesianProduct" not in p
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
+        assert len([f for f in pfs if "label" in f and " IN " in f]) == 4
