@@ -481,6 +481,15 @@ SHOWCASE = [
         "prices the overlap join's skew costs one scan + one bounded "
         "aggregate.",
     ),
+    (
+        "q_ann_sq8_residual_persisted",
+        "Persisted residual IVF-SQ8 serving (round 15): the code scan is "
+        "a FileScan over the durable label-partitioned residual index "
+        "with the probed cells as a literal PartitionFilter; grid and "
+        "cell metadata arrive as bounded collects, and one numpy pass "
+        "reconstructs in absolute space (cq*255 + mn*255 + code*rng) so "
+        "queries never re-center per cell.",
+    ),
 ]
 
 
