@@ -1133,9 +1133,9 @@ def session_intervals(ev: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_sessions_overlap_pairs",
-    """
+# The quadratic theta-join spec — shared by the batch overlap join and
+# its streaming twin (streaming/pipelines.py q_stream_sessions_overlap).
+_SQL_OVERLAP_PAIRS = """
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
@@ -1162,7 +1162,12 @@ def session_intervals(ev: DataFrame) -> DataFrame:
      AND a.s_start <= b.s_end AND b.s_start <= a.s_end
     GROUP BY 1, 2
     ORDER BY 1, 2
-    """,
+    """
+
+
+@register(
+    "q_sessions_overlap_pairs",
+    _SQL_OVERLAP_PAIRS,
     doc="interval overlap join: cross-user session pairs overlapping in "
     "time (co-presence / shared-device primitive), counted per user pair. "
     "Oracle = the quadratic theta-join spec; Spark = the time-binning "
@@ -1352,11 +1357,8 @@ OVERLAP_SWEEP_BINS = (900, 3600, 14400)
 
 
 def _overlap_sweep_oracle() -> str:
-    per_width = []
-    for w in OVERLAP_SWEEP_BINS:
-        us = w * 1_000_000
-        per_width.append(
-            f"""
+    per_width = [
+        f"""
     SELECT CAST({w} AS BIGINT) AS bin_s,
            (SELECT CAST(COUNT(DISTINCT bin) AS BIGINT) FROM bw{w}) AS n_bins,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM bw{w}) AS n_explode_rows,
@@ -1365,8 +1367,8 @@ def _overlap_sweep_oracle() -> str:
              AS candidate_pairs,
            (SELECT true_pairs FROM tp) AS true_pairs
     """
-        )
-        per_width.append(f"/*bw{w} base: {us}*/")
+        for w in OVERLAP_SWEEP_BINS
+    ]
     bw_ctes = ",\n".join(
         f"""bw{w} AS (
       SELECT unnest(generate_series(
@@ -1376,9 +1378,7 @@ def _overlap_sweep_oracle() -> str:
     )"""
         for w in OVERLAP_SWEEP_BINS
     )
-    selects = "\n    UNION ALL\n".join(
-        s for s in per_width if s.startswith("\n    SELECT")
-    )
+    selects = "\n    UNION ALL\n".join(per_width)
     return f"""
     WITH marked AS (
       SELECT user_id, ts,
@@ -1445,7 +1445,12 @@ def q_overlap_bin_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )  # bounded: 1 row
         [tp_row] = (
             overlap_pairs(iv, w)
-            .agg(F.sum("n_overlaps").cast("bigint").alias("tp"))
+            # SUM over zero pairs is NULL — report true_pairs=0, not a crash
+            .agg(
+                F.coalesce(F.sum("n_overlaps"), F.lit(0))
+                .cast("bigint")
+                .alias("tp")
+            )
             .collect()
         )  # bounded: 1 row — the width's own rewrite proves invariance
         rows.append(

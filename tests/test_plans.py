@@ -909,7 +909,7 @@ class TestRound15Plans:
 
         from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
             _build_grown_sq8_layout,
-            _sq8_read_grown,
+            _read_grown_codes,
             _sq8_serve_grown,
         )
 
@@ -917,7 +917,7 @@ class TestRound15Plans:
             spark, sf_dir, "sq8_plan_pin_index"
         )
         out = _sq8_serve_grown(
-            spark, sf_dir, _sq8_read_grown(spark, codes_root), mn, rng, cells
+            spark, sf_dir, _read_grown_codes(spark, codes_root), mn, rng, cells
         )
         p = df_plan(spark, out)
         assert "CartesianProduct" not in p
@@ -949,7 +949,7 @@ class TestRound15Plans:
 
         from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
             _build_grown_sq8_residual_layout,
-            _sq8_read_grown,
+            _read_grown_codes,
             _sq8_res_serve_grown,
         )
 
@@ -957,7 +957,7 @@ class TestRound15Plans:
             spark, sf_dir, "sq8_res_plan_pin_index"
         )
         out = _sq8_res_serve_grown(
-            spark, sf_dir, _sq8_read_grown(spark, codes_root), mn, rng, cells
+            spark, sf_dir, _read_grown_codes(spark, codes_root), mn, rng, cells
         )
         p = df_plan(spark, out)
         assert "CartesianProduct" not in p
