@@ -5221,6 +5221,10 @@ def sq8_residual_index_path(
 @register(
     "q_ann_sq8_residual_persisted",
     _SQL_IVF_SQ8_RESIDUAL,
+    # bench extended set (round 16, VERDICT r15 item 7): the layout an
+    # SQ8 store ships (by_residual default) was the only persisted-
+    # serving family without a per-round trend line; legacy-14 untouched.
+    headline=True,
     doc="residual IVF-SQ8 serving over the DURABLE index (one-row "
     "residual grid + INT cell centroids + label-partitioned residual "
     "codes): grid and cells load as bounded metadata, the coarse prune's "

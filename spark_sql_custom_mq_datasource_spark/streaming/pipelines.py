@@ -4581,376 +4581,6 @@ def _sq8_serve_grown(
     return ivf_sq8_scan_topk(pruned, queries, probed, mn, rng, TOPK)
 
 
-def _register_stream_sq8_index_grow() -> None:
-    from ..operators.similarity import _SQL_IVF_SQ8, sq8_encode
-
-    @register(
-        "q_stream_sq8_index_grow",
-        _SQL_IVF_SQ8,
-        doc="STREAMING growth of the SQ8 index: a base index (even "
-        "vec_ids, batch-encoded on the frozen [mn,rng] grid) grows by "
-        "foreachBatch appends of the streamed remainder — frozen-grid "
-        "sq8_encode, batch-keyed OVERWRITE into label-partitioned subdirs "
-        "(redelivery-idempotent, exercised inline) — then the IVF-SQ8 "
-        "serving probe over base ∪ deltas must equal the one-shot "
-        "persisted serving (shared oracle with q_ann_sq8_persisted).",
-    )
-    def q_stream_sq8_index_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import os as _os
-
-        mn, rng, cells = _sq8_load_artifacts(spark, sf_dir)
-        emb = t(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", "label"
-        )
-        state = work_dir("sq8_grow_index")
-        codes_root = _os.path.join(state, "codes")
-
-        # base index: even vec_ids, encoded batch-side once on the frozen
-        # grid (the identical stateless expression the fold runs)
-        (
-            sq8_encode(emb.where(F.col("vec_id") % 2 == 0), mn, rng)
-            .write.mode("overwrite")
-            .partitionBy("label")
-            .parquet(_os.path.join(codes_root, "b00000"))
-        )
-
-        # the remainder arrives as the SAME deterministic 3-slice inbox
-        # the PQ grow queries replay (one cached fixture, three consumers)
-        inbox = _grow_inbox(spark, sf_dir)
-
-        delivered: list[int] = []
-
-        def fold(bdf: DataFrame, batch_id: int) -> None:
-            delivered.append(int(batch_id))
-            (
-                sq8_encode(bdf, mn, rng)
-                .write.mode("overwrite")
-                .partitionBy("label")
-                .parquet(_os.path.join(codes_root, f"b{batch_id + 1:05d}"))
-            )
-
-        stream = (
-            spark.readStream.schema("vec_id long, embedding array<float>, label int")
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(inbox)
-        )
-        q = (
-            stream.writeStream.foreachBatch(fold)
-            .option("checkpointLocation", _ckpt("sq8_grow"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                raise TimeoutError("stream_sq8_index_grow did not drain")
-        finally:
-            q.stop()
-
-        # Redelivery exercise (env-gated default ON): re-fold the last
-        # DELIVERED batch's content under max(delivered) — batch-keyed
-        # OVERWRITE must leave the probe unchanged.
-        if delivered and _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0":
-            last = max(delivered)
-            redelivered = spark.read.schema(
-                "vec_id long, embedding array<float>, label int"
-            ).parquet(_os.path.join(inbox, f"{last:02d}.parquet"))
-            fold(redelivered, last)
-
-        grown = _read_grown_codes(spark, codes_root)
-        return _sq8_serve_grown(spark, sf_dir, grown, mn, rng, cells)
-
-
-_register_stream_sq8_index_grow()
-
-
-def _build_grown_sq8_layout(
-    spark: SparkSession, sf_dir: str, state_name: str
-) -> tuple[str, list[int], list[int], list[tuple[int, list[int]]], DataFrame]:
-    """The grown SQ8 index layout built batch-side — base b00000 (even
-    vec_ids) + 3 delta subdirs (odd-id thirds), all through the frozen-grid
-    encoder (the grow fold's on-disk layout without the stream). Shared by
-    the SQ8 compaction query and the SQ8 index health monitor; returns
-    (codes_root, mn, rng, cells, embeddings DF)."""
-    import os as _os
-
-    from ..operators.similarity import sq8_encode
-
-    mn, rng, cells = _sq8_load_artifacts(spark, sf_dir)
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    state = work_dir(state_name)
-    codes_root = _os.path.join(state, "codes")
-    (
-        sq8_encode(emb.where(F.col("vec_id") % 2 == 0), mn, rng)
-        .write.mode("overwrite")
-        .partitionBy("label")
-        .parquet(_os.path.join(codes_root, "b00000"))
-    )
-    for i in range(3):
-        (
-            sq8_encode(emb.where(F.col("vec_id") % 6 == 2 * i + 1), mn, rng)
-            .write.mode("overwrite")
-            .partitionBy("label")
-            .parquet(_os.path.join(codes_root, f"b{i + 1:05d}"))
-        )
-    return codes_root, mn, rng, cells, emb
-
-
-def _register_sq8_index_compact() -> None:
-    from ..operators.similarity import _SQL_IVF_SQ8
-
-    @register(
-        "q_sq8_index_compact",
-        _SQL_IVF_SQ8,
-        doc="atomic small-file compaction of the incrementally-grown SQ8 "
-        "code table: base + 3 batch-keyed delta subdirs (the grow fold's "
-        "layout, built batch-side) rewritten into ONE committed "
-        "label-partitioned subdir keeping the max batch id (staged-rename "
-        "swap, the dedup-index pattern); the query raises unless the "
-        "IVF-SQ8 serving probe is bit-identical across the swap and the "
-        "parquet file count shrank; the probe is value-checked by the "
-        "oracle shared with q_ann_sq8_persisted.",
-    )
-    def q_sq8_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import os as _os
-        import shutil as _shutil
-
-        codes_root, mn, rng, cells, emb = _build_grown_sq8_layout(
-            spark, sf_dir, "sq8_compact_index"
-        )
-
-        def nfiles() -> int:
-            return sum(
-                1
-                for root, _, files in _os.walk(codes_root)
-                for fn in files
-                if fn.endswith(".parquet")
-            )
-
-        def probe() -> DataFrame:
-            return _sq8_serve_grown(
-                spark, sf_dir, _read_grown_codes(spark, codes_root), mn, rng, cells
-            )
-
-        # bounded snapshot (Q·topk rows) BEFORE the swap
-        pre = sorted(map(tuple, probe().collect()))
-        files_before = nfiles()
-
-        dirs = committed_batch_dirs(codes_root)
-        max_id = max(int(_os.path.basename(d)[1:]) for d in dirs)
-        new_root = codes_root + "_new"
-        _shutil.rmtree(new_root, ignore_errors=True)
-        (
-            _read_grown_codes(spark, codes_root)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .partitionBy("label")
-            .parquet(_os.path.join(new_root, f"b{max_id:05d}"))
-        )
-        retired = codes_root + "_retired"
-        _shutil.rmtree(retired, ignore_errors=True)
-        _os.replace(codes_root, retired)
-        _os.replace(new_root, codes_root)
-        _shutil.rmtree(retired, ignore_errors=True)
-
-        files_after = nfiles()
-        if files_after >= files_before:
-            raise AssertionError(
-                f"compaction did not shrink files: {files_before} -> {files_after}"
-            )
-        post_df = probe()
-        post = sorted(map(tuple, post_df.collect()))
-        if post != pre:
-            raise AssertionError("probe changed across SQ8 index compaction")
-        return post_df
-
-
-_register_sq8_index_compact()
-
-
-def _sq8_health_oracle() -> str:
-    from ..operators.similarity import (
-        _SQL_SQ8_CTES,
-        IVF_NPROBE,
-        SQ8_LEVELS,
-        TOPK,
-    )
-
-    hs = PQ_HEALTH_SAMPLE
-    base = _SQL_SQ8_CTES.replace("sq8q AS", "_sq8q_unused AS").replace(
-        "sq8d AS", "_sq8d_unused AS"
-    )
-    return f"""
-    WITH {base},
-    lbl AS (SELECT vec_id, label FROM embeddings),
-    cc AS (SELECT l.label, v.d,
-                  CAST(floor(CAST(SUM(v.e) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
-           FROM ev v JOIN lbl l ON v.vec_id = l.vec_id
-           GROUP BY l.label, v.d),
-    anch AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM eq)
-             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {hs}),
-    qv AS (SELECT vec_id AS qid, d, e FROM ev
-           WHERE vec_id IN (SELECT vec_id FROM anch)),
-    qc AS (SELECT q.qid, c.label, SUM((q.e - c.cq) * (q.e - c.cq)) AS cdist
-           FROM qv q JOIN cc c ON q.d = c.d GROUP BY q.qid, c.label),
-    probes AS (SELECT qid, label FROM (
-      SELECT qid, label,
-             ROW_NUMBER() OVER (PARTITION BY qid
-                                ORDER BY cdist ASC, label) AS prk
-      FROM qc) WHERE prk <= {IVF_NPROBE}),
-    cand AS (SELECT p.qid, r.vec_id, r.d, r.r
-             FROM recon r JOIN lbl l ON r.vec_id = l.vec_id
-             JOIN probes p ON l.label = p.label
-             WHERE r.vec_id <> p.qid),
-    qs AS (SELECT qid, d, e * {SQ8_LEVELS} AS qs FROM qv),
-    dd AS (SELECT c.qid, c.vec_id, SUM((q.qs - c.r) * (q.qs - c.r)) AS dist
-           FROM cand c JOIN qs q ON q.qid = c.qid AND q.d = c.d
-           GROUP BY c.qid, c.vec_id),
-    srvt AS (SELECT qid, vec_id FROM (
-      SELECT qid, vec_id,
-             ROW_NUMBER() OVER (PARTITION BY qid
-                                ORDER BY dist ASC, vec_id) AS rk
-      FROM dd) WHERE rk <= {TOPK}),
-    exd AS (SELECT q.qid, r.vec_id, SUM((q.e - r.e) * (q.e - r.e)) AS dist
-            FROM qv q JOIN ev r ON q.d = r.d AND r.vec_id <> q.qid
-            GROUP BY 1, 2),
-    ext AS (SELECT qid, vec_id FROM (
-      SELECT qid, vec_id,
-             ROW_NUMBER() OVER (PARTITION BY qid
-                                ORDER BY dist ASC, vec_id) AS rk
-      FROM exd) WHERE rk <= {TOPK}),
-    rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS recall_hits
-            FROM ext e JOIN srvt a ON e.qid = a.qid AND e.vec_id = a.vec_id),
-    occ AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
-            FROM embeddings GROUP BY label),
-    occs AS (SELECT MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS tot,
-                    CAST(COUNT(*) AS BIGINT) AS ncells FROM occ),
-    hot AS (SELECT label AS hottest_cell FROM occ
-            ORDER BY n DESC, label LIMIT 1)
-    SELECT CAST({hs} AS INT) AS n_sampled,
-           r.recall_hits,
-           CAST({hs * TOPK} AS BIGINT) AS recall_possible,
-           CAST(h.hottest_cell AS INT) AS hottest_cell,
-           CAST(o.ncells AS INT) AS n_cells,
-           CAST(floor(o.mx * 1048576.0 / o.tot + 0.5) AS BIGINT)
-             AS hottest_share_q20,
-           CAST(floor(o.mx * o.ncells * 1048576.0 / o.tot + 0.5) AS BIGINT)
-             AS cell_max_over_avg_q20
-    FROM rec r, occs o, hot h
-    """
-
-
-def _register_sq8_index_health() -> None:
-    from ..operators.similarity import IVF_NPROBE
-
-    @register(
-        "q_sq8_index_health",
-        _sq8_health_oracle(),
-        doc=f"SQ8 index HEALTH MONITOR over the grown index (base + delta "
-        "subdirs): sampled exact recall of the IVF-SQ8 SERVING path "
-        f"(coarse prune nprobe={IVF_NPROBE} + SQ8 asymmetric distance) on "
-        f"a fixed-{PQ_HEALTH_SAMPLE} md5-ordered anchor draw against the "
-        "exact integer-grid top-k, plus per-cell occupancy skew off the "
-        "code table — recall decay alarms the [mn,rng] grid (the "
-        "q_sq8_grid_refresh APPLY step), occupancy skew alarms the coarse "
-        "quantizer; thresholds in SCALING.md. All-integer, full value "
-        "oracle.",
-    )
-    def q_sq8_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import math as _math
-
-        from ..operators.similarity import (
-            TOPK,
-            _collect_query_eq,
-            ivf_sq8_probes,
-            ivf_sq8_scan_topk,
-            sq8_encode,
-            sq8_topk,
-        )
-
-        codes_root, mn, rng, cells, emb = _build_grown_sq8_layout(
-            spark, sf_dir, "sq8_health_index"
-        )
-        grown = _read_grown_codes(spark, codes_root)
-
-        # the monitored anchor sample: deterministic pseudo-random draw
-        anchor_ids = [
-            r["vec_id"]
-            for r in emb.select("vec_id")
-            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            .limit(PQ_HEALTH_SAMPLE)
-            .collect()
-        ]
-        queries = _collect_query_eq(emb.where(F.col("vec_id").isin(anchor_ids)))
-
-        # serving leg: the IVF-SQ8 probe over the GROWN index
-        probed = ivf_sq8_probes(queries, cells)
-        all_probed = sorted({lb for labs in probed.values() for lb in labs})
-        srvt = ivf_sq8_scan_topk(
-            grown.where(F.col("label").isin(all_probed)),
-            queries,
-            probed,
-            mn,
-            rng,
-            TOPK,
-        ).select("qid", "neighbor_id")
-
-        # exact reference leg on the same integer grid (the
-        # q_ann_sq8_recall identity-grid trick: levels=1, rng=1)
-        ones = [1] * len(mn)
-        exact_coded = sq8_encode(
-            emb.select("vec_id", "embedding"), mn, ones, levels=1
-        )
-        ext = sq8_topk(exact_coded, queries, mn, ones, TOPK, levels=1).select(
-            "qid", "neighbor_id"
-        )
-        recall_hits = ext.join(srvt, ["qid", "neighbor_id"]).count()
-
-        # occupancy straight off the INDEX (one row per vector)
-        occ_rows = (
-            grown.groupBy("label")
-            .agg(F.count("*").cast("bigint").alias("n"))
-            .collect()  # bounded: |cells| rows
-        )
-        mx = max(int(r["n"]) for r in occ_rows)
-        tot = sum(int(r["n"]) for r in occ_rows)
-        ncells = len(occ_rows)
-        hottest = min((-int(r["n"]), int(r["label"])) for r in occ_rows)[1]
-        row = (
-            PQ_HEALTH_SAMPLE,
-            int(recall_hits),
-            PQ_HEALTH_SAMPLE * TOPK,
-            hottest,
-            ncells,
-            int(_math.floor(mx * 1048576.0 / tot + 0.5)),
-            int(_math.floor((mx * ncells) * 1048576.0 / tot + 0.5)),
-        )
-        return spark.createDataFrame(
-            [row],
-            "n_sampled int, recall_hits bigint, recall_possible bigint, "
-            "hottest_cell int, n_cells int, hottest_share_q20 bigint, "
-            "cell_max_over_avg_q20 bigint",
-        )
-
-
-_register_sq8_index_health()
-
-
-# --------------------------------------------------------------------------
-# RESIDUAL SQ8 index maintenance lifecycle (round 15, closing the family
-# symmetry): with q_ann_sq8_residual_persisted the residual layout is the
-# one an SQ8 store ships (FAISS's IVF-SQ default IS by_residual), so it
-# gets the same grow/compact/health loop the raw SQ8 and both PQ layouts
-# run. The frozen artifacts are the residual [mn, rng] grid + the INT
-# cell centroids (sq8_residual_index_path); the ingest encode is
-# residualize-against-frozen-cells then the frozen-grid integer encode —
-# bit-identical to the one-shot build; landing, compaction, and the
-# health read-out reuse the shared machinery. Serving over base ∪ deltas
-# must equal the one-shot persisted serving — the shared
-# _SQL_IVF_SQ8_RESIDUAL oracle.
-# --------------------------------------------------------------------------
-
-
 def _sq8_res_load_artifacts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[int], list[int], list[tuple[int, list[int]]], DataFrame]:
@@ -5006,193 +4636,249 @@ def _sq8_res_serve_grown(
     return ivf_sq8_residual_scan_topk(pruned, queries, probed, mn, rng, cells, TOPK)
 
 
-def _register_stream_sq8_residual_index_grow() -> None:
-    from ..operators.similarity import _SQL_IVF_SQ8_RESIDUAL
+# --------------------------------------------------------------------------
+# The SQ8 + RESIDUAL SQ8 lifecycles, ONE parameterized implementation
+# (rounds 15/16; dedup per ADVICE r15 item 5): both families — the raw
+# IVF-SQ8 index and the residual layout an SQ8 store actually ships
+# (FAISS's IVF-SQ default IS by_residual) — run the identical loop every
+# production store runs on every index family it serves: streaming ingest
+# against the frozen artifacts, delta compaction, health monitoring. The
+# two trios differed ONLY in (load_artifacts, encode, serving scan), so
+# they are closures of one `_sq8_family` spec and one grow/compact/health
+# body each; an oracle or layout edit now lands on both families by
+# construction instead of by copy-paste discipline.
+#
+# Mechanics (unchanged from the per-family versions): the frozen
+# artifacts are the one-row [mn, rng] grid + INT cell centroids
+# (sq8_index_path / sq8_residual_index_path); ingest encode is the
+# one-shot build's exact expressions (stateless, bit-identical); landing
+# is batch-keyed OVERWRITE into label-partitioned bNNNNN subdirs
+# (redelivery-idempotent, exercised inline); compaction is the
+# staged-rename swap with a bit-identical-probe proof; health is the
+# fixed-N md5-sampled exact-recall + occupancy read-out. Serving over
+# base ∪ deltas must equal the one-shot persisted serving — the shared
+# _SQL_IVF_SQ8 / _SQL_IVF_SQ8_RESIDUAL oracles.
+#
+# Scale: per trigger the fold is O(batch) — a stateless projection plus
+# one partitioned parquet append; probes partition-prune per subdir
+# (every subdir is label-partitioned, plan-pinned); compaction runs at
+# maintenance cadence; the monitor's exact leg is O(N_sample · scan) with
+# constant N and its occupancy is one |cells|-row aggregate.
+# --------------------------------------------------------------------------
 
-    @register(
-        "q_stream_sq8_residual_index_grow",
-        _SQL_IVF_SQ8_RESIDUAL,
-        doc="STREAMING growth of the RESIDUAL SQ8 index: a base index "
-        "(even vec_ids, batch residual-encoded) grows by foreachBatch "
-        "appends of the streamed remainder — residualize against the "
-        "frozen INT cells, integer-encode on the frozen residual grid, "
-        "batch-keyed OVERWRITE into label-partitioned subdirs "
-        "(redelivery-idempotent, exercised inline) — then the residual "
-        "IVF-SQ8 serving probe over base ∪ deltas must equal the "
-        "one-shot persisted serving (shared oracle with "
-        "q_ann_sq8_residual_persisted).",
+
+def _sq8_family(spark: SparkSession, sf_dir: str, residual: bool):
+    """Frozen-artifact closures for ONE SQ8 index family: ``encode`` (the
+    one-shot build's exact expressions), ``serve_std`` (the
+    standard-anchor serving probe over a grown code table), ``scan_topk``
+    (the serving scan for arbitrary query sets — the health monitor's
+    leg), and the bounded ``cells`` table."""
+    from types import SimpleNamespace
+
+    from ..operators.similarity import (
+        TOPK,
+        ivf_sq8_residual_scan_topk,
+        ivf_sq8_scan_topk,
+        sq8_encode,
     )
-    def q_stream_sq8_residual_index_grow(
-        spark: SparkSession, sf_dir: str
-    ) -> DataFrame:
-        import os as _os
 
+    if residual:
         mn, rng, cells, cells_df = _sq8_res_load_artifacts(spark, sf_dir)
-        emb = t(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", "label"
-        )
-        state = work_dir("sq8_res_grow_index")
-        codes_root = _os.path.join(state, "codes")
 
-        (
-            _sq8_res_encode(emb.where(F.col("vec_id") % 2 == 0), cells_df, mn, rng)
-            .write.mode("overwrite")
-            .partitionBy("label")
-            .parquet(_os.path.join(codes_root, "b00000"))
-        )
+        def encode(bdf: DataFrame) -> DataFrame:
+            return _sq8_res_encode(bdf, cells_df, mn, rng)
 
-        # the SAME deterministic 3-slice inbox every grow query replays
-        inbox = _grow_inbox(spark, sf_dir)
+        def serve_std(grown: DataFrame) -> DataFrame:
+            return _sq8_res_serve_grown(spark, sf_dir, grown, mn, rng, cells)
 
-        delivered: list[int] = []
-
-        def fold(bdf: DataFrame, batch_id: int) -> None:
-            delivered.append(int(batch_id))
-            (
-                _sq8_res_encode(bdf, cells_df, mn, rng)
-                .write.mode("overwrite")
-                .partitionBy("label")
-                .parquet(_os.path.join(codes_root, f"b{batch_id + 1:05d}"))
+        def scan_topk(pruned: DataFrame, queries, probed) -> DataFrame:
+            return ivf_sq8_residual_scan_topk(
+                pruned, queries, probed, mn, rng, cells, TOPK
             )
 
-        stream = (
-            spark.readStream.schema("vec_id long, embedding array<float>, label int")
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(inbox)
-        )
-        q = (
-            stream.writeStream.foreachBatch(fold)
-            .option("checkpointLocation", _ckpt("sq8_res_grow"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                raise TimeoutError("stream_sq8_residual_index_grow did not drain")
-        finally:
-            q.stop()
+    else:
+        mn, rng, cells = _sq8_load_artifacts(spark, sf_dir)
 
-        if delivered and _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0":
-            last = max(delivered)
-            redelivered = spark.read.schema(
-                "vec_id long, embedding array<float>, label int"
-            ).parquet(_os.path.join(inbox, f"{last:02d}.parquet"))
-            fold(redelivered, last)
+        def encode(bdf: DataFrame) -> DataFrame:
+            return sq8_encode(bdf, mn, rng)
 
-        grown = _read_grown_codes(spark, codes_root)
-        return _sq8_res_serve_grown(spark, sf_dir, grown, mn, rng, cells)
+        def serve_std(grown: DataFrame) -> DataFrame:
+            return _sq8_serve_grown(spark, sf_dir, grown, mn, rng, cells)
+
+        def scan_topk(pruned: DataFrame, queries, probed) -> DataFrame:
+            return ivf_sq8_scan_topk(pruned, queries, probed, mn, rng, TOPK)
+
+    return SimpleNamespace(
+        encode=encode, serve_std=serve_std, scan_topk=scan_topk, cells=cells
+    )
 
 
-_register_stream_sq8_residual_index_grow()
-
-
-def _build_grown_sq8_residual_layout(
-    spark: SparkSession, sf_dir: str, state_name: str
-) -> tuple[str, list[int], list[int], list[tuple[int, list[int]]], DataFrame]:
-    """The grown RESIDUAL-SQ8 index layout built batch-side — base b00000
-    (even vec_ids) + 3 delta subdirs (odd-id thirds), all through the
-    frozen-artifact residual encode. Shared by the residual compaction
-    query and the residual health monitor."""
+def _sq8_family_grow(
+    spark: SparkSession,
+    sf_dir: str,
+    residual: bool,
+    state_name: str,
+    ckpt_name: str,
+) -> DataFrame:
+    """The streaming-grow body shared by both families: base index (even
+    vec_ids, batch-encoded once against the frozen artifacts) + streamed
+    remainder folded as batch-keyed OVERWRITE appends, then the standard
+    serving probe over base ∪ deltas."""
     import os as _os
 
-    mn, rng, cells, cells_df = _sq8_res_load_artifacts(spark, sf_dir)
+    fam = _sq8_family(spark, sf_dir, residual)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    state = work_dir(state_name)
+    codes_root = _os.path.join(state, "codes")
+
+    # base index: even vec_ids, encoded batch-side once against the
+    # frozen artifacts (the identical stateless expressions the fold runs)
+    (
+        fam.encode(emb.where(F.col("vec_id") % 2 == 0))
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(_os.path.join(codes_root, "b00000"))
+    )
+
+    # the remainder arrives as the SAME deterministic 3-slice inbox
+    # every index-grow query replays (one cached fixture)
+    inbox = _grow_inbox(spark, sf_dir)
+
+    delivered: list[int] = []
+
+    def fold(bdf: DataFrame, batch_id: int) -> None:
+        delivered.append(int(batch_id))
+        (
+            fam.encode(bdf)
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(_os.path.join(codes_root, f"b{batch_id + 1:05d}"))
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(inbox)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", _ckpt(ckpt_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(f"{state_name} did not drain")
+    finally:
+        q.stop()
+
+    # Redelivery exercise (env-gated default ON): re-fold the last
+    # DELIVERED batch's content under max(delivered) — batch-keyed
+    # OVERWRITE must leave the probe unchanged.
+    if delivered and _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0":
+        last = max(delivered)
+        redelivered = spark.read.schema(
+            "vec_id long, embedding array<float>, label int"
+        ).parquet(_os.path.join(inbox, f"{last:02d}.parquet"))
+        fold(redelivered, last)
+
+    return fam.serve_std(_read_grown_codes(spark, codes_root))
+
+
+def _build_grown_sq8_family_layout(
+    spark: SparkSession, sf_dir: str, state_name: str, residual: bool
+):
+    """The grown index layout built batch-side — base b00000 (even
+    vec_ids) + 3 delta subdirs (odd-id thirds), all through the frozen
+    artifacts (the grow fold's on-disk layout without the stream). Shared
+    by the compaction queries, the health monitors, and the plan pins;
+    returns (codes_root, family closures, embeddings DF)."""
+    import os as _os
+
+    fam = _sq8_family(spark, sf_dir, residual)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     state = work_dir(state_name)
     codes_root = _os.path.join(state, "codes")
     (
-        _sq8_res_encode(emb.where(F.col("vec_id") % 2 == 0), cells_df, mn, rng)
+        fam.encode(emb.where(F.col("vec_id") % 2 == 0))
         .write.mode("overwrite")
         .partitionBy("label")
         .parquet(_os.path.join(codes_root, "b00000"))
     )
     for i in range(3):
         (
-            _sq8_res_encode(
-                emb.where(F.col("vec_id") % 6 == 2 * i + 1), cells_df, mn, rng
-            )
+            fam.encode(emb.where(F.col("vec_id") % 6 == 2 * i + 1))
             .write.mode("overwrite")
             .partitionBy("label")
             .parquet(_os.path.join(codes_root, f"b{i + 1:05d}"))
         )
-    return codes_root, mn, rng, cells, emb
+    return codes_root, fam, emb
 
 
-def _register_sq8_residual_index_compact() -> None:
-    from ..operators.similarity import _SQL_IVF_SQ8_RESIDUAL
+def _sq8_family_compact(
+    spark: SparkSession, sf_dir: str, state_name: str, residual: bool, tag: str
+) -> DataFrame:
+    """The compaction body shared by both families: base + 3 batch-keyed
+    delta subdirs rewritten into ONE committed label-partitioned subdir
+    keeping the max batch id (staged-rename swap); raises unless the
+    serving probe is bit-identical across the swap and the parquet file
+    count shrank."""
+    import os as _os
+    import shutil as _shutil
 
-    @register(
-        "q_sq8_residual_index_compact",
-        _SQL_IVF_SQ8_RESIDUAL,
-        doc="atomic small-file compaction of the incrementally-grown "
-        "RESIDUAL SQ8 code table: base + 3 batch-keyed delta subdirs "
-        "rewritten into ONE committed label-partitioned subdir keeping "
-        "the max batch id (staged-rename swap); the query raises unless "
-        "the residual serving probe is bit-identical across the swap and "
-        "the parquet file count shrank; the probe is value-checked by "
-        "the oracle shared with q_ann_sq8_residual_persisted.",
+    codes_root, fam, _ = _build_grown_sq8_family_layout(
+        spark, sf_dir, state_name, residual
     )
-    def q_sq8_residual_index_compact(
-        spark: SparkSession, sf_dir: str
-    ) -> DataFrame:
-        import os as _os
-        import shutil as _shutil
 
-        codes_root, mn, rng, cells, emb = _build_grown_sq8_residual_layout(
-            spark, sf_dir, "sq8_res_compact_index"
+    def nfiles() -> int:
+        return sum(
+            1
+            for root, _, files in _os.walk(codes_root)
+            for fn in files
+            if fn.endswith(".parquet")
         )
 
-        def nfiles() -> int:
-            return sum(
-                1
-                for root, _, files in _os.walk(codes_root)
-                for fn in files
-                if fn.endswith(".parquet")
-            )
+    def probe() -> DataFrame:
+        return fam.serve_std(_read_grown_codes(spark, codes_root))
 
-        def probe() -> DataFrame:
-            return _sq8_res_serve_grown(
-                spark, sf_dir, _read_grown_codes(spark, codes_root), mn, rng, cells
-            )
+    # bounded snapshot (Q·topk rows) BEFORE the swap
+    pre = sorted(map(tuple, probe().collect()))
+    files_before = nfiles()
 
-        pre = sorted(map(tuple, probe().collect()))
-        files_before = nfiles()
+    dirs = committed_batch_dirs(codes_root)
+    max_id = max(int(_os.path.basename(d)[1:]) for d in dirs)
+    new_root = codes_root + "_new"
+    _shutil.rmtree(new_root, ignore_errors=True)
+    (
+        _read_grown_codes(spark, codes_root)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(_os.path.join(new_root, f"b{max_id:05d}"))
+    )
+    retired = codes_root + "_retired"
+    _shutil.rmtree(retired, ignore_errors=True)
+    _os.replace(codes_root, retired)
+    _os.replace(new_root, codes_root)
+    _shutil.rmtree(retired, ignore_errors=True)
 
-        dirs = committed_batch_dirs(codes_root)
-        max_id = max(int(_os.path.basename(d)[1:]) for d in dirs)
-        new_root = codes_root + "_new"
-        _shutil.rmtree(new_root, ignore_errors=True)
-        (
-            _read_grown_codes(spark, codes_root)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .partitionBy("label")
-            .parquet(_os.path.join(new_root, f"b{max_id:05d}"))
+    files_after = nfiles()
+    if files_after >= files_before:
+        raise AssertionError(
+            f"compaction did not shrink files: {files_before} -> {files_after}"
         )
-        retired = codes_root + "_retired"
-        _shutil.rmtree(retired, ignore_errors=True)
-        _os.replace(codes_root, retired)
-        _os.replace(new_root, codes_root)
-        _shutil.rmtree(retired, ignore_errors=True)
-
-        files_after = nfiles()
-        if files_after >= files_before:
-            raise AssertionError(
-                f"compaction did not shrink files: {files_before} -> {files_after}"
-            )
-        post_df = probe()
-        post = sorted(map(tuple, post_df.collect()))
-        if post != pre:
-            raise AssertionError(
-                "probe changed across residual SQ8 index compaction"
-            )
-        return post_df
+    post_df = probe()
+    post = sorted(map(tuple, post_df.collect()))
+    if post != pre:
+        raise AssertionError(f"probe changed across {tag} index compaction")
+    return post_df
 
 
-_register_sq8_residual_index_compact()
-
-
-def _sq8_res_health_oracle() -> str:
+def _sq8_family_health_oracle(residual: bool) -> str:
+    """ONE health-oracle builder for both families: the shared head
+    (integer grid, cells) + the family's reconstruction CTE `rr` + the
+    shared serving/exact-recall/occupancy tail."""
     from ..operators.similarity import (
         IVF_NPROBE,
         QUANT,
@@ -5202,6 +4888,25 @@ def _sq8_res_health_oracle() -> str:
     )
 
     hs = PQ_HEALTH_SAMPLE
+    if residual:
+        recon = f"""
+    rv AS (SELECT e.vec_id, e.d, e.e - c.cq AS r, c.cq AS cq
+           FROM ev e JOIN lbl l ON e.vec_id = l.vec_id
+           JOIN cc c ON c.label = l.label AND c.d = e.d),
+    str AS (SELECT d, MIN(r) AS mn, GREATEST(MAX(r) - MIN(r), 1) AS rng
+            FROM rv GROUP BY d),
+    rr AS (SELECT v.vec_id, v.d,
+                  v.cq * {SQ8_LEVELS} + s.mn * {SQ8_LEVELS}
+                    + ((v.r - s.mn) * {SQ8_LEVELS}) // s.rng * s.rng AS ra
+           FROM rv v JOIN str s ON v.d = s.d)"""
+    else:
+        recon = f"""
+    st AS (SELECT d, MIN(e) AS mn, GREATEST(MAX(e) - MIN(e), 1) AS rng
+           FROM ev GROUP BY d),
+    rr AS (SELECT v.vec_id, v.d,
+                  s.mn * {SQ8_LEVELS}
+                    + ((v.e - s.mn) * {SQ8_LEVELS}) // s.rng * s.rng AS ra
+           FROM ev v JOIN st s ON v.d = s.d)"""
     return f"""
     WITH eq AS (SELECT vec_id,
                   list_transform(embedding,
@@ -5213,16 +4918,7 @@ def _sq8_res_health_oracle() -> str:
     cc AS (SELECT l.label, v.d,
                   CAST(floor(CAST(SUM(v.e) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
            FROM ev v JOIN lbl l ON v.vec_id = l.vec_id
-           GROUP BY l.label, v.d),
-    rv AS (SELECT e.vec_id, e.d, e.e - c.cq AS r, c.cq AS cq
-           FROM ev e JOIN lbl l ON e.vec_id = l.vec_id
-           JOIN cc c ON c.label = l.label AND c.d = e.d),
-    str AS (SELECT d, MIN(r) AS mn, GREATEST(MAX(r) - MIN(r), 1) AS rng
-            FROM rv GROUP BY d),
-    rrec AS (SELECT v.vec_id, v.d,
-                    v.cq * {SQ8_LEVELS} + s.mn * {SQ8_LEVELS}
-                      + ((v.r - s.mn) * {SQ8_LEVELS}) // s.rng * s.rng AS ra
-             FROM rv v JOIN str s ON v.d = s.d),
+           GROUP BY l.label, v.d),{recon},
     anch AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM eq)
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {hs}),
     qv AS (SELECT vec_id AS qid, d, e FROM ev
@@ -5235,7 +4931,7 @@ def _sq8_res_health_oracle() -> str:
                                 ORDER BY cdist ASC, label) AS prk
       FROM qc) WHERE prk <= {IVF_NPROBE}),
     cand AS (SELECT p.qid, r.vec_id, r.d, r.ra
-             FROM rrec r JOIN lbl l ON r.vec_id = l.vec_id
+             FROM rr r JOIN lbl l ON r.vec_id = l.vec_id
              JOIN probes p ON l.label = p.label
              WHERE r.vec_id <> p.qid),
     qs AS (SELECT qid, d, e * {SQ8_LEVELS} AS qs FROM qv),
@@ -5276,102 +4972,201 @@ def _sq8_res_health_oracle() -> str:
     """
 
 
-def _register_sq8_residual_index_health() -> None:
-    from ..operators.similarity import IVF_NPROBE
+def _sq8_family_health(
+    spark: SparkSession, sf_dir: str, state_name: str, residual: bool
+) -> DataFrame:
+    """The health-monitor body shared by both families: sampled exact
+    recall of the family's serving path over the grown index on a
+    fixed-N md5-ordered anchor draw, plus per-cell occupancy skew."""
+    import math as _math
+
+    from ..operators.similarity import (
+        TOPK,
+        _collect_query_eq,
+        ivf_sq8_probes,
+        sq8_encode,
+        sq8_stats,
+        sq8_topk,
+    )
+
+    codes_root, fam, emb = _build_grown_sq8_family_layout(
+        spark, sf_dir, state_name, residual
+    )
+    grown = _read_grown_codes(spark, codes_root)
+
+    # the monitored anchor sample: deterministic pseudo-random draw
+    anchor_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_HEALTH_SAMPLE)
+        .collect()
+    ]
+    queries = _collect_query_eq(emb.where(F.col("vec_id").isin(anchor_ids)))
+
+    # serving leg: the family's probe over the GROWN index
+    probed = ivf_sq8_probes(queries, fam.cells)
+    all_probed = sorted({lb for labs in probed.values() for lb in labs})
+    srvt = fam.scan_topk(
+        grown.where(F.col("label").isin(all_probed)), queries, probed
+    ).select("qid", "neighbor_id")
+
+    # exact reference leg on the raw integer grid (the q_ann_sq8_recall
+    # identity-grid trick: levels=1, rng=1 — quantizer-independent, so
+    # ONE leg serves both families)
+    abs_mn, _ = sq8_stats(emb.select("vec_id", "embedding"))
+    ones = [1] * len(abs_mn)
+    exact_coded = sq8_encode(
+        emb.select("vec_id", "embedding"), abs_mn, ones, levels=1
+    )
+    ext = sq8_topk(exact_coded, queries, abs_mn, ones, TOPK, levels=1).select(
+        "qid", "neighbor_id"
+    )
+    recall_hits = ext.join(srvt, ["qid", "neighbor_id"]).count()
+
+    # occupancy straight off the INDEX (one row per vector)
+    occ_rows = (
+        grown.groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()  # bounded: |cells| rows
+    )
+    mx = max(int(r["n"]) for r in occ_rows)
+    tot = sum(int(r["n"]) for r in occ_rows)
+    ncells = len(occ_rows)
+    hottest = min((-int(r["n"]), int(r["label"])) for r in occ_rows)[1]
+    row = (
+        PQ_HEALTH_SAMPLE,
+        int(recall_hits),
+        PQ_HEALTH_SAMPLE * TOPK,
+        hottest,
+        ncells,
+        int(_math.floor(mx * 1048576.0 / tot + 0.5)),
+        int(_math.floor((mx * ncells) * 1048576.0 / tot + 0.5)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_sampled int, recall_hits bigint, recall_possible bigint, "
+        "hottest_cell int, n_cells int, hottest_share_q20 bigint, "
+        "cell_max_over_avg_q20 bigint",
+    )
+
+
+def _register_sq8_lifecycles() -> None:
+    from ..operators.similarity import (
+        _SQL_IVF_SQ8,
+        _SQL_IVF_SQ8_RESIDUAL,
+        IVF_NPROBE,
+    )
+
+    @register(
+        "q_stream_sq8_index_grow",
+        _SQL_IVF_SQ8,
+        doc="STREAMING growth of the SQ8 index: a base index (even "
+        "vec_ids, batch-encoded on the frozen [mn,rng] grid) grows by "
+        "foreachBatch appends of the streamed remainder — frozen-grid "
+        "sq8_encode, batch-keyed OVERWRITE into label-partitioned subdirs "
+        "(redelivery-idempotent, exercised inline) — then the IVF-SQ8 "
+        "serving probe over base ∪ deltas must equal the one-shot "
+        "persisted serving (shared oracle with q_ann_sq8_persisted).",
+    )
+    def q_stream_sq8_index_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _sq8_family_grow(
+            spark, sf_dir, False, "sq8_grow_index", "sq8_grow"
+        )
+
+    @register(
+        "q_stream_sq8_residual_index_grow",
+        _SQL_IVF_SQ8_RESIDUAL,
+        doc="STREAMING growth of the RESIDUAL SQ8 index: a base index "
+        "(even vec_ids, batch residual-encoded) grows by foreachBatch "
+        "appends of the streamed remainder — residualize against the "
+        "frozen INT cells, integer-encode on the frozen residual grid, "
+        "batch-keyed OVERWRITE into label-partitioned subdirs "
+        "(redelivery-idempotent, exercised inline) — then the residual "
+        "IVF-SQ8 serving probe over base ∪ deltas must equal the "
+        "one-shot persisted serving (shared oracle with "
+        "q_ann_sq8_residual_persisted).",
+    )
+    def q_stream_sq8_residual_index_grow(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        return _sq8_family_grow(
+            spark, sf_dir, True, "sq8_res_grow_index", "sq8_res_grow"
+        )
+
+    @register(
+        "q_sq8_index_compact",
+        _SQL_IVF_SQ8,
+        doc="atomic small-file compaction of the incrementally-grown SQ8 "
+        "code table: base + 3 batch-keyed delta subdirs (the grow fold's "
+        "layout, built batch-side) rewritten into ONE committed "
+        "label-partitioned subdir keeping the max batch id (staged-rename "
+        "swap, the dedup-index pattern); the query raises unless the "
+        "IVF-SQ8 serving probe is bit-identical across the swap and the "
+        "parquet file count shrank; the probe is value-checked by the "
+        "oracle shared with q_ann_sq8_persisted.",
+    )
+    def q_sq8_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _sq8_family_compact(
+            spark, sf_dir, "sq8_compact_index", False, "SQ8"
+        )
+
+    @register(
+        "q_sq8_residual_index_compact",
+        _SQL_IVF_SQ8_RESIDUAL,
+        doc="atomic small-file compaction of the incrementally-grown "
+        "RESIDUAL SQ8 code table: base + 3 batch-keyed delta subdirs "
+        "rewritten into ONE committed label-partitioned subdir keeping "
+        "the max batch id (staged-rename swap); the query raises unless "
+        "the residual serving probe is bit-identical across the swap and "
+        "the parquet file count shrank; the probe is value-checked by "
+        "the oracle shared with q_ann_sq8_residual_persisted.",
+    )
+    def q_sq8_residual_index_compact(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        return _sq8_family_compact(
+            spark, sf_dir, "sq8_res_compact_index", True, "residual SQ8"
+        )
+
+    @register(
+        "q_sq8_index_health",
+        _sq8_family_health_oracle(False),
+        doc=f"SQ8 index HEALTH MONITOR over the grown index (base + delta "
+        "subdirs): sampled exact recall of the IVF-SQ8 SERVING path "
+        f"(coarse prune nprobe={IVF_NPROBE} + SQ8 asymmetric distance) on "
+        f"a fixed-{PQ_HEALTH_SAMPLE} md5-ordered anchor draw against the "
+        "exact integer-grid top-k, plus per-cell occupancy skew off the "
+        "code table — recall decay alarms the [mn,rng] grid (the "
+        "q_sq8_grid_refresh APPLY step), occupancy skew alarms the coarse "
+        "quantizer; thresholds in SCALING.md. All-integer, full value "
+        "oracle.",
+    )
+    def q_sq8_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _sq8_family_health(spark, sf_dir, "sq8_health_index", False)
 
     @register(
         "q_sq8_residual_index_health",
-        _sq8_res_health_oracle(),
+        _sq8_family_health_oracle(True),
         doc=f"RESIDUAL SQ8 index HEALTH MONITOR over the grown residual "
         "index (base + delta subdirs): sampled exact recall of the "
         f"residual serving path (coarse prune nprobe={IVF_NPROBE} + "
         "absolute-space SQ8 distance) on a fixed-"
         f"{PQ_HEALTH_SAMPLE} md5-ordered anchor draw against the exact "
         "integer-grid top-k, plus per-cell occupancy skew off the code "
-        "table — recall decay alarms the residual grid, occupancy skew "
-        "alarms the coarse quantizer; the loop-closer for the layout an "
-        "SQ8 store actually ships. All-integer, full value oracle.",
+        "table — recall decay alarms the residual grid (the "
+        "q_sq8_residual_grid_refresh APPLY step), occupancy skew alarms "
+        "the coarse quantizer (the q_sq8_coarse_refresh APPLY step); the "
+        "loop-closer for the layout an SQ8 store actually ships. "
+        "All-integer, full value oracle.",
     )
     def q_sq8_residual_index_health(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        import math as _math
-
-        from ..operators.similarity import (
-            TOPK,
-            _collect_query_eq,
-            ivf_sq8_probes,
-            ivf_sq8_residual_scan_topk,
-            sq8_encode,
-            sq8_stats,
-            sq8_topk,
-        )
-
-        codes_root, mn, rng, cells, emb = _build_grown_sq8_residual_layout(
-            spark, sf_dir, "sq8_res_health_index"
-        )
-        grown = _read_grown_codes(spark, codes_root)
-
-        anchor_ids = [
-            r["vec_id"]
-            for r in emb.select("vec_id")
-            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            .limit(PQ_HEALTH_SAMPLE)
-            .collect()
-        ]
-        queries = _collect_query_eq(emb.where(F.col("vec_id").isin(anchor_ids)))
-
-        probed = ivf_sq8_probes(queries, cells)
-        all_probed = sorted({lb for labs in probed.values() for lb in labs})
-        srvt = ivf_sq8_residual_scan_topk(
-            grown.where(F.col("label").isin(all_probed)),
-            queries,
-            probed,
-            mn,
-            rng,
-            cells,
-            TOPK,
-        ).select("qid", "neighbor_id")
-
-        # exact reference leg on the raw integer grid (identity-grid
-        # trick — quantizer-independent, shared with the raw monitor)
-        abs_mn, _ = sq8_stats(emb.select("vec_id", "embedding"))
-        ones = [1] * len(abs_mn)
-        exact_coded = sq8_encode(
-            emb.select("vec_id", "embedding"), abs_mn, ones, levels=1
-        )
-        ext = sq8_topk(exact_coded, queries, abs_mn, ones, TOPK, levels=1).select(
-            "qid", "neighbor_id"
-        )
-        recall_hits = ext.join(srvt, ["qid", "neighbor_id"]).count()
-
-        occ_rows = (
-            grown.groupBy("label")
-            .agg(F.count("*").cast("bigint").alias("n"))
-            .collect()  # bounded: |cells| rows
-        )
-        mx = max(int(r["n"]) for r in occ_rows)
-        tot = sum(int(r["n"]) for r in occ_rows)
-        ncells = len(occ_rows)
-        hottest = min((-int(r["n"]), int(r["label"])) for r in occ_rows)[1]
-        row = (
-            PQ_HEALTH_SAMPLE,
-            int(recall_hits),
-            PQ_HEALTH_SAMPLE * TOPK,
-            hottest,
-            ncells,
-            int(_math.floor(mx * 1048576.0 / tot + 0.5)),
-            int(_math.floor((mx * ncells) * 1048576.0 / tot + 0.5)),
-        )
-        return spark.createDataFrame(
-            [row],
-            "n_sampled int, recall_hits bigint, recall_possible bigint, "
-            "hottest_cell int, n_cells int, hottest_share_q20 bigint, "
-            "cell_max_over_avg_q20 bigint",
-        )
+        return _sq8_family_health(spark, sf_dir, "sq8_res_health_index", True)
 
 
-_register_sq8_residual_index_health()
+_register_sq8_lifecycles()
 
 
 # --------------------------------------------------------------------------

@@ -4365,3 +4365,197 @@ class TestOverlapBinSweep:
         for a, b in zip(rows, rows[1:]):
             assert a["n_explode_rows"] >= b["n_explode_rows"]
             assert a["n_bins"] >= b["n_bins"]
+
+
+class TestSq8ResidualGridDrift:
+    """Round-16: residual-grid drift monitor
+    (operators/similarity.py:q_sq8_residual_grid_drift)."""
+
+    def test_within_cell_drift_invisible_to_raw_monitor(self, spark):
+        """The blind-spot geometry (VERDICT r15 missing 2): two cells at
+        ±1.0; the odd (audit) half of cell 0 drifts to −0.5 — INSIDE the
+        corpus envelope, so the raw grid monitor reads zero saturation —
+        while its residuals against the frozen centroid walk far outside
+        the trained residual range, so the residual monitor alarms."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            sq8_grid_drift_readout,
+            sq8_residual_grid_drift_readout,
+        )
+
+        dim = 64
+        rows = []
+        for vid in range(40):  # cell 0 around −1.0
+            if vid % 2 == 0:
+                v = -1.01 if vid % 4 == 0 else -0.99
+            else:
+                v = -0.5  # drifted audit data, still inside [−1.01, 1.01]
+            rows.append((vid, [v] * dim, 0))
+        for vid in range(40, 80):  # cell 1 around +1.0, no drift
+            if vid % 2 == 0:
+                v = 1.01 if vid % 4 == 0 else 0.99
+            else:
+                v = 1.0
+            rows.append((vid, [v] * dim, 1))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+        [raw] = sq8_grid_drift_readout(
+            spark, emb.select("vec_id", "embedding")
+        ).collect()
+        assert raw["n_sat_lo"] == 0 and raw["n_sat_hi"] == 0  # blind
+
+        [res] = sq8_residual_grid_drift_readout(spark, emb).collect()
+        assert res["n_values"] == 40 * dim
+        assert res["n_sat_hi"] == 20 * dim  # every drifted value alarms
+        assert res["n_sat_lo"] == 0
+        # every dim audits 40 values (both cells' odd halves); cell 0's
+        # 20 drifted values saturate -> 50% share on the worst dim
+        assert res["worst_dim_sat_q20"] == 524288
+
+    def test_fixture_bounds(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        [r] = get_queries()["q_sq8_residual_grid_drift"](spark, sf_dir).collect()
+        assert r["n_values"] > 0
+        assert 0 <= r["n_sat_lo"] + r["n_sat_hi"] <= r["n_values"]
+        assert 0 <= r["worst_dim"] < 64
+
+
+class TestSq8ResidualGridRefresh:
+    """Round-16: residual-grid refresh — the drift monitor's apply
+    (operators/similarity.py:sq8_residual_grid_refresh_readout)."""
+
+    def test_constructed_drift_is_absorbed(self, spark):
+        """Within-cell drift geometry: the stale grid saturates on the
+        drifted half (the alarm), the refreshed grid covers everything
+        (n_sat_after == 0), the moved-dims count is every dim (the drift
+        is isotropic here), and the readout's internal probe==rebuild
+        assertion passes (it RAISES otherwise)."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            sq8_residual_grid_refresh_readout,
+        )
+
+        dim = 64
+        rows = []
+        for vid in range(40):
+            if vid % 2 == 0:
+                v = -1.01 if vid % 4 == 0 else -0.99
+            else:
+                v = -0.5
+            rows.append((vid, [v] * dim, 0))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = sq8_residual_grid_refresh_readout(spark, emb).collect()
+        assert out
+        r = out[0]
+        assert r["n_sat_before"] == 20 * dim  # the alarm's number
+        assert r["n_sat_after"] == 0  # acceptance: fresh grid covers all
+        assert r["n_dims_moved"] == dim
+
+    def test_no_drift_moves_nothing(self, spark):
+        """Odd half mirrors the even half exactly: the residual grid does
+        not move, nothing saturates, and the refresh degenerates to a
+        provable no-op re-encode."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            sq8_residual_grid_refresh_readout,
+        )
+
+        dim = 64
+        rows = []
+        for vid in range(40):
+            v = 0.3 if vid % 4 in (0, 1) else 0.7
+            rows.append((vid, [v] * dim, 0))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        r = sq8_residual_grid_refresh_readout(spark, emb).collect()[0]
+        assert r["n_dims_moved"] == 0
+        assert r["n_sat_before"] == 0 and r["n_sat_after"] == 0
+
+
+class TestSq8CoarseRefresh:
+    """Round-16: residual-SQ8 coarse-quantizer refresh
+    (operators/similarity.py:sq8_coarse_refresh_readout)."""
+
+    def test_only_shifted_cells_move(self, spark):
+        """Constructed geometry: cell 0's odd half mirrors its even half
+        (centroid unchanged — its files must copy byte-untouched, the
+        readout raises if not), cell 1's odd half shifts (centroid
+        moves). Exactly one changed cell, and n_moved counts exactly its
+        members."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            sq8_coarse_refresh_readout,
+        )
+
+        dim = 64
+        rows = []
+        for vid in range(40):  # cell 0: stable (odd == even values)
+            v = 0.1 if vid % 4 in (0, 1) else 0.2
+            rows.append((vid, [v] * dim, 0))
+        for vid in range(40, 80):  # cell 1: odd half shifts 0.5 -> 0.9
+            v = 0.5 if vid % 2 == 0 else 0.9
+            rows.append((vid, [v] * dim, 1))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = sq8_coarse_refresh_readout(spark, emb).collect()
+        assert out
+        r = out[0]
+        assert r["n_changed_cells"] == 1
+        assert r["n_moved"] == 40  # cell 1's members only
+        assert r["n_total"] == 80
+
+
+class TestSq8DimColumnarRefresh:
+    """Round-16: dim-columnar SQ8 layout + partial grid refresh
+    (operators/similarity.py:sq8_dim_columnar_refresh_readout)."""
+
+    def test_exactly_two_moved_dims_rewrite(self, spark):
+        """The rewrite-fraction measurement (VERDICT r15 missing 4): odd
+        rows extend the range of ONLY dims 3 and 17; the refresh must
+        rewrite exactly those two d=K subdirs (the readout RAISES if any
+        unmoved dim's files change) and report 2/64."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            sq8_dim_columnar_refresh_readout,
+        )
+
+        dim = 64
+        rows = []
+        for vid in range(40):
+            base = 0.0 if vid % 4 in (0, 1) else 1.0
+            v = [base] * dim
+            if vid % 2 == 1:  # odd: new data, two dims drift out of grid
+                v[3] = 2.0
+                v[17] = 2.0
+            rows.append((vid, v))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = sq8_dim_columnar_refresh_readout(spark, emb).collect()
+        assert out
+        r = out[0]
+        assert r["n_dims_moved"] == 2
+        assert r["n_dims_total"] == dim
+
+
+class TestStreamSessionsOverlap:
+    """Round-16: streaming co-presence twin
+    (streaming/pipelines.py:q_stream_sessions_overlap)."""
+
+    def test_converges_to_batch_overlap_join(self, spark, sf_dir):
+        """The drained stream's per-user-pair counts must equal the
+        one-shot batch overlap join exactly (the shared quadratic-spec
+        oracle, pinned suite-side too). Runs with the redelivery
+        exercise ON (the default), so batch-keyed idempotence is
+        exercised inside this assertion."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        got = qs["q_stream_sessions_overlap"](spark, sf_dir).collect()
+        want = qs["q_sessions_overlap_pairs"](spark, sf_dir).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert got  # non-degenerate at the fixture

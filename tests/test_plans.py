@@ -908,17 +908,14 @@ class TestRound15Plans:
         import re
 
         from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
-            _build_grown_sq8_layout,
+            _build_grown_sq8_family_layout,
             _read_grown_codes,
-            _sq8_serve_grown,
         )
 
-        codes_root, mn, rng, cells, _ = _build_grown_sq8_layout(
-            spark, sf_dir, "sq8_plan_pin_index"
+        codes_root, fam, _ = _build_grown_sq8_family_layout(
+            spark, sf_dir, "sq8_plan_pin_index", residual=False
         )
-        out = _sq8_serve_grown(
-            spark, sf_dir, _read_grown_codes(spark, codes_root), mn, rng, cells
-        )
+        out = fam.serve_std(_read_grown_codes(spark, codes_root))
         p = df_plan(spark, out)
         assert "CartesianProduct" not in p
         pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
@@ -948,17 +945,14 @@ class TestRound15Plans:
         import re
 
         from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
-            _build_grown_sq8_residual_layout,
+            _build_grown_sq8_family_layout,
             _read_grown_codes,
-            _sq8_res_serve_grown,
         )
 
-        codes_root, mn, rng, cells, _ = _build_grown_sq8_residual_layout(
-            spark, sf_dir, "sq8_res_plan_pin_index"
+        codes_root, fam, _ = _build_grown_sq8_family_layout(
+            spark, sf_dir, "sq8_res_plan_pin_index", residual=True
         )
-        out = _sq8_res_serve_grown(
-            spark, sf_dir, _read_grown_codes(spark, codes_root), mn, rng, cells
-        )
+        out = fam.serve_std(_read_grown_codes(spark, codes_root))
         p = df_plan(spark, out)
         assert "CartesianProduct" not in p
         pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
