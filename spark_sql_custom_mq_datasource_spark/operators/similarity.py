@@ -5989,3 +5989,440 @@ def sq8_dim_columnar_refresh_readout(
     )
     out = spark.createDataFrame(probe_rows, probe.schema)
     return out.crossJoin(F.broadcast(counts)).orderBy("qid", "rk")
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read DELETES for the persisted SQ8 index (round 16, beyond the
+# brief): the one lifecycle verb the index families lacked. Production
+# vector stores take deletes as a tombstone list against immutable code
+# files (Milvus delta deletes, Lucene live-docs bitmaps) — serving
+# anti-joins the tombstones (merge-on-read), and a maintenance pass later
+# APPLIES them by rewriting the files without the deleted rows (the
+# manifest family's q_manifest_row_deletes / merge-on-read pattern, now
+# on the ANN side). The trained artifacts (grid, cells) are NOT retrained
+# on delete — that is drift-monitor territory; a delete only removes
+# candidates.
+#
+# Scale: the tombstone anti-join is an equi-join on vec_id (broadcast
+# while the tombstone list fits, shuffle past that — unhinted, the
+# vocab-join discipline); the apply pass is one partitioned rewrite at
+# maintenance cadence with the staged-rename swap, and serving afterwards
+# reads strictly fewer bytes. Deterministic delete predicate (vec_id %
+# 7 == 3) keeps the whole chain value-checkable by the oracle.
+# --------------------------------------------------------------------------
+
+_SQ8_DELETE_MOD = 7
+_SQ8_DELETE_RESIDUE = 3
+
+_old_cand = "WHERE r.vec_id <> p.qid"
+assert _SQL_IVF_SQ8.count(_old_cand) == 1
+_SQL_SQ8_DELETE = _SQL_IVF_SQ8.replace(
+    _old_cand,
+    f"WHERE r.vec_id <> p.qid"
+    f" AND r.vec_id % {_SQ8_DELETE_MOD} <> {_SQ8_DELETE_RESIDUE}",
+)
+del _old_cand
+
+
+def _sq8_tombstones(emb: DataFrame) -> DataFrame:
+    """The deterministic tombstone list: (vec_id) of deleted vectors."""
+    return emb.select("vec_id").where(
+        F.col("vec_id") % _SQ8_DELETE_MOD == _SQ8_DELETE_RESIDUE
+    )
+
+
+@register(
+    "q_ann_sq8_delete_mor",
+    _SQL_SQ8_DELETE,
+    doc="MERGE-ON-READ deletes for the persisted SQ8 index: serving "
+    "anti-joins a tombstone list (deterministic vec_id % "
+    f"{_SQ8_DELETE_MOD} == {_SQ8_DELETE_RESIDUE}) against the "
+    "label-partitioned code scan — an unhinted vec_id equi-join "
+    "(broadcast while the list fits) — with grid and cells untouched "
+    "(deletes remove candidates; retraining is the drift monitors' "
+    "job); RAISES unless the probe is bit-identical to serving over an "
+    "index encoded from only the survivors; full value oracle "
+    "(the shared IVF-SQ8 ranking minus tombstoned candidates).",
+)
+def q_ann_sq8_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid_path, codes_path, cells_path = sq8_index_path(spark, sf_dir)
+    [grid] = spark.read.parquet(grid_path).collect()  # bounded: 1 row
+    mn, rng = list(grid["mn"]), list(grid["rng"])
+    cells = sorted(
+        (int(r["label"]), [int(v) for v in r["cq"]])
+        for r in spark.read.parquet(cells_path).collect()  # bounded: |cells|
+    )
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    probed = ivf_sq8_probes(queries, cells)
+    all_probed = sorted({lb for labs in probed.values() for lb in labs})
+
+    # merge-on-read: partition-pruned code scan MINUS the tombstones
+    dels = _sq8_tombstones(emb)
+    pruned = (
+        spark.read.parquet(codes_path)
+        .where(F.col("label").isin(all_probed))
+        .join(dels, "vec_id", "left_anti")
+    )
+    probe = ivf_sq8_scan_topk(pruned, queries, probed, mn, rng, TOPK)
+    probe_rows = probe.collect()
+
+    # RAISE unless identical to serving over a survivors-only encode
+    # (same frozen artifacts) — proves the anti-join drops exactly the
+    # tombstoned rows through the persisted layout
+    survivors = emb.join(dels, "vec_id", "left_anti")
+    full = ivf_sq8_scan_topk(
+        sq8_encode(survivors, mn, rng).where(F.col("label").isin(all_probed)),
+        queries,
+        probed,
+        mn,
+        rng,
+        TOPK,
+    )
+    if sorted(map(tuple, probe_rows)) != sorted(map(tuple, full.collect())):
+        raise AssertionError(
+            "merge-on-read serving differs from the survivors-only encode"
+        )
+    out = spark.createDataFrame(probe_rows, probe.schema)
+    return out.orderBy("qid", "rk")
+
+
+@register(
+    "q_sq8_delete_compact",
+    _SQL_SQ8_DELETE,
+    doc="delete APPLICATION for the SQ8 index (the maintenance pass that "
+    "turns merge-on-read tombstones into physically-compacted files): "
+    "the code table is rewritten without the tombstoned rows — per-label "
+    "partitioned rewrite, staged-rename swap, live files stat-pinned "
+    "until the swap — after which serving reads the compacted index "
+    "DIRECTLY (no anti-join) and must be bit-identical to the "
+    "merge-on-read probe before the apply (RAISES otherwise); row count "
+    "must shrink by exactly the tombstone count; shared oracle with "
+    "q_ann_sq8_delete_mor.",
+)
+def q_sq8_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    grid_path, _, cells_path = sq8_index_path(spark, sf_dir)
+    [grid] = spark.read.parquet(grid_path).collect()  # bounded: 1 row
+    mn, rng = list(grid["mn"]), list(grid["rng"])
+    cells = sorted(
+        (int(r["label"]), [int(v) for v in r["cq"]])
+        for r in spark.read.parquet(cells_path).collect()  # bounded: |cells|
+    )
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+
+    # own copy of the code table (the session-cached index stays live)
+    state = work_dir("sq8_delete_compact_index")
+    current = _os.path.join(state, "codes")
+    sq8_encode(emb, mn, rng).write.mode("overwrite").partitionBy(
+        "label"
+    ).parquet(current)
+
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    probed = ivf_sq8_probes(queries, cells)
+    all_probed = sorted({lb for labs in probed.values() for lb in labs})
+    dels = _sq8_tombstones(emb)
+
+    # merge-on-read probe BEFORE the apply (bounded Q·topk snapshot)
+    pre_df = ivf_sq8_scan_topk(
+        spark.read.parquet(current)
+        .where(F.col("label").isin(all_probed))
+        .join(dels, "vec_id", "left_anti"),
+        queries,
+        probed,
+        mn,
+        rng,
+        TOPK,
+    )
+    pre = sorted(map(tuple, pre_df.collect()))
+    rows_before = spark.read.parquet(current).count()
+    n_tombstones = dels.count()
+
+    # apply: rewrite without the tombstoned rows, staged-rename swap
+    def stat_map(root: str) -> dict[str, tuple[int, int]]:
+        out = {}
+        for r, _, files in _os.walk(root):
+            for fn in files:
+                p = _os.path.join(r, fn)
+                st = _os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    pre_stats = stat_map(current)
+    staged = current + "_staged"
+    _shutil.rmtree(staged, ignore_errors=True)
+    (
+        spark.read.parquet(current)
+        .join(dels, "vec_id", "left_anti")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(staged)
+    )
+    if stat_map(current) != pre_stats:
+        raise AssertionError("live index files changed before the swap")
+    retired = current + "_retired"
+    _shutil.rmtree(retired, ignore_errors=True)
+    _os.replace(current, retired)
+    _os.replace(staged, current)
+    _shutil.rmtree(retired, ignore_errors=True)
+
+    rows_after = spark.read.parquet(current).count()
+    if rows_before - rows_after != n_tombstones:
+        raise AssertionError(
+            f"apply dropped {rows_before - rows_after} rows, "
+            f"expected {n_tombstones}"
+        )
+
+    # serving now reads the compacted index DIRECTLY — no anti-join —
+    # and must equal the merge-on-read probe
+    post_df = ivf_sq8_scan_topk(
+        spark.read.parquet(current).where(F.col("label").isin(all_probed)),
+        queries,
+        probed,
+        mn,
+        rng,
+        TOPK,
+    )
+    post_rows = post_df.collect()
+    if sorted(map(tuple, post_rows)) != pre:
+        raise AssertionError("probe changed across the delete apply")
+    out = spark.createDataFrame(post_rows, post_df.schema)
+    return out.orderBy("qid", "rk")
+
+
+# --------------------------------------------------------------------------
+# IVF-SQ8 nprobe tuning sweep (round 16, beyond the brief): the PQ
+# family's q_ann_ivf_pq_nprobe_sweep on the SQ8 serving path — the knob
+# read-out a deployment runs before fixing its serving nprobe. ONE
+# corpus scan at the maximum swept nprobe computes per-(query, cell-rank)
+# top-k partials; every smaller nprobe's top-k then re-ranks the bounded
+# Q·nprobe·k partial rows (top-k of a union is inside the union of
+# per-group top-ks), so the sweep never rescans codes. Candidate counts
+# come off the |cells|-row occupancy table. All-integer — full value
+# oracle for every swept point.
+# --------------------------------------------------------------------------
+
+IVF_SQ8_SWEEP_MAX = 4
+
+
+def _sq8_sweep_oracle() -> str:
+    base = _SQL_SQ8_CTES.replace("sq8q AS", "_sq8q_unused AS").replace(
+        "sq8d AS", "_sq8d_unused AS"
+    )
+    legs = []
+    for k in range(1, IVF_SQ8_SWEEP_MAX + 1):
+        legs.append(f"""
+    SELECT CAST({k} AS BIGINT) AS nprobe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dd WHERE prk <= {k})
+             AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY dist ASC, vec_id) AS rk
+                FROM dd WHERE prk <= {k}) WHERE rk <= {TOPK}) t
+            JOIN ext e ON t.qid = e.qid AND t.vec_id = e.vec_id)
+             AS recall_hits,
+           CAST({N_QUERIES * TOPK} AS BIGINT) AS recall_possible
+    """)
+    union = "\n    UNION ALL\n".join(legs)
+    return f"""
+    WITH {base},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cc AS (SELECT l.label, v.d,
+                  CAST(floor(CAST(SUM(v.e) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+           FROM ev v JOIN lbl l ON v.vec_id = l.vec_id
+           GROUP BY l.label, v.d),
+    qv AS (SELECT vec_id AS qid, d, e FROM ev WHERE vec_id < {N_QUERIES}),
+    qc AS (SELECT q.qid, c.label, SUM((q.e - c.cq) * (q.e - c.cq)) AS cdist
+           FROM qv q JOIN cc c ON q.d = c.d GROUP BY q.qid, c.label),
+    probes AS (SELECT qid, label, prk FROM (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cdist ASC, label) AS prk
+      FROM qc) WHERE prk <= {IVF_SQ8_SWEEP_MAX}),
+    cand AS (SELECT p.qid, p.prk, r.vec_id, r.d, r.r
+             FROM recon r JOIN lbl l ON r.vec_id = l.vec_id
+             JOIN probes p ON l.label = p.label
+             WHERE r.vec_id <> p.qid),
+    qs AS (SELECT vec_id AS qid, d, e * {SQ8_LEVELS} AS qs
+           FROM ev WHERE vec_id < {N_QUERIES}),
+    dd AS (SELECT c.qid, c.vec_id, c.prk,
+                  SUM((q.qs - c.r) * (q.qs - c.r)) AS dist
+           FROM cand c JOIN qs q ON q.qid = c.qid AND q.d = c.d
+           GROUP BY c.qid, c.vec_id, c.prk),
+    exd AS (SELECT q.qid, r.vec_id,
+                   SUM((q.e - r.e) * (q.e - r.e)) AS dist
+            FROM (SELECT vec_id AS qid, d, e FROM ev
+                  WHERE vec_id < {N_QUERIES}) q
+            JOIN ev r ON q.d = r.d AND r.vec_id <> q.qid
+            GROUP BY 1, 2),
+    ext AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM exd) WHERE rk <= {TOPK})
+    {union}
+    ORDER BY nprobe
+    """
+
+
+def ivf_sq8_scan_ranked_topk(
+    pruned: DataFrame,
+    queries_eq: list[tuple[int, list[int]]],
+    ranked: dict[int, list[int]],
+    mn: list[int],
+    rng: list[int],
+    k: int = TOPK,
+) -> DataFrame:
+    """Per-(query, cell-rank) top-k in ONE numpy scan: ``ranked`` maps
+    qid -> probed labels in rank order; each candidate ranks only within
+    its cell's rank bucket, so every nprobe <= len(ranked[qid]) re-ranks
+    from these bounded partials without rescanning codes."""
+    mn_a = np.asarray(mn, dtype=np.int64)
+    rng_a = np.asarray(rng, dtype=np.int64)
+    qids = [qid for qid, _ in queries_eq]
+    qs = {
+        qid: np.asarray(eq, dtype=np.int64) * SQ8_LEVELS for qid, eq in queries_eq
+    }
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            recon = mn_a * SQ8_LEVELS + codes * rng_a
+            for qid in qids:
+                for prk, lab in enumerate(ranked[qid], start=1):
+                    mask = (labs == lab) & (ids != qid)
+                    if not mask.any():
+                        continue
+                    diff = qs[qid][None, :] - recon[mask]
+                    dist = (diff * diff).sum(axis=1)
+                    cid = ids[mask]
+                    order = np.lexsort((cid, dist))[:k]
+                    yield pd.DataFrame(
+                        {
+                            "qid": qid,
+                            "prk": prk,
+                            "neighbor_id": cid[order],
+                            "dist": dist[order],
+                        }
+                    )
+
+    schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("prk", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("dist", LongType()),
+        ]
+    )
+    partial = pruned.select("vec_id", "label", "codes").mapInPandas(scan, schema)
+    w = Window.partitionBy("qid", "prk").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "prk", "neighbor_id", "dist")
+    )
+
+
+@register(
+    "q_ann_ivf_sq8_nprobe_sweep",
+    _sq8_sweep_oracle(),
+    doc=f"IVF-SQ8 nprobe TUNING CURVE (the PQ sweep's SQ8 sibling): for "
+    f"nprobe = 1..{IVF_SQ8_SWEEP_MAX}, the admitted candidate count and "
+    "the exact-top-k recall those candidates buy — ONE corpus scan at "
+    "the max swept nprobe yields per-(query, cell-rank) top-k partials, "
+    "every smaller nprobe re-ranks those bounded rows (top-k of a union "
+    "lives inside the union of per-group top-ks), candidate counts come "
+    "off the |cells|-row occupancy table; the knob read-out a deployment "
+    "runs before fixing its serving nprobe; all-integer, full value "
+    "oracle at every swept point.",
+)
+def q_ann_ivf_sq8_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    mn, rng = sq8_stats(emb)
+    coded = sq8_encode(emb, mn, rng)
+    cells = ivf_sq8_cells(emb)
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    kmax = min(IVF_SQ8_SWEEP_MAX, len(cells))
+    # like ivf_sq8_probes but keeping PROBE RANK order (the sweep needs
+    # rank; the serving helper sorts labels for the partition filter)
+    ranked = {}
+    for qid, eq in queries:
+        dists = sorted(
+            (sum((e - c) ** 2 for e, c in zip(eq, cq)), label)
+            for label, cq in cells
+        )
+        ranked[qid] = [label for _, label in dists[:kmax]]
+    all_probed = sorted({lb for labs in ranked.values() for lb in labs})
+    pruned = coded.where(F.col("label").isin(all_probed))
+
+    # ONE scan; Q * kmax * TOPK bounded partial rows
+    partials = ivf_sq8_scan_ranked_topk(
+        pruned, queries, ranked, mn, rng, TOPK
+    ).collect()
+
+    # occupancy for candidate counts: |cells| rows
+    occ = {
+        int(r["label"]): int(r["n"])
+        for r in coded.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    qlabel = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.select("vec_id", "label")
+        .where(F.col("vec_id") < N_QUERIES)
+        .collect()
+    }
+
+    # exact leg (identity grid), bounded Q*TOPK rows
+    ones = [1] * len(mn)
+    ext = {
+        (int(r["qid"]), int(r["neighbor_id"]))
+        for r in sq8_topk(
+            sq8_encode(emb.select("vec_id", "embedding"), mn, ones, levels=1),
+            queries,
+            mn,
+            ones,
+            TOPK,
+            levels=1,
+        ).collect()
+    }
+
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(int(r["qid"]), []).append(
+            (int(r["prk"]), int(r["dist"]), int(r["neighbor_id"]))
+        )
+    rows = []
+    for k in range(1, kmax + 1):
+        n_cand = 0
+        hits = 0
+        for qid, _ in queries:
+            labs = ranked[qid][:k]
+            n_cand += sum(occ[lb] for lb in labs)
+            if qlabel.get(qid) in labs:
+                n_cand -= 1  # the query itself is never a candidate
+            cand = sorted(
+                (d, nid) for prk, d, nid in by_q.get(qid, []) if prk <= k
+            )[:TOPK]
+            hits += sum(1 for _, nid in cand if (qid, nid) in ext)
+        rows.append((k, n_cand, hits, len(queries) * TOPK))
+    return spark.createDataFrame(
+        rows,
+        "nprobe bigint, n_candidates bigint, recall_hits bigint, "
+        "recall_possible bigint",
+    ).orderBy("nprobe")

@@ -186,80 +186,97 @@ def register(
 #      additions, then the r05 TPC-H/window/set-op block. Everything
 #      displaced stays green in CORRECTNESS_r08/r09.json.
 _PRIORITY: tuple[str, ...] = (
-    # ==== ROUND-15 PREFIX ===============================================
-    # (executes the round-14 rotation plan below / VERDICT r14 item 1)
-    # -- the 13 round-15 additions (never driver-checked; locally green at
-    #    sf0.001 AND sf0.01): the SQ8 index maintenance lifecycle
-    #    (grow/compact/health — VERDICT r14 missing 1), the SQ8 grid
-    #    refresh (missing 2), the overlap-join hot-bin diagnostic +
-    #    bin-width sweep (missing 3), the persisted MaxSim token-vector
-    #    serving (missing 4), plus the SQ8 exact re-rank, residual
-    #    IVF-SQ8 with persisted serving (the FAISS by_residual default),
-    #    and the residual-SQ8 grow/compact/health lifecycle — beyond the
-    #    brief, closing the maintenance loop on every persisted family ----
-    "q_ann_sq8_refine",
-    "q_ann_ivf_sq8_residual",
-    "q_ann_sq8_residual_persisted",
-    "q_stream_sq8_residual_index_grow",
-    "q_sq8_residual_index_compact",
-    "q_sq8_residual_index_health",
-    "q_overlap_bin_sweep",
+    # ==== ROUND-16 PREFIX ===============================================
+    # (executes the round-15 rotation plan below / VERDICT r15 item 1)
+    # -- the 5 round-16 additions (never driver-checked; locally green at
+    #    sf0.001 AND sf0.01): the coarse-quantizer refresh for the
+    #    residual SQ8 index (VERDICT r15 missing 1), the residual-grid
+    #    drift monitor + refresh (missing 2), the streaming co-presence
+    #    twin of the interval overlap join (missing 3), and the
+    #    dim-columnar SQ8 layout with partial grid refresh (missing 4);
+    #    plus 4 beyond the brief: the co-presence bin-index compaction,
+    #    merge-on-read DELETES for the persisted SQ8 index + the delete
+    #    APPLY pass, and the IVF-SQ8 nprobe tuning sweep ------------------
+    "q_sq8_coarse_refresh",
+    "q_sq8_residual_grid_drift",
+    "q_sq8_residual_grid_refresh",
+    "q_sq8_dim_columnar_refresh",
+    "q_stream_sessions_overlap",
+    "q_sessions_overlap_index_compact",
+    "q_ann_sq8_delete_mor",
+    "q_sq8_delete_compact",
+    "q_ann_ivf_sq8_nprobe_sweep",
+    # -- code or oracle changed this round, so driver-RE-check even
+    #    though r15/r14 green: the SQ8 + residual-SQ8 lifecycle trios
+    #    moved onto ONE parameterized implementation with regenerated
+    #    (semantically identical) health oracles (ADVICE r15 item 5); the
+    #    four index-grow queries share the hoisted _grow_inbox builder
+    #    and the PQ health monitors the shared _read_grown_codes reader
+    #    (ADVICE r15 items 1+4); the bin-sweep oracle dropped its dead
+    #    comment appends; the persisted residual-SQ8 serving joined the
+    #    bench extended set ---------------------------------------------
     "q_stream_sq8_index_grow",
+    "q_stream_sq8_residual_index_grow",
     "q_sq8_index_compact",
+    "q_sq8_residual_index_compact",
     "q_sq8_index_health",
-    "q_sq8_grid_refresh",
-    "q_sessions_overlap_hotbins",
-    "q_retrieval_maxsim_persisted",
-    # -- code changed this round, so driver-RE-check even though r14
-    #    green: the bloom confirm join dropped its forced eval-hash
-    #    broadcast (VERDICT r14 wrong 1); maxsim_rerank grew the
-    #    token_vecs serving leg; the overlap join's rewrite moved onto
-    #    the bin_s-parameterized overlap_pairs/_interval_bins helpers ------
-    "q_decontaminate_bloom",
-    "q_retrieval_maxsim",
-    "q_sessions_overlap_pairs",
-    # -- ALL 34 r09-stale records (the oldest anywhere;
-    #    tools/rotation_plan.py order) -------------------------------------
-    "q_ann_lsh_multiprobe",
-    "q_split_train_val_test",
-    "q_curation_pipeline",
-    "q_decontaminate_ngram",
-    "q_stratified_sample",
-    "q_dedup_incremental",
-    "q_token_budget_mix",
-    "q_mix_temperature",
-    "q_dedup_chunk_exact",
-    "q_shard_balanced",
-    "q_udf_grouped_user_stats",
-    "q_udf_grouped_agg_geomean",
-    "q_udtf_tokenize",
-    "q_asof_join_last_order",
-    "q_range_join_acctbal",
-    "q_salted_join_event_stats",
-    "q_join_key_skew_report",
-    "q_stream_tumbling_1d",
-    "q_stream_tumbling_watermark",
-    "q_stream_dedup_pairs",
-    "q_stream_dedup_within_watermark",
-    "q_stream_stream_join",
-    "q_stream_stateful_stats",
-    "q_stream_session_windows",
-    "q_stream_mq_replay",
-    "q_stream_foreachbatch_parquet",
-    "q_stream_transform_with_state",
-    "q_stream_stream_left_outer",
-    "q_manifest_compact",
-    "q_attribution_linear",
-    "q_events_anomaly_zscore",
-    "q_events_tumbling_1d",
-    "q_events_sessionize",
-    "q_bucketed_join_revenue",
-    # (the seven late additions displaced ALL the r10-stale fillers —
-    #  q_quality_gopher, q_corpus_drift_psi, q_dedup_ngram_jaccard,
-    #  q_dedup_containment, q_dedup_minhash_lsh, q_dedup_threshold_sweep,
-    #  q_dedup_containment_apply — to round 16; every one is r10-green
-    #  and re-verified by this round's local full batteries)
+    "q_sq8_residual_index_health",
+    "q_stream_pq_index_grow",
+    "q_stream_pq_residual_index_grow",
+    "q_pq_index_health",
+    "q_pq_residual_index_health",
+    "q_overlap_bin_sweep",
+    "q_ann_sq8_residual_persisted",
+    # -- 33 r10-stale records, oldest-first (tools/rotation_plan.py
+    #    order), led by the seven twice-displaced r10 fillers ------------
+    "q_quality_gopher",
+    "q_corpus_drift_psi",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_containment",
+    "q_dedup_minhash_lsh",
+    "q_dedup_threshold_sweep",
+    "q_dedup_containment_apply",
+    "q_embedding_quantize",
+    "q_hard_negative_ann_sampled",
+    "q_embedding_centroid_drift",
+    "q_embedding_norm_outliers",
+    "q_embedding_random_projection",
+    "q_matryoshka_recall",
+    "q_batch_padding_audit",
+    "q_source_quota_cap",
+    "q_multimodal_decode",
+    "q_profile_documents",
+    "q_pii_redact",
+    "q_distinct_users_skew_safe",
+    "q_join_size_estimate",
+    "q_stream_sliding_6h",
+    "q_stream_static_join",
+    "q_stream_rate_source",
+    "q_manifest_snapshot_diff",
+    "q_cdf_incremental_consumer",
+    "q_funnel_stages",
+    "q_gapfill_user_daily",
+    "q_gapfill_locf",
+    "q_conversion_within_window",
+    # (the 20 remaining r10-stale records — q_daily_trend_by_type,
+    #  q_ab_cuped, q_events_cusum, q_decile_lift (the last three
+    #  independently re-checked green by the r15 judge session),
+    #  q_events_json_extract,
+    #  q_events_sliding_6h, q_events_pivot_daily, q_fuzzy_source_pairs,
+    #  q_mqlog_roundtrip, q_map_functions, q_histogram_equidepth,
+    #  q_stream_dedup_incremental, q_dedup_index_compact,
+    #  q_stream_source_quota, q_stream_anomaly_zscore,
+    #  q_stream_heavy_hitters, q_stream_table_fingerprint,
+    #  q_partition_pruned_day, q_compaction_plan, q_table_fingerprint —
+    #  lead the round-17 plan; every one is r10-green and re-verified by
+    #  this round's local full batteries; 29 of the 49 rotate this round)
 )
+# The ROUND-15 prefix this replaces (all 50 green in CORRECTNESS_r15.json):
+# the 13 round-15 additions (SQ8 + residual-SQ8 lifecycles, SQ8 grid
+# refresh, overlap hot-bins + bin sweep, persisted MaxSim, SQ8 refine,
+# residual IVF-SQ8 + persisted serving); the 3 r15-changed re-checks
+# (decontaminate_bloom, retrieval_maxsim, sessions_overlap_pairs); and
+# ALL 34 r09-stale records — see CORRECTNESS_r15.json for the exact list.
 # The ROUND-14 prefix this replaces (all 50 green in CORRECTNESS_r14.json):
 # the 16 round-14 additions (bpe_tokenize_oov_persisted, pq_index_health,
 # stream_pq_residual_index_grow, pq_residual_index_compact,
@@ -367,16 +384,29 @@ _PRIORITY: tuple[str, ...] = (
 # older than r10, and all 49 r10 records remain (the late additions
 # consumed the filler slots).
 #
-# ROUND-16 ROTATION PLAN: (1) anything round 16 adds or edits, then
-# (2) the 49 r10-stale records oldest-first, starting with the seven
-# displaced from the r15 prefix by late additions (q_quality_gopher,
-# q_corpus_drift_psi, q_dedup_ngram_jaccard, q_dedup_containment,
-# q_dedup_minhash_lsh, q_dedup_threshold_sweep,
-# q_dedup_containment_apply — all r10-green and locally re-verified
-# since) — tools/rotation_plan.py regenerates the exact order from
-# CORRECTNESS_r01..r15 — then (3) r11-stale oldest-first to fill 50.
-# Done = CORRECTNESS_r16 green on all 50; at ~13 additions/round the
-# r10 block clears over rounds 16-17.
+# ROUND-16 ROTATION PLAN (EXECUTED by the prefix above): (1) the 9
+# round-16 additions (sq8_coarse_refresh, sq8_residual_grid_drift,
+# sq8_residual_grid_refresh, sq8_dim_columnar_refresh,
+# stream_sessions_overlap, sessions_overlap_index_compact,
+# ann_sq8_delete_mor, sq8_delete_compact, ann_ivf_sq8_nprobe_sweep —
+# never driver-checked), (2) the 12 queries
+# whose code or oracle changed this round (the parameterized SQ8
+# lifecycle trios with regenerated health oracles, the four grow queries
+# on the hoisted inbox builder, the PQ health monitors on the shared
+# grown-codes reader, the bin sweep's cleaned oracle, the persisted
+# residual-SQ8 serving's bench flag), then (3) 29 of the 49 r10-stale
+# records oldest-first, led by the seven twice-displaced fillers. After
+# the r16 driver run: 20 r10 records remain (enumerated at the prefix
+# tail), clearing fully in round 17.
+#
+# ROUND-17 ROTATION PLAN: (1) anything round 17 adds or edits, then
+# (2) the 20 remaining r10-stale records (the exact list at the prefix
+# tail above — tools/rotation_plan.py regenerates the order from
+# CORRECTNESS_r01..r16), then (3) r11-stale oldest-first to fill 50
+# (the r11 block is 46 records: heavy-hitters/simhash/bm25/tfidf/dsir/
+# chunking/runtime-filter/stream-wordcount..., then the TPC-H family).
+# Done = CORRECTNESS_r17 green on all 50; after the run no record is
+# older than r11.
 
 
 def _load_all() -> None:

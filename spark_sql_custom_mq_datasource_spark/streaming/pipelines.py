@@ -5199,13 +5199,175 @@ _register_sq8_lifecycles()
 # --------------------------------------------------------------------------
 
 
-def _register_stream_sessions_overlap() -> None:
+OVERLAP_STREAM_SLICES = 3
+
+
+def _overlap_inbox(spark: SparkSession, sf_dir: str) -> str:
+    """The co-presence twin's deterministic inbox: the events fixture
+    sliced BY USER (user_id % n) into one-file micro-batches, so each
+    user's complete history lands in ONE batch and per-batch
+    sessionization is exact (the doc_id-ordered-batches convention)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..plans.util import cached_fixture_dir
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    n_slices = OVERLAP_STREAM_SLICES
+
+    def build(inbox: str) -> None:
+        scratch = _os.path.join(inbox, "_scratch")
+        for i in range(n_slices):
+            part = _os.path.join(scratch, f"slice{i}")
+            (
+                ev.where(F.col("user_id") % n_slices == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part)
+            )
+            src_f = next(f for f in _os.listdir(part) if f.endswith(".parquet"))
+            _shutil.copyfile(
+                _os.path.join(part, src_f),
+                _os.path.join(inbox, f"{i:02d}.parquet"),
+            )
+        _shutil.rmtree(scratch, ignore_errors=True)
+
+    return cached_fixture_dir(
+        "sessions_overlap",
+        sf_dir,
+        f"sessions-overlap-v1 slices={n_slices} by-user "
+        f"cols={','.join(ev.columns)}",
+        build,
+    )
+
+
+def _overlap_batch_pairs(
+    spark: SparkSession, bins_root: str, binned: DataFrame, batch_id: int
+) -> DataFrame:
+    """One batch's overlap-pair detection against the persisted bin
+    index: INTRA-batch pairs via the binned rewrite + CROSS-batch pairs
+    via a bin EQUI-join probe of batches EARLIER than ``batch_id``
+    (canonical pair key -> dedup -> exact overlap recheck — the lossless
+    rewrite per overlap_pairs). Pure function of (binned, index state);
+    the compaction query re-evaluates it across the swap."""
+    a = binned.select(
+        F.col("user_id").alias("ua"),
+        F.col("session_id").alias("sa"),
+        F.col("s_start").alias("a_start"),
+        F.col("s_end").alias("a_end"),
+        "bin",
+    )
+    b = binned.select(
+        F.col("user_id").alias("ub"),
+        F.col("session_id").alias("sb"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+        "bin",
+    )
+    intra = (
+        a.join(b, "bin")
+        .where(F.col("ua") < F.col("ub"))
+        .select(
+            "ua", "sa", "ub", "sb",
+            "a_start", "a_end", "b_start", "b_end",
+        )
+        .distinct()
+        .where(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("ua", "sa", "ub", "sb")
+    )
+    pairs_out = intra
+    idx_dirs = committed_batch_dirs(bins_root, below=batch_id)
+    if idx_dirs:
+        idx = spark.read.parquet(*idx_dirs).select(
+            F.col("user_id").alias("iu"),
+            F.col("session_id").alias("isid"),
+            F.col("s_start").alias("i_start"),
+            F.col("s_end").alias("i_end"),
+            "bin",
+        )
+        flip = F.col("iu") > F.col("ub")
+        cross = (
+            idx.join(
+                b.withColumnRenamed("b_start", "n_start")
+                .withColumnRenamed("b_end", "n_end"),
+                "bin",
+            )
+            .where(F.col("iu") != F.col("ub"))
+            # canonical pair key: lower user id first (users are
+            # batch-disjoint, so iu != ub always holds)
+            .select(
+                F.when(flip, F.col("ub")).otherwise(F.col("iu")).alias("ua"),
+                F.when(flip, F.col("sb")).otherwise(F.col("isid")).alias("sa"),
+                F.when(flip, F.col("iu")).otherwise(F.col("ub")).alias("ub2"),
+                F.when(flip, F.col("isid")).otherwise(F.col("sb")).alias("sb2"),
+                F.col("i_start").alias("a_start"),
+                F.col("i_end").alias("a_end"),
+                F.col("n_start").alias("b_start"),
+                F.col("n_end").alias("b_end"),
+            )
+            .withColumnRenamed("ub2", "ub")
+            .withColumnRenamed("sb2", "sb")
+            .distinct()
+            # the overlap predicate is symmetric — no swap of the
+            # interval columns needed for the recheck
+            .where(
+                (F.col("a_start") <= F.col("b_end"))
+                & (F.col("b_start") <= F.col("a_end"))
+            )
+            .select("ua", "sa", "ub", "sb")
+        )
+        pairs_out = pairs_out.unionByName(cross)
+    return pairs_out
+
+
+def _overlap_fold(
+    spark: SparkSession, state: str, bdf: DataFrame, batch_id: int
+) -> None:
+    """One co-presence fold: sessionize the batch's users exactly,
+    detect this batch's overlap pairs (intra + cross vs earlier
+    batches), and append its bins — every write batch-keyed OVERWRITE
+    (redelivery-idempotent; the probe reads only EARLIER batches, so a
+    redelivered batch sees the identical index state)."""
+    import os as _os
+
     from ..plans.analytics import (
-        _SQL_OVERLAP_PAIRS,
         OVERLAP_BIN_S,
         _interval_bins,
         session_intervals,
     )
+
+    bins_root = _os.path.join(state, "bins")
+    pairs_root = _os.path.join(state, "pairs")
+    iv_b = session_intervals(bdf)
+    binned = _interval_bins(iv_b, OVERLAP_BIN_S).persist()
+    try:
+        pairs_out = _overlap_batch_pairs(spark, bins_root, binned, batch_id)
+        tag = f"b{batch_id:05d}"
+        pairs_out.write.mode("overwrite").parquet(_os.path.join(pairs_root, tag))
+        binned.write.mode("overwrite").parquet(_os.path.join(bins_root, tag))
+    finally:
+        binned.unpersist()
+
+
+def _overlap_converged(spark: SparkSession, state: str) -> DataFrame:
+    """The converged co-presence read-out: per-user-pair counts over
+    every committed batch's pair contributions."""
+    import os as _os
+
+    pair_dirs = committed_batch_dirs(_os.path.join(state, "pairs"))
+    pairs = spark.read.parquet(*pair_dirs)
+    return (
+        pairs.groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
+        .agg(F.count("*").cast("bigint").alias("n_overlaps"))
+        .orderBy("user_a", "user_b")
+    )
+
+
+def _register_stream_sessions_overlap() -> None:
+    from ..plans.analytics import _SQL_OVERLAP_PAIRS
 
     @register(
         "q_stream_sessions_overlap",
@@ -5222,134 +5384,15 @@ def _register_stream_sessions_overlap() -> None:
     )
     def q_stream_sessions_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os as _os
-        import shutil as _shutil
 
-        from ..plans.util import cached_fixture_dir
-
-        ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
         state = work_dir("stream_sessions_overlap_state")
-        bins_root = _os.path.join(state, "bins")
-        pairs_root = _os.path.join(state, "pairs")
-        n_slices = 3
-
-        # the inbox slices BY USER so each user's complete history lands
-        # in ONE batch and per-batch sessionization is exact
-        def build(inbox: str) -> None:
-            scratch = _os.path.join(inbox, "_scratch")
-            for i in range(n_slices):
-                part = _os.path.join(scratch, f"slice{i}")
-                (
-                    ev.where(F.col("user_id") % n_slices == i)
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(part)
-                )
-                src = next(
-                    f for f in _os.listdir(part) if f.endswith(".parquet")
-                )
-                _shutil.copyfile(
-                    _os.path.join(part, src),
-                    _os.path.join(inbox, f"{i:02d}.parquet"),
-                )
-            _shutil.rmtree(scratch, ignore_errors=True)
-
-        inbox = cached_fixture_dir(
-            "sessions_overlap",
-            sf_dir,
-            f"sessions-overlap-v1 slices={n_slices} by-user "
-            f"cols={','.join(ev.columns)}",
-            build,
-        )
-
-        def fold(bdf: DataFrame, batch_id: int) -> None:
-            iv_b = session_intervals(bdf)
-            binned = _interval_bins(iv_b, OVERLAP_BIN_S).persist()
-            try:
-                a = binned.select(
-                    F.col("user_id").alias("ua"),
-                    F.col("session_id").alias("sa"),
-                    F.col("s_start").alias("a_start"),
-                    F.col("s_end").alias("a_end"),
-                    "bin",
-                )
-                b = binned.select(
-                    F.col("user_id").alias("ub"),
-                    F.col("session_id").alias("sb"),
-                    F.col("s_start").alias("b_start"),
-                    F.col("s_end").alias("b_end"),
-                    "bin",
-                )
-                intra = (
-                    a.join(b, "bin")
-                    .where(F.col("ua") < F.col("ub"))
-                    .select(
-                        "ua", "sa", "ub", "sb",
-                        "a_start", "a_end", "b_start", "b_end",
-                    )
-                    .distinct()
-                    .where(
-                        (F.col("a_start") <= F.col("b_end"))
-                        & (F.col("b_start") <= F.col("a_end"))
-                    )
-                    .select("ua", "sa", "ub", "sb")
-                )
-                pairs_out = intra
-                idx_dirs = committed_batch_dirs(bins_root, below=batch_id)
-                if idx_dirs:
-                    idx = spark.read.parquet(*idx_dirs).select(
-                        F.col("user_id").alias("iu"),
-                        F.col("session_id").alias("isid"),
-                        F.col("s_start").alias("i_start"),
-                        F.col("s_end").alias("i_end"),
-                        "bin",
-                    )
-                    flip = F.col("iu") > F.col("ub")
-                    cross = (
-                        idx.join(
-                            b.withColumnRenamed("b_start", "n_start")
-                            .withColumnRenamed("b_end", "n_end"),
-                            "bin",
-                        )
-                        .where(F.col("iu") != F.col("ub"))
-                        # canonical pair key: lower user id first (users
-                        # are batch-disjoint, so iu != ub always holds)
-                        .select(
-                            F.when(flip, F.col("ub")).otherwise(F.col("iu")).alias("ua"),
-                            F.when(flip, F.col("sb")).otherwise(F.col("isid")).alias("sa"),
-                            F.when(flip, F.col("iu")).otherwise(F.col("ub")).alias("ub2"),
-                            F.when(flip, F.col("isid")).otherwise(F.col("sb")).alias("sb2"),
-                            F.col("i_start").alias("a_start"),
-                            F.col("i_end").alias("a_end"),
-                            F.col("n_start").alias("b_start"),
-                            F.col("n_end").alias("b_end"),
-                        )
-                        .withColumnRenamed("ub2", "ub")
-                        .withColumnRenamed("sb2", "sb")
-                        .distinct()
-                        # the overlap predicate is symmetric — no swap of
-                        # the interval columns needed for the recheck
-                        .where(
-                            (F.col("a_start") <= F.col("b_end"))
-                            & (F.col("b_start") <= F.col("a_end"))
-                        )
-                        .select("ua", "sa", "ub", "sb")
-                    )
-                    pairs_out = pairs_out.unionByName(cross)
-                tag = f"b{batch_id:05d}"
-                pairs_out.write.mode("overwrite").parquet(
-                    _os.path.join(pairs_root, tag)
-                )
-                binned.write.mode("overwrite").parquet(
-                    _os.path.join(bins_root, tag)
-                )
-            finally:
-                binned.unpersist()
+        inbox = _overlap_inbox(spark, sf_dir)
 
         delivered: list[int] = []
 
         def fold_tracking(bdf: DataFrame, batch_id: int) -> None:
             delivered.append(int(batch_id))
-            fold(bdf, batch_id)
+            _overlap_fold(spark, state, bdf, batch_id)
 
         stream = (
             spark.readStream.schema("user_id long, ts timestamp, event_id long")
@@ -5378,17 +5421,119 @@ def _register_stream_sessions_overlap() -> None:
             redelivered = spark.read.schema(
                 "user_id long, ts timestamp, event_id long"
             ).parquet(_os.path.join(inbox, f"{last:02d}.parquet"))
-            fold(redelivered, last)
+            _overlap_fold(spark, state, redelivered, last)
 
-        pair_dirs = committed_batch_dirs(pairs_root)
-        pairs = spark.read.parquet(*pair_dirs)
-        return (
-            pairs.groupBy(
-                F.col("ua").alias("user_a"), F.col("ub").alias("user_b")
-            )
-            .agg(F.count("*").cast("bigint").alias("n_overlaps"))
-            .orderBy("user_a", "user_b")
-        )
+        return _overlap_converged(spark, state)
 
 
 _register_stream_sessions_overlap()
+
+
+def _register_sessions_overlap_index_compact() -> None:
+    from ..plans.analytics import _SQL_OVERLAP_PAIRS
+
+    @register(
+        "q_sessions_overlap_index_compact",
+        _SQL_OVERLAP_PAIRS,
+        doc="atomic small-file compaction of the co-presence BIN INDEX "
+        "the streaming overlap twin grows forever: two user-slice folds "
+        "build the batch-keyed index, the held-out third slice's pair "
+        "detection is evaluated against the index BEFORE the compaction "
+        "(bounded snapshot), the bins root is rewritten into ONE "
+        "committed subdir keeping the max batch id (staged-rename swap, "
+        "the dedup-index pattern), and the query RAISES unless the same "
+        "probe is bit-identical against the compacted index and the "
+        "parquet file count shrank; the third slice then folds for real "
+        "and the converged per-user-pair counts equal the one-shot batch "
+        "overlap join (shared quadratic-spec oracle).",
+    )
+    def q_sessions_overlap_index_compact(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+
+        from ..plans.analytics import (
+            OVERLAP_BIN_S,
+            _interval_bins,
+            session_intervals,
+        )
+
+        state = work_dir("sessions_overlap_compact_state")
+        bins_root = _os.path.join(state, "bins")
+        inbox = _overlap_inbox(spark, sf_dir)
+        schema = "user_id long, ts timestamp, event_id long"
+
+        # grow the index with the first two user slices (batch-side —
+        # the fold's exact on-disk layout without the stream)
+        for i in range(OVERLAP_STREAM_SLICES - 1):
+            bdf = spark.read.schema(schema).parquet(
+                _os.path.join(inbox, f"{i:02d}.parquet")
+            )
+            _overlap_fold(spark, state, bdf, i)
+
+        # the held-out slice's pair detection is the PROBE the swap must
+        # not perturb — evaluate it before and after (bounded snapshot:
+        # this slice's true pair rows)
+        probe_id = OVERLAP_STREAM_SLICES - 1
+        probe_bdf = spark.read.schema(schema).parquet(
+            _os.path.join(inbox, f"{probe_id:02d}.parquet")
+        )
+        probe_binned = _interval_bins(
+            session_intervals(probe_bdf), OVERLAP_BIN_S
+        ).localCheckpoint(eager=True)  # two evaluations, one lineage
+
+        def probe() -> list:
+            return sorted(
+                map(
+                    tuple,
+                    _overlap_batch_pairs(
+                        spark, bins_root, probe_binned, probe_id
+                    ).collect(),
+                )
+            )
+
+        def nfiles() -> int:
+            return sum(
+                1
+                for root, _, files in _os.walk(bins_root)
+                for fn in files
+                if fn.endswith(".parquet")
+            )
+
+        pre = probe()
+        files_before = nfiles()
+
+        dirs = committed_batch_dirs(bins_root)
+        max_id = max(int(_os.path.basename(d)[1:]) for d in dirs)
+        new_root = bins_root + "_new"
+        _shutil.rmtree(new_root, ignore_errors=True)
+        (
+            spark.read.parquet(*dirs)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(new_root, f"b{max_id:05d}"))
+        )
+        retired = bins_root + "_retired"
+        _shutil.rmtree(retired, ignore_errors=True)
+        _os.replace(bins_root, retired)
+        _os.replace(new_root, bins_root)
+        _shutil.rmtree(retired, ignore_errors=True)
+
+        files_after = nfiles()
+        if files_after >= files_before:
+            raise AssertionError(
+                f"compaction did not shrink files: {files_before} -> {files_after}"
+            )
+        if probe() != pre:
+            raise AssertionError(
+                "probe changed across overlap bin-index compaction"
+            )
+
+        # the held-out slice folds for real against the compacted index;
+        # the converged read-out is the driver-checked oracle comparison
+        _overlap_fold(spark, state, probe_bdf, probe_id)
+        return _overlap_converged(spark, state)
+
+
+_register_sessions_overlap_index_compact()

@@ -4559,3 +4559,79 @@ class TestStreamSessionsOverlap:
         want = qs["q_sessions_overlap_pairs"](spark, sf_dir).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
         assert got  # non-degenerate at the fixture
+
+
+class TestSq8DeleteMor:
+    """Round-16: merge-on-read deletes + apply for the SQ8 index
+    (operators/similarity.py:q_ann_sq8_delete_mor,q_sq8_delete_compact)."""
+
+    def test_tombstoned_ids_never_served(self, spark, sf_dir):
+        """No served neighbor may carry the tombstone residue; the
+        internal probe==survivors-only-encode assertion (which RAISES on
+        violation) runs inside the same call."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        rows = get_queries()["q_ann_sq8_delete_mor"](spark, sf_dir).collect()
+        assert rows
+        assert all(r["neighbor_id"] % 7 != 3 for r in rows)
+
+    def test_apply_serves_identically_without_tombstones(self, spark, sf_dir):
+        """The delete APPLY pass (row delta == tombstone count, direct
+        serving == pre-apply MOR serving — both RAISE inside) must land
+        on the same final ranking as the merge-on-read twin."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        mor = sorted(map(tuple, qs["q_ann_sq8_delete_mor"](spark, sf_dir).collect()))
+        applied = sorted(
+            map(tuple, qs["q_sq8_delete_compact"](spark, sf_dir).collect())
+        )
+        assert mor == applied
+
+
+class TestOverlapIndexCompact:
+    """Round-16: co-presence bin-index compaction
+    (streaming/pipelines.py:q_sessions_overlap_index_compact)."""
+
+    def test_converges_to_batch_overlap_join(self, spark, sf_dir):
+        """Compaction mid-stream must not change the converged answer:
+        the batch-side folds + compacted-index fold equal the one-shot
+        batch overlap join (the bit-identical-probe proof RAISES inside
+        the same call)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        got = qs["q_sessions_overlap_index_compact"](spark, sf_dir).collect()
+        want = qs["q_sessions_overlap_pairs"](spark, sf_dir).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestSq8NprobeSweep:
+    """Round-16: IVF-SQ8 nprobe tuning sweep
+    (operators/similarity.py:q_ann_ivf_sq8_nprobe_sweep)."""
+
+    def test_sweep_monotone(self, spark, sf_dir):
+        """More probes admit strictly more candidates and never lose
+        recall (the candidate sets are nested), and every point's
+        bounds hold."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        rows = (
+            get_queries()["q_ann_ivf_sq8_nprobe_sweep"](spark, sf_dir)
+            .orderBy("nprobe")
+            .collect()
+        )
+        assert len(rows) >= 2
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["n_candidates"] > prev["n_candidates"]
+            assert cur["recall_hits"] >= prev["recall_hits"]
+        for r in rows:
+            assert 0 <= r["recall_hits"] <= r["recall_possible"]
