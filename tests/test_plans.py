@@ -957,3 +957,93 @@ class TestRound15Plans:
         assert "CartesianProduct" not in p
         pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
         assert len([f for f in pfs if "label" in f and " IN " in f]) == 4
+
+
+class TestRound16Plans:
+    """Round-16 plan pins."""
+
+    def test_sq8_mor_serving_prunes_and_equi_anti_joins(self, spark, sf_dir):
+        """The merge-on-read serving scan must keep BOTH storage
+        dividends: the probed labels as a PARTITION filter on the code
+        scan, and the tombstone anti-join as an EQUI join (hash/sort-
+        merge LeftAnti) — a nested-loop fallback would rescan the codes
+        per tombstone at scale."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            N_QUERIES,
+            TOPK,
+            _collect_query_eq,
+            _sq8_tombstones,
+            ivf_sq8_probes,
+            ivf_sq8_scan_topk,
+            sq8_index_path,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t, tp
+
+        grid_path, codes_path, cells_path = sq8_index_path(spark, sf_dir)
+        [grid] = spark.read.parquet(grid_path).collect()
+        mn, rng = list(grid["mn"]), list(grid["rng"])
+        cells = sorted(
+            (int(r["label"]), [int(v) for v in r["cq"]])
+            for r in spark.read.parquet(cells_path).collect()
+        )
+        emb = tp(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        queries = _collect_query_eq(
+            t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+        )
+        probed = ivf_sq8_probes(queries, cells)
+        all_probed = sorted({lb for labs in probed.values() for lb in labs})
+        pruned = (
+            spark.read.parquet(codes_path)
+            .where(F.col("label").isin(all_probed))
+            .join(_sq8_tombstones(emb), "vec_id", "left_anti")
+        )
+        probe = ivf_sq8_scan_topk(pruned, queries, probed, mn, rng, TOPK)
+        p = df_plan(spark, probe)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "LeftAnti" in p  # the tombstone join planned as equi anti
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+        assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
+
+    def test_overlap_fold_candidate_join_is_equi(self, spark, sf_dir):
+        """The co-presence fold's cross-batch probe must plan as a bin
+        EQUI-join against the persisted index — a nested-loop fallback
+        is the quadratic interval join the rewrite exists to avoid."""
+        import os
+
+        from spark_sql_custom_mq_datasource_spark.plans.analytics import (
+            OVERLAP_BIN_S,
+            _interval_bins,
+            session_intervals,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import work_dir
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            _overlap_batch_pairs,
+            _overlap_fold,
+            _overlap_inbox,
+        )
+
+        state = work_dir("overlap_plan_pin_state")
+        inbox = _overlap_inbox(spark, sf_dir)
+        schema = "user_id long, ts timestamp, event_id long"
+        for i in range(2):
+            bdf = spark.read.schema(schema).parquet(
+                os.path.join(inbox, f"{i:02d}.parquet")
+            )
+            _overlap_fold(spark, state, bdf, i)
+        probe_bdf = spark.read.schema(schema).parquet(
+            os.path.join(inbox, "02.parquet")
+        )
+        binned = _interval_bins(session_intervals(probe_bdf), OVERLAP_BIN_S)
+        pairs = _overlap_batch_pairs(
+            spark, os.path.join(state, "bins"), binned, 2
+        )
+        p = df_plan(spark, pairs)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
