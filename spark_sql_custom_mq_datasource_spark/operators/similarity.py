@@ -6426,3 +6426,231 @@ def q_ann_ivf_sq8_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nprobe bigint, n_candidates bigint, recall_hits bigint, "
         "recall_possible bigint",
     ).orderBy("nprobe")
+
+
+# --------------------------------------------------------------------------
+# Binary quantization (round 16, beyond the brief): the 32× end of the
+# compression ladder production vector stores ship below SQ8 (FAISS
+# IndexBinaryFlat / LSH sign codes, Qdrant/Weaviate/Milvus binary
+# quantization): one BIT per dimension (e > per-dim corpus threshold),
+# Hamming distance for the scan, exact re-rank for the podium. 64 dims
+# pack into TWO int64 halves (32 bits each — deliberately NOT one 64-bit
+# word, so the sign bit never participates and the packing is portable),
+# and the whole scan is JVM-side whole-stage codegen: XOR + bit_count +
+# window top-k — no Python worker, no Arrow hop, unlike the numpy ANN
+# scans. The oracle computes the same Hamming ranking per-dim (bit
+# packing is an execution detail, not semantics), so the full ranking is
+# value-checked; a property test pins packed == per-dim.
+#
+# Scale: the coded table is 16 bytes/vector (vs 256 float32) — at 100 TB
+# of embeddings the BQ sketch is ~6 TB and scans at memory-bandwidth
+# rates inside codegen; the exact re-rank touches only Q·R shortlisted
+# raw vectors (the q_ann_sq8_refine shape). Ties are dense in Hamming
+# space (0..64), so every ranking tie-breaks by vec_id in both engines.
+# --------------------------------------------------------------------------
+
+BQ_HALF = 32
+BQ_REFINE_R = 4 * TOPK  # Hamming shortlist handed to the exact re-rank
+
+
+def bq_thresholds(emb: DataFrame, dim: int = SQ8_DIM) -> list[int]:
+    """Per-dim corpus threshold on the Q20 grid: floor(mean + 0.5) —
+    one scan, dim partial-agg cells (the ivf_sq8_cells convention)."""
+    import math as _math
+
+    eqd = _eqd_cols(dim)
+    aggs = [F.sum(eqd[d]).alias(f"s{d}") for d in range(dim)] + [
+        F.count("*").alias("n")
+    ]
+    row = emb.agg(*aggs).collect()[0]
+    n = int(row["n"])
+    return [
+        int(_math.floor(float(row[f"s{d}"]) / n + 0.5)) for d in range(dim)
+    ]
+
+
+def bq_pack(emb: DataFrame, t: list[int], dim: int = SQ8_DIM) -> DataFrame:
+    """(vec_id, b0, b1): the sign bits packed into two 32-bit halves of
+    int64 columns — one JVM projection, thresholds inlined as literals."""
+    assert dim == 2 * BQ_HALF
+
+    def half(lo: int) -> str:
+        terms = [
+            f"(CASE WHEN floor(CAST(element_at(embedding, {d + 1}) AS DOUBLE)"
+            f" * {QUANT} + 0.5D) > {t[d]}L"
+            f" THEN {1 << (d - lo)}L ELSE 0L END)"
+            for d in range(lo, lo + BQ_HALF)
+        ]
+        return " + ".join(terms)
+
+    keep = [c for c in emb.columns if c != "embedding"]
+    return emb.select(
+        *keep,
+        F.expr(half(0)).alias("b0"),
+        F.expr(half(BQ_HALF)).alias("b1"),
+    )
+
+
+def bq_hamming_topk(
+    coded: DataFrame, qdf: DataFrame, k: int
+) -> DataFrame:
+    """(qid, neighbor_id, hamming, rk): XOR + bit_count + window top-k,
+    all inside whole-stage codegen. qdf: (qid, qb0, qb1) — Q rows,
+    broadcast."""
+    ham = (
+        F.bit_count(F.expr("b0 ^ qb0")) + F.bit_count(F.expr("b1 ^ qb1"))
+    ).alias("hamming")
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        coded.select(F.col("vec_id").alias("neighbor_id"), "b0", "b1")
+        .crossJoin(F.broadcast(qdf))  # Q-row broadcast: every (vector, query)
+        .where(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "neighbor_id", ham)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+_SQL_BQ_CTES = f"""
+    eq AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS eqv
+           FROM embeddings),
+    ev AS (SELECT vec_id, d, eqv[d] AS e
+           FROM eq, generate_series(1, {SQ8_DIM}) g(d)),
+    th AS (SELECT d, CAST(floor(CAST(SUM(e) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS t
+           FROM ev GROUP BY d),
+    bv AS (SELECT v.vec_id, v.d,
+                  CASE WHEN v.e > s.t THEN 1 ELSE 0 END AS b
+           FROM ev v JOIN th s ON v.d = s.d),
+    qb AS (SELECT vec_id AS qid, d, b FROM bv WHERE vec_id < {N_QUERIES}),
+    hd AS (SELECT q.qid, r.vec_id,
+                  CAST(SUM(CASE WHEN q.b <> r.b THEN 1 ELSE 0 END) AS BIGINT)
+                    AS hamming
+           FROM qb q JOIN bv r ON q.d = r.d AND r.vec_id <> q.qid
+           GROUP BY 1, 2)"""
+
+
+@register(
+    "q_ann_binary_quantized",
+    f"""
+    WITH {_SQL_BQ_CTES}
+    SELECT qid, vec_id AS neighbor_id, hamming, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY hamming ASC, vec_id) AS rk
+      FROM hd) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """,
+    doc="BINARY-QUANTIZED ANN (the 32× end of the compression ladder — "
+    "FAISS binary indexes, Qdrant/Weaviate/Milvus BQ): one sign bit per "
+    "dim against a per-dim corpus-mean threshold, packed into two 32-bit "
+    "halves of int64 columns; the scan is XOR + bit_count + window top-k "
+    "entirely inside whole-stage codegen (no Python worker, no Arrow hop "
+    "— unlike the numpy ANN scans); dense Hamming ties break by vec_id "
+    "in both engines; the oracle ranks the same bits per-dim, so the "
+    "full ranking is value-checked (packing pinned packed==per-dim "
+    "suite-side).",
+)
+def q_ann_binary_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    t_ = bq_thresholds(emb)
+    coded = bq_pack(emb, t_)
+    qdf = (
+        bq_pack(
+            t(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding"),
+            t_,
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("b0").alias("qb0"),
+            F.col("b1").alias("qb1"),
+        )
+    )
+    return (
+        bq_hamming_topk(coded, qdf, TOPK)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.col("hamming").cast("bigint").alias("hamming"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "q_ann_bq_refine",
+    f"""
+    WITH {_SQL_BQ_CTES},
+    shortl AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY hamming ASC, vec_id) AS rk
+      FROM hd) WHERE rk <= {BQ_REFINE_R}),
+    rexd AS (SELECT s.qid, s.vec_id,
+                    SUM((q.e - r.e) * (q.e - r.e)) AS dist
+             FROM shortl s
+             JOIN ev r ON r.vec_id = s.vec_id
+             JOIN ev q ON q.vec_id = s.qid AND q.d = r.d
+             GROUP BY 1, 2)
+    SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM rexd) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """,
+    doc=f"two-stage BINARY-QUANTIZED serving with exact re-rank (how BQ "
+    "is actually deployed — the bit scan is a shortlist generator, never "
+    f"the final ranking): Hamming top-{BQ_REFINE_R} inside codegen, then "
+    "exact integer-grid L2 over only the Q·R shortlisted pairs (the "
+    "broadcast semi-join of q_ann_sq8_refine); within-shortlist "
+    "exactness makes refine recall dominate the raw bit ranking; "
+    "all-integer, full value oracle.",
+)
+def q_ann_bq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    t_ = bq_thresholds(emb)
+    coded = bq_pack(emb, t_)
+    qraw = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+    )
+    qdf = bq_pack(qraw, t_).select(
+        F.col("vec_id").alias("qid"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    shortlist = bq_hamming_topk(coded, qdf, BQ_REFINE_R).select(
+        "qid", "neighbor_id"
+    )
+    # stage 2: exact integer L2 over ONLY the Q·R shortlisted pairs
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.expr(_SQL_EQV).alias("ne")
+    )
+    queries = _collect_query_eq(qraw)
+    qint = spark.createDataFrame(
+        [(qid, eq) for qid, eq in queries], "qid bigint, qe array<bigint>"
+    )
+    dist = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(shortlist)
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(qint), "qid")
+        .select("qid", "neighbor_id", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("qid", "neighbor_id", F.col("rk").cast("int").alias("rk"))
+        .orderBy("qid", "rk")
+    )

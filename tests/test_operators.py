@@ -4635,3 +4635,112 @@ class TestSq8NprobeSweep:
             assert cur["recall_hits"] >= prev["recall_hits"]
         for r in rows:
             assert 0 <= r["recall_hits"] <= r["recall_possible"]
+
+
+class TestBinaryQuantization:
+    """Round-16: binary-quantized ANN + exact re-rank
+    (operators/similarity.py:q_ann_binary_quantized,q_ann_bq_refine)."""
+
+    def test_packed_hamming_equals_per_dim(self, spark, sf_dir):
+        """The two-int64-halves packing is an execution detail: packed
+        XOR+bit_count Hamming must equal the per-dim bit comparison on
+        the same thresholds (the oracle's formulation)."""
+        from pyspark.sql import functions as F
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            QUANT,
+            SQ8_DIM,
+            bq_pack,
+            bq_thresholds,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        emb = (
+            t(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .limit(50)
+        )
+        t_ = bq_thresholds(emb)
+        coded = bq_pack(emb, t_).collect()
+        raw = {
+            int(r["vec_id"]): r["embedding"]
+            for r in emb.collect()
+        }
+        import math
+
+        for row in coded:
+            bits = [
+                1
+                if math.floor(float(raw[row["vec_id"]][d]) * QUANT + 0.5) > t_[d]
+                else 0
+                for d in range(SQ8_DIM)
+            ]
+            packed0 = sum(b << i for i, b in enumerate(bits[:32]))
+            packed1 = sum(b << i for i, b in enumerate(bits[32:]))
+            assert int(row["b0"]) == packed0 and int(row["b1"]) == packed1
+
+    def test_refine_recall_dominates_raw_bits(self, spark, sf_dir):
+        """Within-shortlist exactness: the refined top-k must overlap the
+        exact integer-grid top-k at least as much as the raw Hamming
+        top-k does."""
+        from pyspark.sql import functions as F
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            N_QUERIES,
+            TOPK,
+            _collect_query_eq,
+            sq8_encode,
+            sq8_stats,
+            sq8_topk,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        qs = get_queries()
+        raw = {
+            (r["qid"], r["neighbor_id"])
+            for r in qs["q_ann_binary_quantized"](spark, sf_dir).collect()
+        }
+        ref = {
+            (r["qid"], r["neighbor_id"])
+            for r in qs["q_ann_bq_refine"](spark, sf_dir).collect()
+        }
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        mn, _ = sq8_stats(emb)
+        ones = [1] * len(mn)
+        queries = _collect_query_eq(emb.where(F.col("vec_id") < N_QUERIES))
+        exact = {
+            (r["qid"], r["neighbor_id"])
+            for r in sq8_topk(
+                sq8_encode(emb, mn, ones, levels=1),
+                queries,
+                mn,
+                ones,
+                TOPK,
+                levels=1,
+            ).collect()
+        }
+        assert len(ref & exact) >= len(raw & exact)
+
+    def test_bq_scan_stays_in_codegen(self, spark, sf_dir):
+        """The bit scan must plan with NO Python evaluation (no Arrow
+        hop — the point of packing into int64 columns) and no cartesian
+        product; the only nested-loop join is the Q-row query-bits
+        broadcast."""
+        import re
+
+        from tests.test_plans import df_plan
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            get_queries,
+        )
+
+        get_queries()
+        df = QUERIES["q_ann_binary_quantized"].fn(spark, sf_dir)
+        p = df_plan(spark, df)
+        assert "EvalPython" not in p  # no BatchEvalPython / ArrowEvalPython
+        assert "mapInPandas" not in p.lower()
+        assert "CartesianProduct" not in p
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
