@@ -6654,3 +6654,68 @@ def q_ann_bq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "neighbor_id", F.col("rk").cast("int").alias("rk"))
         .orderBy("qid", "rk")
     )
+
+
+@register(
+    "q_ann_bq_recall",
+    f"""
+    WITH {_SQL_BQ_CTES},
+    bqt AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY hamming ASC, vec_id) AS rk
+      FROM hd) WHERE rk <= {TOPK}),
+    exd AS (SELECT q.qid, r.vec_id,
+                   SUM((q.e - r.e) * (q.e - r.e)) AS dist
+            FROM (SELECT vec_id AS qid, d, e FROM ev
+                  WHERE vec_id < {N_QUERIES}) q
+            JOIN ev r ON q.d = r.d AND r.vec_id <> q.qid
+            GROUP BY 1, 2),
+    ext AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM exd) WHERE rk <= {TOPK})
+    SELECT e.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS recall_hits,
+           CAST({TOPK} AS BIGINT) AS recall_possible
+    FROM ext e LEFT JOIN bqt a ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+    doc="binary-quantization loss read-out (the q_ann_sq8_recall shape "
+    "at the 32× rung): per-query overlap of the raw Hamming top-k with "
+    "the EXACT integer-grid top-k — the acceptance gate run before "
+    "trusting the bit sketch as a shortlist generator, and the number "
+    "that sizes q_ann_bq_refine's R; all-integer, full value oracle.",
+)
+def q_ann_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    t_ = bq_thresholds(emb)
+    coded = bq_pack(emb, t_)
+    qraw = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+    )
+    qdf = bq_pack(qraw, t_).select(
+        F.col("vec_id").alias("qid"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    bqt = bq_hamming_topk(coded, qdf, TOPK).select("qid", "neighbor_id")
+
+    # exact leg on the shared integer grid (identity-grid trick)
+    mn, _ = sq8_stats(emb)
+    ones = [1] * len(mn)
+    queries = _collect_query_eq(qraw)
+    ext = sq8_topk(
+        sq8_encode(emb, mn, ones, levels=1), queries, mn, ones, TOPK, levels=1
+    ).select("qid", "neighbor_id")
+    return (
+        ext.join(bqt.withColumn("hit", F.lit(1)), ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("bigint").alias("recall_hits"),
+            F.lit(TOPK).cast("bigint").alias("recall_possible"),
+        )
+        .orderBy("qid")
+    )
