@@ -6544,6 +6544,9 @@ _SQL_BQ_CTES = f"""
       FROM hd) WHERE rk <= {TOPK}
     ORDER BY qid, rk
     """,
+    # bench extended set (round 16): every ANN serving family now has a
+    # per-round trend line (brute/LSH/PQ/SQ8/residuals/BQ); NOT legacy-14.
+    headline=True,
     doc="BINARY-QUANTIZED ANN (the 32× end of the compression ladder — "
     "FAISS binary indexes, Qdrant/Weaviate/Milvus BQ): one sign bit per "
     "dim against a per-dim corpus-mean threshold, packed into two 32-bit "
