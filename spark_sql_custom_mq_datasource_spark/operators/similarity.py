@@ -6014,14 +6014,22 @@ def sq8_dim_columnar_refresh_readout(
 _SQ8_DELETE_MOD = 7
 _SQ8_DELETE_RESIDUE = 3
 
-_old_cand = "WHERE r.vec_id <> p.qid"
-assert _SQL_IVF_SQ8.count(_old_cand) == 1
-_SQL_SQ8_DELETE = _SQL_IVF_SQ8.replace(
-    _old_cand,
-    f"WHERE r.vec_id <> p.qid"
-    f" AND r.vec_id % {_SQ8_DELETE_MOD} <> {_SQ8_DELETE_RESIDUE}",
-)
-del _old_cand
+
+def _sq8_delete_oracle(base_sql: str) -> str:
+    """The family oracle minus tombstoned candidates: the delete filter
+    lands ONLY in the candidate clause — artifacts (grid, cells) stay
+    trained on the full corpus, exactly like the implementation."""
+    old = "WHERE r.vec_id <> p.qid"
+    assert base_sql.count(old) == 1
+    return base_sql.replace(
+        old,
+        f"WHERE r.vec_id <> p.qid"
+        f" AND r.vec_id % {_SQ8_DELETE_MOD} <> {_SQ8_DELETE_RESIDUE}",
+    )
+
+
+_SQL_SQ8_DELETE = _sq8_delete_oracle(_SQL_IVF_SQ8)
+_SQL_SQ8_RES_DELETE = _sq8_delete_oracle(_SQL_IVF_SQ8_RESIDUAL)
 
 
 def _sq8_tombstones(emb: DataFrame) -> DataFrame:
@@ -6031,55 +6039,75 @@ def _sq8_tombstones(emb: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_ann_sq8_delete_mor",
-    _SQL_SQ8_DELETE,
-    doc="MERGE-ON-READ deletes for the persisted SQ8 index: serving "
-    "anti-joins a tombstone list (deterministic vec_id % "
-    f"{_SQ8_DELETE_MOD} == {_SQ8_DELETE_RESIDUE}) against the "
-    "label-partitioned code scan — an unhinted vec_id equi-join "
-    "(broadcast while the list fits) — with grid and cells untouched "
-    "(deletes remove candidates; retraining is the drift monitors' "
-    "job); RAISES unless the probe is bit-identical to serving over an "
-    "index encoded from only the survivors; full value oracle "
-    "(the shared IVF-SQ8 ranking minus tombstoned candidates).",
-)
-def q_ann_sq8_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid_path, codes_path, cells_path = sq8_index_path(spark, sf_dir)
+def _sq8_delete_family(spark: SparkSession, sf_dir: str, residual: bool):
+    """Closures for the delete pair over ONE persisted layout (raw or
+    residual — the _sq8_family pattern, so the MOR and APPLY bodies are
+    written once): (codes_path, encode survivors fn, serving-scan fn,
+    probed labels, queries)."""
+    from types import SimpleNamespace
+
+    if residual:
+        grid_path, codes_path, cells_path = sq8_residual_index_path(
+            spark, sf_dir
+        )
+    else:
+        grid_path, codes_path, cells_path = sq8_index_path(spark, sf_dir)
     [grid] = spark.read.parquet(grid_path).collect()  # bounded: 1 row
     mn, rng = list(grid["mn"]), list(grid["rng"])
+    cells_df = spark.read.parquet(cells_path)
     cells = sorted(
         (int(r["label"]), [int(v) for v in r["cq"]])
-        for r in spark.read.parquet(cells_path).collect()  # bounded: |cells|
+        for r in cells_df.collect()  # bounded: |cells|
     )
-    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     queries = _collect_query_eq(
         t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
     )
     probed = ivf_sq8_probes(queries, cells)
     all_probed = sorted({lb for labs in probed.values() for lb in labs})
 
-    # merge-on-read: partition-pruned code scan MINUS the tombstones
+    if residual:
+
+        def encode(df: DataFrame) -> DataFrame:
+            return sq8_encode_ints(_sq8_residuals(df, cells_df), "rv", mn, rng)
+
+        def scan(pruned: DataFrame) -> DataFrame:
+            return ivf_sq8_residual_scan_topk(
+                pruned, queries, probed, mn, rng, cells, TOPK
+            )
+
+    else:
+
+        def encode(df: DataFrame) -> DataFrame:
+            return sq8_encode(df, mn, rng)
+
+        def scan(pruned: DataFrame) -> DataFrame:
+            return ivf_sq8_scan_topk(pruned, queries, probed, mn, rng, TOPK)
+
+    return SimpleNamespace(
+        codes_path=codes_path, encode=encode, scan=scan, all_probed=all_probed
+    )
+
+
+def _sq8_delete_mor_body(
+    spark: SparkSession, sf_dir: str, residual: bool
+) -> DataFrame:
+    """Merge-on-read serving: partition-pruned code scan MINUS the
+    tombstones; RAISES unless bit-identical to serving over a
+    survivors-only encode against the same frozen artifacts."""
+    fam = _sq8_delete_family(spark, sf_dir, residual)
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     dels = _sq8_tombstones(emb)
     pruned = (
-        spark.read.parquet(codes_path)
-        .where(F.col("label").isin(all_probed))
+        spark.read.parquet(fam.codes_path)
+        .where(F.col("label").isin(fam.all_probed))
         .join(dels, "vec_id", "left_anti")
     )
-    probe = ivf_sq8_scan_topk(pruned, queries, probed, mn, rng, TOPK)
+    probe = fam.scan(pruned)
     probe_rows = probe.collect()
 
-    # RAISE unless identical to serving over a survivors-only encode
-    # (same frozen artifacts) — proves the anti-join drops exactly the
-    # tombstoned rows through the persisted layout
     survivors = emb.join(dels, "vec_id", "left_anti")
-    full = ivf_sq8_scan_topk(
-        sq8_encode(survivors, mn, rng).where(F.col("label").isin(all_probed)),
-        queries,
-        probed,
-        mn,
-        rng,
-        TOPK,
+    full = fam.scan(
+        fam.encode(survivors).where(F.col("label").isin(fam.all_probed))
     )
     if sorted(map(tuple, probe_rows)) != sorted(map(tuple, full.collect())):
         raise AssertionError(
@@ -6089,69 +6117,42 @@ def q_ann_sq8_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("qid", "rk")
 
 
-@register(
-    "q_sq8_delete_compact",
-    _SQL_SQ8_DELETE,
-    doc="delete APPLICATION for the SQ8 index (the maintenance pass that "
-    "turns merge-on-read tombstones into physically-compacted files): "
-    "the code table is rewritten without the tombstoned rows — per-label "
-    "partitioned rewrite, staged-rename swap, live files stat-pinned "
-    "until the swap — after which serving reads the compacted index "
-    "DIRECTLY (no anti-join) and must be bit-identical to the "
-    "merge-on-read probe before the apply (RAISES otherwise); row count "
-    "must shrink by exactly the tombstone count; shared oracle with "
-    "q_ann_sq8_delete_mor.",
-)
-def q_sq8_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sq8_delete_apply_body(
+    spark: SparkSession, sf_dir: str, residual: bool, state_name: str
+) -> DataFrame:
+    """The APPLY pass: rewrite the code table without the tombstoned
+    rows (own copy — the session-cached index stays live), staged-rename
+    swap, row delta must equal the tombstone count, and serving the
+    compacted index DIRECTLY must equal the pre-apply MOR probe."""
     import os as _os
     import shutil as _shutil
 
-    grid_path, _, cells_path = sq8_index_path(spark, sf_dir)
-    [grid] = spark.read.parquet(grid_path).collect()  # bounded: 1 row
-    mn, rng = list(grid["mn"]), list(grid["rng"])
-    cells = sorted(
-        (int(r["label"]), [int(v) for v in r["cq"]])
-        for r in spark.read.parquet(cells_path).collect()  # bounded: |cells|
-    )
+    fam = _sq8_delete_family(spark, sf_dir, residual)
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-
-    # own copy of the code table (the session-cached index stays live)
-    state = work_dir("sq8_delete_compact_index")
-    current = _os.path.join(state, "codes")
-    sq8_encode(emb, mn, rng).write.mode("overwrite").partitionBy(
-        "label"
-    ).parquet(current)
-
-    queries = _collect_query_eq(
-        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
-    )
-    probed = ivf_sq8_probes(queries, cells)
-    all_probed = sorted({lb for labs in probed.values() for lb in labs})
     dels = _sq8_tombstones(emb)
 
-    # merge-on-read probe BEFORE the apply (bounded Q·topk snapshot)
-    pre_df = ivf_sq8_scan_topk(
+    state = work_dir(state_name)
+    current = _os.path.join(state, "codes")
+    fam.encode(emb).write.mode("overwrite").partitionBy("label").parquet(
+        current
+    )
+
+    pre_df = fam.scan(
         spark.read.parquet(current)
-        .where(F.col("label").isin(all_probed))
-        .join(dels, "vec_id", "left_anti"),
-        queries,
-        probed,
-        mn,
-        rng,
-        TOPK,
+        .where(F.col("label").isin(fam.all_probed))
+        .join(dels, "vec_id", "left_anti")
     )
     pre = sorted(map(tuple, pre_df.collect()))
     rows_before = spark.read.parquet(current).count()
     n_tombstones = dels.count()
 
-    # apply: rewrite without the tombstoned rows, staged-rename swap
     def stat_map(root: str) -> dict[str, tuple[int, int]]:
         out = {}
         for r, _, files in _os.walk(root):
             for fn in files:
-                p = _os.path.join(r, fn)
-                st = _os.stat(p)
-                out[p] = (st.st_size, st.st_mtime_ns)
+                pth = _os.path.join(r, fn)
+                st = _os.stat(pth)
+                out[pth] = (st.st_size, st.st_mtime_ns)
         return out
 
     pre_stats = stat_map(current)
@@ -6179,21 +6180,85 @@ def q_sq8_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected {n_tombstones}"
         )
 
-    # serving now reads the compacted index DIRECTLY — no anti-join —
-    # and must equal the merge-on-read probe
-    post_df = ivf_sq8_scan_topk(
-        spark.read.parquet(current).where(F.col("label").isin(all_probed)),
-        queries,
-        probed,
-        mn,
-        rng,
-        TOPK,
+    post_df = fam.scan(
+        spark.read.parquet(current).where(F.col("label").isin(fam.all_probed))
     )
     post_rows = post_df.collect()
     if sorted(map(tuple, post_rows)) != pre:
         raise AssertionError("probe changed across the delete apply")
     out = spark.createDataFrame(post_rows, post_df.schema)
     return out.orderBy("qid", "rk")
+
+
+@register(
+    "q_ann_sq8_delete_mor",
+    _SQL_SQ8_DELETE,
+    doc="MERGE-ON-READ deletes for the persisted SQ8 index: serving "
+    "anti-joins a tombstone list (deterministic vec_id % "
+    f"{_SQ8_DELETE_MOD} == {_SQ8_DELETE_RESIDUE}) against the "
+    "label-partitioned code scan — an unhinted vec_id equi-join "
+    "(broadcast while the list fits) — with grid and cells untouched "
+    "(deletes remove candidates; retraining is the drift monitors' "
+    "job); RAISES unless the probe is bit-identical to serving over an "
+    "index encoded from only the survivors; full value oracle "
+    "(the shared IVF-SQ8 ranking minus tombstoned candidates).",
+)
+def q_ann_sq8_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sq8_delete_mor_body(spark, sf_dir, residual=False)
+
+
+@register(
+    "q_sq8_delete_compact",
+    _SQL_SQ8_DELETE,
+    doc="delete APPLICATION for the SQ8 index (the maintenance pass that "
+    "turns merge-on-read tombstones into physically-compacted files): "
+    "the code table is rewritten without the tombstoned rows — per-label "
+    "partitioned rewrite, staged-rename swap, live files stat-pinned "
+    "until the swap — after which serving reads the compacted index "
+    "DIRECTLY (no anti-join) and must be bit-identical to the "
+    "merge-on-read probe before the apply (RAISES otherwise); row count "
+    "must shrink by exactly the tombstone count; shared oracle with "
+    "q_ann_sq8_delete_mor.",
+)
+def q_sq8_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sq8_delete_apply_body(
+        spark, sf_dir, residual=False, state_name="sq8_delete_compact_index"
+    )
+
+
+@register(
+    "q_ann_sq8_residual_delete_mor",
+    _SQL_SQ8_RES_DELETE,
+    doc="MERGE-ON-READ deletes for the persisted RESIDUAL SQ8 index — "
+    "the layout an SQ8 store actually ships (by_residual default) gets "
+    "the same tombstone verb as the raw twin, through the SAME "
+    "parameterized body: anti-join on the partition-pruned residual "
+    "code scan, artifacts untouched, RAISES unless bit-identical to a "
+    "survivors-only residual encode; full value oracle (the residual "
+    "ranking minus tombstoned candidates).",
+)
+def q_ann_sq8_residual_delete_mor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _sq8_delete_mor_body(spark, sf_dir, residual=True)
+
+
+@register(
+    "q_sq8_residual_delete_compact",
+    _SQL_SQ8_RES_DELETE,
+    doc="delete APPLICATION for the RESIDUAL SQ8 index: the raw twin's "
+    "apply pass through the same parameterized body — partitioned "
+    "rewrite without tombstoned rows, staged-rename swap, row delta == "
+    "tombstone count, post-apply direct serving == pre-apply MOR probe "
+    "(RAISES otherwise); shared oracle with "
+    "q_ann_sq8_residual_delete_mor.",
+)
+def q_sq8_residual_delete_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _sq8_delete_apply_body(
+        spark, sf_dir, residual=True, state_name="sq8_res_delete_compact_index"
+    )
 
 
 # --------------------------------------------------------------------------

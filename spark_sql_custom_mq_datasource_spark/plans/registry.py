@@ -210,6 +210,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_binary_quantized",
     "q_ann_bq_refine",
     "q_ann_bq_recall",
+    "q_ann_sq8_residual_delete_mor",
+    "q_sq8_residual_delete_compact",
     # -- code or oracle changed this round, so driver-RE-check even
     #    though r15/r14 green: the SQ8 + residual-SQ8 lifecycle trios
     #    moved onto ONE parameterized implementation with regenerated
@@ -257,9 +259,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_static_join",
     "q_stream_rate_source",
     "q_manifest_snapshot_diff",
-    "q_cdf_incremental_consumer",
-    "q_funnel_stages",
-    # (the 23 remaining r10-stale records — q_gapfill_user_daily,
+    # (the 25 remaining r10-stale records — q_cdf_incremental_consumer,
+    #  q_funnel_stages, q_gapfill_user_daily,
     #  q_gapfill_locf, q_conversion_within_window, q_daily_trend_by_type,
     #  q_ab_cuped, q_events_cusum, q_decile_lift (the last three
     #  independently re-checked green by the r15 judge session),
@@ -271,7 +272,7 @@ _PRIORITY: tuple[str, ...] = (
     #  q_stream_heavy_hitters, q_stream_table_fingerprint,
     #  q_partition_pruned_day, q_compaction_plan, q_table_fingerprint —
     #  lead the round-17 plan; every one is r10-green and re-verified by
-    #  this round's local full batteries; 26 of the 49 rotate this round)
+    #  this round's local full batteries; 24 of the 49 rotate this round)
 )
 # The ROUND-15 prefix this replaces (all 50 green in CORRECTNESS_r15.json):
 # the 13 round-15 additions (SQ8 + residual-SQ8 lifecycles, SQ8 grid
@@ -386,25 +387,26 @@ _PRIORITY: tuple[str, ...] = (
 # older than r10, and all 49 r10 records remain (the late additions
 # consumed the filler slots).
 #
-# ROUND-16 ROTATION PLAN (EXECUTED by the prefix above): (1) the 11
-# round-16 additions (12 with bq_recall: sq8_coarse_refresh, sq8_residual_grid_drift,
+# ROUND-16 ROTATION PLAN (EXECUTED by the prefix above): (1) the 14
+# round-16 additions (sq8_coarse_refresh, sq8_residual_grid_drift,
 # sq8_residual_grid_refresh, sq8_dim_columnar_refresh,
 # stream_sessions_overlap, sessions_overlap_index_compact,
 # ann_sq8_delete_mor, sq8_delete_compact, ann_ivf_sq8_nprobe_sweep,
-# ann_binary_quantized, ann_bq_refine, ann_bq_recall — never
+# ann_binary_quantized, ann_bq_refine, ann_bq_recall,
+# ann_sq8_residual_delete_mor, sq8_residual_delete_compact — never
 # driver-checked), (2) the
 # 12 queries
 # whose code or oracle changed this round (the parameterized SQ8
 # lifecycle trios with regenerated health oracles, the four grow queries
 # on the hoisted inbox builder, the PQ health monitors on the shared
 # grown-codes reader, the bin sweep's cleaned oracle, the persisted
-# residual-SQ8 serving's bench flag), then (3) 26 of the 49 r10-stale
+# residual-SQ8 serving's bench flag), then (3) 24 of the 49 r10-stale
 # records oldest-first, led by the seven twice-displaced fillers. After
-# the r16 driver run: 23 r10 records remain (enumerated at the prefix
+# the r16 driver run: 25 r10 records remain (enumerated at the prefix
 # tail), clearing fully in round 17.
 #
 # ROUND-17 ROTATION PLAN: (1) anything round 17 adds or edits, then
-# (2) the 23 remaining r10-stale records (the exact list at the prefix
+# (2) the 25 remaining r10-stale records (the exact list at the prefix
 # tail above — tools/rotation_plan.py regenerates the order from
 # CORRECTNESS_r01..r16), then (3) r11-stale oldest-first to fill 50
 # (the r11 block is 46 records: heavy-hitters/simhash/bm25/tfidf/dsir/
