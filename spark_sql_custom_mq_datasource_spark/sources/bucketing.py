@@ -33,7 +33,27 @@ from ..plans.util import REVENUE_SQL, revenue, session_key, t
 # Bucketed copies live inside the repo (external-table paths), keyed by
 # (sf_dir, table) so scale factors never collide; the session catalog entry
 # is recreated idempotently per session.
-_WAREHOUSE = os.path.join(os.path.dirname(__file__), "..", "..", ".bucketed")
+def _process_warehouse() -> str:
+    """Per-PROCESS warehouse for catalog-registered layouts (the
+    bucketed tables). The old in-repo `.bucketed` dir was SHARED across
+    processes while every session rewrote it in overwrite mode — two
+    concurrent drivers on one machine (pytest alongside a verify
+    battery, the exact scenario ADVICE r08 item 5 fixed for work_dir)
+    clobbered each other's live files mid-read (observed: a
+    FILE_NOT_EXIST on a bucketed part file during a concurrent run,
+    round 16). Bucketed data must be registered through saveAsTable (the
+    bucket spec lives in the catalog), so the atomic-rename fixture
+    cache does not apply; process-private paths remove the race instead,
+    at the cost of one cheap per-process projection rebuild. The root
+    lives under the pid-discriminated work tree, so dead processes'
+    copies are garbage-collected on the next work_dir() use."""
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_work_{os.getpid()}", "bucketed"
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 def write_bucketed(
@@ -46,7 +66,7 @@ def write_bucketed(
     """Persist df as a bucketed+sorted external parquet table."""
     (
         df.write.mode("overwrite")
-        .option("path", path or os.path.join(_WAREHOUSE, table))
+        .option("path", path or os.path.join(_process_warehouse(), table))
         .bucketBy(num_buckets, key)
         .sortBy(key)
         .format("parquet")
@@ -60,7 +80,8 @@ _prepared: set[tuple[int, str]] = set()
 def bucketed_pair(
     spark: SparkSession, sf_dir: str, num_buckets: int = 8
 ) -> tuple[DataFrame, DataFrame]:
-    """lineitem + orders bucketed by orderkey (written once per sf_dir).
+    """lineitem + orders bucketed by orderkey (written once per
+    session+sf_dir, into the process-private warehouse).
 
     Only the join-relevant columns are written — at 100 TB the bucketed
     copy is a projection of the fact table, not a second full copy."""
@@ -68,6 +89,7 @@ def bucketed_pair(
     li_name, o_name = f"lineitem_b_{tag}", f"orders_b_{tag}"
     key = (session_key(spark), sf_dir)
     if key not in _prepared:
+        wh = _process_warehouse()
         write_bucketed(
             t(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_extendedprice", "l_discount"
@@ -75,7 +97,7 @@ def bucketed_pair(
             li_name,
             "l_orderkey",
             num_buckets,
-            path=os.path.join(_WAREHOUSE, tag, "lineitem"),
+            path=os.path.join(wh, tag, "lineitem"),
         )
         write_bucketed(
             t(spark, sf_dir, "orders").select(
@@ -84,7 +106,7 @@ def bucketed_pair(
             o_name,
             "o_orderkey",
             num_buckets,
-            path=os.path.join(_WAREHOUSE, tag, "orders"),
+            path=os.path.join(wh, tag, "orders"),
         )
         _prepared.add(key)
     return spark.table(li_name), spark.table(o_name)
@@ -147,17 +169,25 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     FIXTURES.md — gets a fresh layout instead of the _SUCCESS marker
     silently serving stale data against a fresh oracle."""
     if sf_dir not in _partitioned_paths:
+        from ..plans.util import cached_fixture_dir
         from ..plans.util import t as load
 
         src = os.path.join(sf_dir, "events.parquet")
         st = os.stat(src)
         fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
-        tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-        path = os.path.join(_WAREHOUSE, f"events_by_day_{tag}_{fp}")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+        def build(path: str) -> None:
             ev = load(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
             ev.write.mode("overwrite").partitionBy("dt").parquet(path)
-        _partitioned_paths[sf_dir] = path
+
+        # the flock-guarded atomic-rename cache (plans/util): two
+        # concurrent drivers can no longer race the first build or
+        # overwrite a committed layout mid-read (round-16 hygiene — the
+        # bucketed warehouse's race, closed here by the cache instead of
+        # process-private copies since this layout needs no catalog)
+        _partitioned_paths[sf_dir] = cached_fixture_dir(
+            "events_by_day", sf_dir, f"events-by-day-v1 src={fp}", build
+        )
     return _partitioned_paths[sf_dir]
 
 
