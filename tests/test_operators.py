@@ -4744,3 +4744,144 @@ class TestBinaryQuantization:
         assert "mapInPandas" not in p.lower()
         assert "CartesianProduct" not in p
         assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+
+
+class TestPqDeleteFamily:
+    """Round-17: merge-on-read deletes + apply for BOTH persisted PQ
+    layouts through the parameterized delete bodies
+    (operators/similarity.py:q_ann_pq_delete_mor,q_pq_delete_compact,
+    q_ann_pq_residual_delete_mor,q_pq_residual_delete_compact)."""
+
+    def test_tombstoned_ids_never_served(self, spark, sf_dir):
+        """No served neighbor may carry the tombstone residue, on either
+        layout; the internal probe==survivors-only-encode assertion
+        (which RAISES on violation) runs inside the same calls."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        for name in ("q_ann_pq_delete_mor", "q_ann_pq_residual_delete_mor"):
+            rows = qs[name](spark, sf_dir).collect()
+            assert rows, name
+            assert all(r["neighbor_id"] % 7 != 3 for r in rows), name
+
+    def test_apply_serves_identically_without_tombstones(self, spark, sf_dir):
+        """The delete APPLY pass (row delta == tombstoned ROW count —
+        M rows per key on PQ — and direct serving == pre-apply MOR
+        serving, both RAISE inside) must land on the same final ranking
+        as the merge-on-read twin, on either layout."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        for mor_q, apply_q in (
+            ("q_ann_pq_delete_mor", "q_pq_delete_compact"),
+            ("q_ann_pq_residual_delete_mor", "q_pq_residual_delete_compact"),
+        ):
+            mor = sorted(map(tuple, qs[mor_q](spark, sf_dir).collect()))
+            applied = sorted(map(tuple, qs[apply_q](spark, sf_dir).collect()))
+            assert mor == applied, (mor_q, apply_q)
+
+    def test_delete_keys_arrive_as_a_table(self, spark, sf_dir):
+        """The bodies take deletes as a KEYS TABLE, not a predicate: an
+        arbitrary ad-hoc key list (not the fixture residue) must drop
+        exactly those neighbors from serving."""
+        from pyspark.sql import functions as F
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            _ann_delete_mor_body,
+            _pq_delete_family,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import tp
+
+        fam = _pq_delete_family(spark, sf_dir, residual=False)
+        emb = tp(spark, sf_dir, "embeddings")
+        # baseline serving (empty keys table) to pick victims from
+        none = emb.select("vec_id").where(F.lit(False))
+        base = _ann_delete_mor_body(spark, sf_dir, fam, none).collect()
+        victims = sorted({r["neighbor_id"] for r in base})[:2]
+        keys = spark.createDataFrame(
+            [(int(v),) for v in victims], "vec_id long"
+        )
+        got = _ann_delete_mor_body(spark, sf_dir, fam, keys).collect()
+        assert got
+        assert not {r["neighbor_id"] for r in got} & set(victims)
+
+
+class TestBqPersistedIndex:
+    """Round-17: persisted BQ index + lifecycle
+    (operators/similarity.py:q_ann_bq_persisted,
+    streaming/pipelines.py:q_stream_bq_index_grow,q_bq_index_compact,
+    q_bq_index_health)."""
+
+    def test_persisted_serving_bit_identical_to_inline(self, spark, sf_dir):
+        """Serving off the durable artifacts (1-row thresholds + packed
+        codes) must reproduce the inline twin's full Hamming ranking
+        bit-for-bit."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        inline = sorted(
+            map(tuple, qs["q_ann_binary_quantized"](spark, sf_dir).collect())
+        )
+        persisted = sorted(
+            map(tuple, qs["q_ann_bq_persisted"](spark, sf_dir).collect())
+        )
+        assert inline == persisted
+        assert inline
+
+    def test_persisted_scan_stays_in_codegen(self, spark, sf_dir):
+        """The persisted serving scan must keep the inline twin's plan
+        discipline: no Python evaluation, no cartesian product; the only
+        nested-loop join is the Q-row query-bits broadcast."""
+        import re
+
+        from tests.test_plans import df_plan
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            get_queries,
+        )
+
+        get_queries()
+        df = QUERIES["q_ann_bq_persisted"].fn(spark, sf_dir)
+        p = df_plan(spark, df)
+        assert "EvalPython" not in p
+        assert "mapInPandas" not in p.lower()
+        assert "CartesianProduct" not in p
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+
+    def test_grow_equals_persisted_serving(self, spark, sf_dir):
+        """The streamed base ∪ deltas probe must equal the one-shot
+        persisted serving (frozen thresholds make the fold stateless)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        grown = sorted(
+            map(tuple, qs["q_stream_bq_index_grow"](spark, sf_dir).collect())
+        )
+        persisted = sorted(
+            map(tuple, qs["q_ann_bq_persisted"](spark, sf_dir).collect())
+        )
+        assert grown == persisted
+
+    def test_health_popcount_balanced_at_fixture(self, spark, sf_dir):
+        """Fresh thresholds on the training corpus keep mean popcount
+        near dim/2 (the monitor's green zone) and recall within
+        bounds."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            SQ8_DIM,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        [r] = get_queries()["q_bq_index_health"](spark, sf_dir).collect()
+        assert 0 <= r["recall_hits"] <= r["recall_possible"]
+        mean_pop = r["mean_popcount_q20"] / 1048576.0
+        assert SQ8_DIM * 0.25 < mean_pop < SQ8_DIM * 0.75

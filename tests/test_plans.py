@@ -1047,3 +1047,41 @@ class TestRound16Plans:
         p = df_plan(spark, pairs)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestRound17Plans:
+    """Round-17 plan pins."""
+
+    def test_pq_mor_serving_prunes_and_equi_anti_joins(self, spark, sf_dir):
+        """The PQ merge-on-read serving scan must keep BOTH storage
+        dividends (the tests/test_plans.py:966 shape on the PQ layout):
+        the probed labels as a PARTITION filter on the cell-partitioned
+        code scan, and the tombstone anti-join as an EQUI join — a
+        nested-loop fallback would rescan the codes per tombstone at
+        scale."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            _pq_delete_family,
+            _sq8_tombstones,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import tp
+
+        fam = _pq_delete_family(spark, sf_dir, residual=False)
+        emb = tp(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        pruned = (
+            spark.read.parquet(fam.codes_path)
+            .where(F.col("label").isin(fam.all_probed))
+            .join(_sq8_tombstones(emb), "vec_id", "left_anti")
+        )
+        probe = fam.scan(pruned)
+        p = df_plan(spark, probe)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "LeftAnti" in p  # the tombstone join planned as equi anti
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+        assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
