@@ -4885,3 +4885,107 @@ class TestBqPersistedIndex:
         assert 0 <= r["recall_hits"] <= r["recall_possible"]
         mean_pop = r["mean_popcount_q20"] / 1048576.0
         assert SQ8_DIM * 0.25 < mean_pop < SQ8_DIM * 0.75
+
+
+class TestTimeslicedOverlap:
+    """Round-17: time-sliced co-presence with stateful session
+    stitching (streaming/pipelines.py:q_stream_sessions_overlap_timesliced)."""
+
+    @staticmethod
+    def _ship_inbox(spark, inbox, slices):
+        """Write each slice as one parquet file with ascending mtimes."""
+        import os
+        import shutil
+
+        os.makedirs(inbox, exist_ok=True)
+        base_mtime = 1_600_000_000
+        for i, rows in enumerate(slices):
+            df = spark.createDataFrame(
+                rows, "user_id long, tsu long, event_id long"
+            )
+            part = os.path.join(inbox, f"_scratch{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            dst = os.path.join(inbox, f"{i:02d}.parquet")
+            shutil.copyfile(os.path.join(part, src), dst)
+            os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+            shutil.rmtree(part, ignore_errors=True)
+
+    def test_converges_to_batch_overlap_join(self, spark, sf_dir):
+        """On the real fixture the stitched stream must equal the
+        one-shot batch overlap join."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        got = qs["q_stream_sessions_overlap_timesliced"](spark, sf_dir).collect()
+        want = qs["q_sessions_overlap_pairs"](spark, sf_dir).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert got
+
+    def test_straddling_session_stitched_where_naive_splits(
+        self, spark, tmp_path
+    ):
+        """The pin that justifies the stateful stage: a session whose
+        events straddle the trigger boundary (23:50 → 00:10, gap 20 min)
+        must be ONE interval. The stitcher finds both overlap pairs the
+        full interval spans; naive per-batch sessionization over the
+        same time slices splits the session into two point fragments and
+        finds NEITHER."""
+        import os
+        import uuid
+
+        from spark_sql_custom_mq_datasource_spark.plans.util import work_dir
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            _overlap_converged,
+            _overlap_fold,
+            _overlap_timesliced_run,
+        )
+
+        day1_2350 = 1_705_358_000_000_000  # fixed epoch-us anchors,
+        day2_0005 = day1_2350 + 15 * 60 * 1_000_000  # +15 min
+        day1_2355 = day1_2350 + 5 * 60 * 1_000_000  # +5 min
+        day2_0010 = day1_2350 + 20 * 60 * 1_000_000  # +20 min
+        flush = day2_0010 + 7200 * 1_000_000
+        slices = [
+            [(1, day1_2350, 10), (3, day1_2355, 11)],  # before the cut
+            [(2, day2_0005, 12), (1, day2_0010, 13)],  # after the cut
+            [(1, flush, -1), (2, flush, -1), (3, flush, -1)],  # sentinel
+        ]
+        tag = uuid.uuid4().hex[:8]
+        inbox = str(tmp_path / "inbox")
+        self._ship_inbox(spark, inbox, slices)
+
+        got = sorted(
+            map(
+                tuple,
+                _overlap_timesliced_run(
+                    spark,
+                    inbox,
+                    f"ts_overlap_pin_state_{tag}",
+                    f"ts_overlap_pin_{tag}",
+                ).collect(),
+            )
+        )
+        # user 1's stitched [23:50, 00:10] overlaps 3's 23:55 AND 2's 00:05
+        assert got == [(1, 2, 1), (1, 3, 1)]
+
+        # the naive variant: per-batch sessionization over the SAME time
+        # slices (the user-sliced fold's assumption violated) — user 1
+        # splits into two point fragments, both pairs are LOST
+        naive_state = work_dir(f"ts_overlap_naive_state_{tag}")
+        schema = "user_id long, tsu long, event_id long"
+        for i in range(2):  # real slices only; sentinel is a stream artifact
+            bdf = (
+                spark.read.schema(schema)
+                .parquet(os.path.join(inbox, f"{i:02d}.parquet"))
+                .selectExpr(
+                    "user_id",
+                    "timestamp_micros(tsu) AS ts",
+                    "event_id",
+                )
+            )
+            _overlap_fold(spark, naive_state, bdf, i)
+        naive = sorted(map(tuple, _overlap_converged(spark, naive_state).collect()))
+        assert naive == []  # both straddle-spanned pairs missed
