@@ -4989,3 +4989,61 @@ class TestTimeslicedOverlap:
             _overlap_fold(spark, naive_state, bdf, i)
         naive = sorted(map(tuple, _overlap_converged(spark, naive_state).collect()))
         assert naive == []  # both straddle-spanned pairs missed
+
+
+class TestDimColumnarZipper:
+    """Round-17: zipper-merge serving for the dim-columnar SQ8 layout
+    (operators/similarity.py:q_sq8_dim_columnar_serve,
+    sq8_dim_columnar_zipper)."""
+
+    def test_serve_matches_array_row_scan(self, spark, sf_dir):
+        """Zipper serving must equal the array-row SQ8 top-k exactly
+        (the in-query RAISE runs inside the same call)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        got = sorted(
+            map(tuple, qs["q_sq8_dim_columnar_serve"](spark, sf_dir).collect())
+        )
+        want = sorted(
+            map(tuple, qs["q_ann_sq8_topk"](spark, sf_dir).collect())
+        )
+        assert got == want
+        assert got
+
+    def test_zipper_raises_on_non_cosorted_layout(self, spark, tmp_path):
+        """Co-sortedness is verified, not assumed: scrambling one dim's
+        file ordering must RAISE, not silently mis-zip."""
+        import os
+
+        import pytest
+        from pyspark.sql import functions as F
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            sq8_dim_columnar_write,
+            sq8_dim_columnar_zipper,
+        )
+
+        coded = spark.createDataFrame(
+            [(i, [i % 3, (i + 1) % 3]) for i in range(12)],
+            "vec_id long, codes array<int>",
+        )
+        root = str(tmp_path / "codes")
+        sq8_dim_columnar_write(coded, root, 2)
+        # scramble dim 1 / bucket 0: rewrite it vec_id-DESCENDING
+        target = os.path.join(root, "d=1", "bucket=0")
+        scrambled = (
+            spark.read.parquet(target)
+            .orderBy(F.desc("vec_id"))
+            .coalesce(1)
+        )
+        tmp_out = str(tmp_path / "scrambled")
+        scrambled.write.mode("overwrite").parquet(tmp_out)
+        import shutil
+
+        shutil.rmtree(target)
+        shutil.copytree(tmp_out, target)
+        with pytest.raises(Exception, match="not co-sorted"):
+            sq8_dim_columnar_zipper(spark, root, 2, 2).collect()

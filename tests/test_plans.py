@@ -1085,3 +1085,43 @@ class TestRound17Plans:
         assert "LeftAnti" in p  # the tombstone join planned as equi anti
         pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
         assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
+
+    def test_dim_columnar_zipper_reassembly_has_zero_exchange(
+        self, spark, sf_dir
+    ):
+        """The zipper-merge reassembly of the co-bucketed co-sorted
+        dim-columnar layout must plan with NO Exchange anywhere — the
+        round-16 groupBy(vec_id) reassembly paid an N·dim shuffle here
+        (64× the logical table at scale); the zipper replaces it with
+        one task per bucket zipping co-sorted column files."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            SQ8_DIM,
+            SQ8_DIMCOL_BUCKETS,
+            sq8_dim_columnar_write,
+            sq8_dim_columnar_zipper,
+            sq8_encode,
+            sq8_stats,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import (
+            tp,
+            work_dir,
+        )
+
+        emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        mn, rng = sq8_stats(emb)
+        root = os.path.join(work_dir("sq8_dimcol_plan_pin"), "codes")
+        sq8_dim_columnar_write(
+            sq8_encode(emb, mn, rng), root, SQ8_DIMCOL_BUCKETS
+        )
+        reassembled = sq8_dim_columnar_zipper(
+            spark, root, SQ8_DIM, SQ8_DIMCOL_BUCKETS
+        )
+        p = df_plan(spark, reassembled)
+        assert "Exchange" not in p
+        assert "CartesianProduct" not in p
+        # and it actually reassembles the full corpus
+        assert reassembled.count() == emb.count()
