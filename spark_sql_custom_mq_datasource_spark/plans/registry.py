@@ -186,94 +186,86 @@ def register(
 #      additions, then the r05 TPC-H/window/set-op block. Everything
 #      displaced stays green in CORRECTNESS_r08/r09.json.
 _PRIORITY: tuple[str, ...] = (
-    # ==== ROUND-16 PREFIX ===============================================
-    # (executes the round-15 rotation plan below / VERDICT r15 item 1)
-    # -- the 5 round-16 additions (never driver-checked; locally green at
-    #    sf0.001 AND sf0.01): the coarse-quantizer refresh for the
-    #    residual SQ8 index (VERDICT r15 missing 1), the residual-grid
-    #    drift monitor + refresh (missing 2), the streaming co-presence
-    #    twin of the interval overlap join (missing 3), and the
-    #    dim-columnar SQ8 layout with partial grid refresh (missing 4);
-    #    plus 6 beyond the brief: the co-presence bin-index compaction,
-    #    merge-on-read DELETES for the persisted SQ8 index + the delete
-    #    APPLY pass, the IVF-SQ8 nprobe tuning sweep, and binary
-    #    quantization (the 32x compression rung) + its exact re-rank ------
-    "q_sq8_coarse_refresh",
-    "q_sq8_residual_grid_drift",
-    "q_sq8_residual_grid_refresh",
-    "q_sq8_dim_columnar_refresh",
-    "q_stream_sessions_overlap",
-    "q_sessions_overlap_index_compact",
+    # ==== ROUND-17 PREFIX ===============================================
+    # (executes the round-16 rotation plan below / VERDICT r16 item 1)
+    # -- the 10 round-17 additions (never driver-checked; locally green
+    #    at sf0.001 AND sf0.01): the delete pair on BOTH persisted PQ
+    #    layouts through the parameterized MOR/APPLY bodies (VERDICT r16
+    #    missing 1), the persisted BQ index + its grow/compact/health
+    #    lifecycle (missing 2), the TIME-sliced co-presence stream with
+    #    stateful session stitching (missing 3), and the dim-columnar
+    #    zipper-merge serving query (missing 4) ------------------------
+    "q_ann_pq_delete_mor",
+    "q_pq_delete_compact",
+    "q_ann_pq_residual_delete_mor",
+    "q_pq_residual_delete_compact",
+    "q_ann_bq_persisted",
+    "q_stream_bq_index_grow",
+    "q_bq_index_compact",
+    "q_bq_index_health",
+    "q_stream_sessions_overlap_timesliced",
+    "q_sq8_dim_columnar_serve",
+    # -- code or oracle changed this round, so driver-RE-check even
+    #    though r16 green: the four SQ8 delete queries moved onto the
+    #    generalized _ann_delete_* bodies (keys-table tombstone
+    #    contract; row-delta invariant generalized to tombstoned ROWS);
+    #    q_ann_ivf_pq_persisted's serving tail factored into
+    #    pq_probe_tables/pq_adc_rank (shared with the delete family);
+    #    q_sq8_dim_columnar_refresh moved onto the co-bucketed co-sorted
+    #    layout + zipper serving; q_ann_binary_quantized's oracle moved
+    #    into the shared _SQL_BQ_TOPK constant (byte-identical) ---------
     "q_ann_sq8_delete_mor",
     "q_sq8_delete_compact",
-    "q_ann_ivf_sq8_nprobe_sweep",
-    "q_ann_binary_quantized",
-    "q_ann_bq_refine",
-    "q_ann_bq_recall",
     "q_ann_sq8_residual_delete_mor",
     "q_sq8_residual_delete_compact",
-    # -- code or oracle changed this round, so driver-RE-check even
-    #    though r15/r14 green: the SQ8 + residual-SQ8 lifecycle trios
-    #    moved onto ONE parameterized implementation with regenerated
-    #    (semantically identical) health oracles (ADVICE r15 item 5); the
-    #    four index-grow queries share the hoisted _grow_inbox builder
-    #    and the PQ health monitors the shared _read_grown_codes reader
-    #    (ADVICE r15 items 1+4); the bin-sweep oracle dropped its dead
-    #    comment appends; the persisted residual-SQ8 serving joined the
-    #    bench extended set ---------------------------------------------
-    "q_stream_sq8_index_grow",
-    "q_stream_sq8_residual_index_grow",
-    "q_sq8_index_compact",
-    "q_sq8_residual_index_compact",
-    "q_sq8_index_health",
-    "q_sq8_residual_index_health",
-    "q_stream_pq_index_grow",
-    "q_stream_pq_residual_index_grow",
-    "q_pq_index_health",
-    "q_pq_residual_index_health",
-    "q_overlap_bin_sweep",
-    "q_ann_sq8_residual_persisted",
-    # -- 33 r10-stale records, oldest-first (tools/rotation_plan.py
-    #    order), led by the seven twice-displaced r10 fillers ------------
-    "q_quality_gopher",
-    "q_corpus_drift_psi",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_containment",
-    "q_dedup_minhash_lsh",
-    "q_dedup_threshold_sweep",
-    "q_dedup_containment_apply",
-    "q_embedding_quantize",
-    "q_hard_negative_ann_sampled",
-    "q_embedding_centroid_drift",
-    "q_embedding_norm_outliers",
-    "q_embedding_random_projection",
-    "q_matryoshka_recall",
-    "q_batch_padding_audit",
-    "q_source_quota_cap",
-    "q_multimodal_decode",
-    "q_profile_documents",
-    "q_pii_redact",
-    "q_distinct_users_skew_safe",
-    "q_join_size_estimate",
-    "q_stream_sliding_6h",
-    "q_stream_static_join",
-    "q_stream_rate_source",
-    "q_manifest_snapshot_diff",
-    # (the 25 remaining r10-stale records — q_cdf_incremental_consumer,
-    #  q_funnel_stages, q_gapfill_user_daily,
-    #  q_gapfill_locf, q_conversion_within_window, q_daily_trend_by_type,
-    #  q_ab_cuped, q_events_cusum, q_decile_lift (the last three
-    #  independently re-checked green by the r15 judge session),
-    #  q_events_json_extract,
-    #  q_events_sliding_6h, q_events_pivot_daily, q_fuzzy_source_pairs,
-    #  q_mqlog_roundtrip, q_map_functions, q_histogram_equidepth,
-    #  q_stream_dedup_incremental, q_dedup_index_compact,
-    #  q_stream_source_quota, q_stream_anomaly_zscore,
-    #  q_stream_heavy_hitters, q_stream_table_fingerprint,
-    #  q_partition_pruned_day, q_compaction_plan, q_table_fingerprint —
-    #  lead the round-17 plan; every one is r10-green and re-verified by
-    #  this round's local full batteries; 24 of the 49 rotate this round)
+    "q_ann_ivf_pq_persisted",
+    "q_sq8_dim_columnar_refresh",
+    "q_ann_binary_quantized",
+    # -- ALL 25 remaining r10-stale records, oldest-first
+    #    (tools/rotation_plan.py order) — after this round NO record is
+    #    older than r11 -------------------------------------------------
+    "q_cdf_incremental_consumer",
+    "q_funnel_stages",
+    "q_gapfill_user_daily",
+    "q_gapfill_locf",
+    "q_conversion_within_window",
+    "q_daily_trend_by_type",
+    "q_ab_cuped",
+    "q_events_cusum",
+    "q_decile_lift",
+    "q_events_json_extract",
+    "q_events_sliding_6h",
+    "q_events_pivot_daily",
+    "q_fuzzy_source_pairs",
+    "q_mqlog_roundtrip",
+    "q_map_functions",
+    "q_histogram_equidepth",
+    "q_stream_dedup_incremental",
+    "q_dedup_index_compact",
+    "q_stream_source_quota",
+    "q_stream_anomaly_zscore",
+    "q_stream_heavy_hitters",
+    "q_stream_table_fingerprint",
+    "q_partition_pruned_day",
+    "q_compaction_plan",
+    "q_table_fingerprint",
+    # -- 8 r11-stale records fill to 50, oldest-first ------------------
+    "q_heavy_hitters_2gram",
+    "q_dedup_simhash",
+    "q_bm25_topk",
+    "q_tfidf_topterms",
+    "q_dsir_importance",
+    "q_chunk_documents",
+    "q_runtime_filter_join",
+    "q_stream_mq_wordcount",
 )
+# The ROUND-16 prefix this replaces (all 50 green in CORRECTNESS_r16.json):
+# the 14 round-16 additions (coarse/residual-grid refresh, dim-columnar
+# refresh, streaming co-presence + bin-index compaction, SQ8 + residual
+# delete pairs, nprobe sweep, binary quantization trio); the 12
+# r16-changed re-checks (the parameterized lifecycle trios, grow/health
+# on shared builders, bin sweep, persisted residual serving); and 24
+# r10-stale records — see CORRECTNESS_r16.json for the exact list.
 # The ROUND-15 prefix this replaces (all 50 green in CORRECTNESS_r15.json):
 # the 13 round-15 additions (SQ8 + residual-SQ8 lifecycles, SQ8 grid
 # refresh, overlap hot-bins + bin sweep, persisted MaxSim, SQ8 refine,
@@ -405,14 +397,25 @@ _PRIORITY: tuple[str, ...] = (
 # the r16 driver run: 25 r10 records remain (enumerated at the prefix
 # tail), clearing fully in round 17.
 #
-# ROUND-17 ROTATION PLAN: (1) anything round 17 adds or edits, then
-# (2) the 25 remaining r10-stale records (the exact list at the prefix
-# tail above — tools/rotation_plan.py regenerates the order from
-# CORRECTNESS_r01..r16), then (3) r11-stale oldest-first to fill 50
-# (the r11 block is 46 records: heavy-hitters/simhash/bm25/tfidf/dsir/
-# chunking/runtime-filter/stream-wordcount..., then the TPC-H family).
-# Done = CORRECTNESS_r17 green on all 50; after the run no record is
-# older than r11.
+# ROUND-17 ROTATION PLAN (EXECUTED by the prefix above): (1) the 10
+# round-17 additions (PQ delete pairs on both layouts, BQ persisted +
+# grow/compact/health, time-sliced co-presence, dim-columnar zipper
+# serving — never driver-checked), (2) the 7 queries whose code or
+# oracle changed this round (the four SQ8 delete queries on the
+# generalized keys-table bodies, the PQ persisted serving on the
+# factored probe/rank helpers, the dim-columnar refresh on the zipper
+# layout, the BQ inline scan on the shared oracle constant), then
+# (3) ALL 25 remaining r10-stale records, then (4) 8 r11-stale records
+# to fill 50. After the r17 driver run: no record older than r11; the
+# r11 block shrinks 46 → 38.
+#
+# ROUND-18 ROTATION PLAN: (1) anything round 18 adds or edits, then
+# (2) the 38 remaining r11-stale records oldest-first
+# (tools/rotation_plan.py regenerates the order from
+# CORRECTNESS_r01..r17: stream-decontaminate/quality-gate/pii-redact,
+# percentiles, wordcount, then the TPC-H family), then (3) r12-stale
+# oldest-first to fill 50. Done = CORRECTNESS_r18 green on all 50;
+# after the run the r11 block clears fully or shrinks to < 10.
 
 
 def _load_all() -> None:
