@@ -2744,21 +2744,6 @@ _IVFPQ_SERVE_ORACLE = (
 )
 
 
-@register(
-    "q_ann_ivf_pq_persisted",
-    _IVFPQ_SERVE_ORACLE,
-    # bench extended set (round 13, VERDICT r12 missing 5): the ANN
-    # serving path's regression trend becomes visible in BENCH_r13+;
-    # NOT in the legacy-14 trend line (that set is frozen for
-    # comparability).
-    headline=True,
-    doc=f"IVF-PQ serving over the DURABLE index: coarse prune against the "
-    "persisted cell centroids, then the probed cells' labels (a bounded "
-    "collect, ≤ Q·nprobe values) PARTITION-PRUNE the cell-partitioned "
-    f"code scan before ADC — top-{PQ_TOPK} per query, bit-identical to "
-    "the in-memory composition (shared IVFADC oracle chain). The "
-    "partition filter is pinned in tests/test_plans.py.",
-)
 def pq_probe_tables(
     q: DataFrame, cdf: DataFrame, cells: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -2812,6 +2797,21 @@ def pq_adc_rank(codes: DataFrame, probes: DataFrame, qd: DataFrame) -> DataFrame
     )
 
 
+@register(
+    "q_ann_ivf_pq_persisted",
+    _IVFPQ_SERVE_ORACLE,
+    # bench extended set (round 13, VERDICT r12 missing 5): the ANN
+    # serving path's regression trend becomes visible in BENCH_r13+;
+    # NOT in the legacy-14 trend line (that set is frozen for
+    # comparability).
+    headline=True,
+    doc=f"IVF-PQ serving over the DURABLE index: coarse prune against the "
+    "persisted cell centroids, then the probed cells' labels (a bounded "
+    "collect, ≤ Q·nprobe values) PARTITION-PRUNE the cell-partitioned "
+    f"code scan before ADC — top-{PQ_TOPK} per query, bit-identical to "
+    "the in-memory composition (shared IVFADC oracle chain). The "
+    "partition filter is pinned in tests/test_plans.py.",
+)
 def q_ann_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_path, codes_path, cells_path = pq_index_path(spark, sf_dir)
     cdf = spark.read.parquet(cb_path)
@@ -6264,24 +6264,27 @@ def _ann_delete_mor_body(
     spark: SparkSession, sf_dir: str, fam, dels: DataFrame
 ) -> DataFrame:
     """Merge-on-read serving over ANY persisted quantized layout (the
-    SQ8/residual-SQ8/PQ/residual-PQ family namespaces all fit):
-    partition-pruned code scan MINUS the tombstone KEYS TABLE (dels:
-    any (vec_id) DataFrame — the erasure-feed contract); RAISES unless
-    bit-identical to serving over a survivors-only encode against the
-    same frozen artifacts."""
+    SQ8/residual-SQ8/PQ/residual-PQ/BQ family namespaces all fit):
+    partition-pruned code scan (fam.all_probed None ⇒ a flat layout
+    with no coarse prune, the BQ shape) MINUS the tombstone KEYS TABLE
+    (dels: any (vec_id) DataFrame — the erasure-feed contract); RAISES
+    unless bit-identical to serving over a survivors-only encode
+    against the same frozen artifacts."""
+
+    def prune(df: DataFrame) -> DataFrame:
+        if fam.all_probed is None:
+            return df
+        return df.where(F.col("label").isin(fam.all_probed))
+
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    pruned = (
-        spark.read.parquet(fam.codes_path)
-        .where(F.col("label").isin(fam.all_probed))
-        .join(dels, "vec_id", "left_anti")
+    pruned = prune(spark.read.parquet(fam.codes_path)).join(
+        dels, "vec_id", "left_anti"
     )
     probe = fam.scan(pruned)
     probe_rows = probe.collect()
 
     survivors = emb.join(dels, "vec_id", "left_anti")
-    full = fam.scan(
-        fam.encode(survivors).where(F.col("label").isin(fam.all_probed))
-    )
+    full = fam.scan(prune(fam.encode(survivors)))
     if sorted(map(tuple, probe_rows)) != sorted(map(tuple, full.collect())):
         raise AssertionError(
             "merge-on-read serving differs from the survivors-only encode"
@@ -6298,22 +6301,31 @@ def _ann_delete_apply_body(
     session-cached index stays live), staged-rename swap, row delta must
     equal the tombstone count, and serving the compacted index DIRECTLY
     must equal the pre-apply MOR probe. dels is the same keys-table
-    contract as the MOR body."""
+    contract as the MOR body; fam.partition_by names the layout's
+    physical partition columns (empty for flat layouts like BQ)."""
     import os as _os
     import shutil as _shutil
+
+    def prune(df: DataFrame) -> DataFrame:
+        if fam.all_probed is None:
+            return df
+        return df.where(F.col("label").isin(fam.all_probed))
+
+    def write_codes(df: DataFrame, path: str) -> None:
+        w = df.write.mode("overwrite")
+        part = getattr(fam, "partition_by", ["label"])
+        if part:
+            w = w.partitionBy(*part)
+        w.parquet(path)
 
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
 
     state = work_dir(state_name)
     current = _os.path.join(state, "codes")
-    fam.encode(emb).write.mode("overwrite").partitionBy("label").parquet(
-        current
-    )
+    write_codes(fam.encode(emb), current)
 
     pre_df = fam.scan(
-        spark.read.parquet(current)
-        .where(F.col("label").isin(fam.all_probed))
-        .join(dels, "vec_id", "left_anti")
+        prune(spark.read.parquet(current)).join(dels, "vec_id", "left_anti")
     )
     pre = sorted(map(tuple, pre_df.collect()))
     rows_before = spark.read.parquet(current).count()
@@ -6335,12 +6347,8 @@ def _ann_delete_apply_body(
     pre_stats = stat_map(current)
     staged = current + "_staged"
     _shutil.rmtree(staged, ignore_errors=True)
-    (
-        spark.read.parquet(current)
-        .join(dels, "vec_id", "left_anti")
-        .write.mode("overwrite")
-        .partitionBy("label")
-        .parquet(staged)
+    write_codes(
+        spark.read.parquet(current).join(dels, "vec_id", "left_anti"), staged
     )
     if stat_map(current) != pre_stats:
         raise AssertionError("live index files changed before the swap")
@@ -6357,9 +6365,7 @@ def _ann_delete_apply_body(
             f"expected {n_tombstoned_rows}"
         )
 
-    post_df = fam.scan(
-        spark.read.parquet(current).where(F.col("label").isin(fam.all_probed))
-    )
+    post_df = fam.scan(prune(spark.read.parquet(current)))
     post_rows = post_df.collect()
     if sorted(map(tuple, post_rows)) != pre:
         raise AssertionError("probe changed across the delete apply")
@@ -7236,6 +7242,9 @@ def bq_serve(coded: DataFrame, qdf: DataFrame) -> DataFrame:
 @register(
     "q_ann_bq_persisted",
     _SQL_BQ_TOPK,
+    # bench extended set (round 17): the persisted-BQ serving path gets a
+    # per-round trend line next to q_ann_sq8_persisted; NOT legacy-14.
+    headline=True,
     doc="BINARY-QUANTIZED serving over the DURABLE index (the 32× "
     "compression rung actually amortized): thresholds persisted as ONE "
     "row — the entire trained state — and the packed codes as a "
@@ -7251,3 +7260,183 @@ def q_ann_bq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_ = [int(v) for v in row["t"]]
     coded = spark.read.parquet(codes_path)
     return bq_serve(coded, bq_query_bits(spark, sf_dir, t_))
+
+
+# --------------------------------------------------------------------------
+# BQ delete pair + threshold refresh (round 17, beyond the brief): the
+# lifecycle symmetry closed on the FIFTH persisted layout. Deletes ride
+# the same generalized MOR/APPLY bodies as SQ8/PQ — the BQ family
+# namespace just has NO coarse prune (all_probed=None: the flat Hamming
+# scan IS the prune) and a flat write (partition_by=[]). The refresh is
+# the BQ analogue of q_sq8_grid_refresh: stale sign thresholds (trained
+# on the even half) re-trained on the full corpus and the coded table
+# re-packed — necessarily a FULL rewrite (moved bits live inside packed
+# int64 words; there is no per-dim partial path on the packed layout —
+# that trade belongs to the dim-columnar experiment), but of the
+# 32×-smaller table. RAISES unless the refreshed serving equals a
+# from-scratch rebuild; emits n_dims_moved — the drift magnitude the
+# health monitor's popcount stat alarms on.
+# --------------------------------------------------------------------------
+
+
+def _bq_delete_oracle(base_sql: str) -> str:
+    """The BQ Hamming-ranking oracle minus tombstoned candidates: the
+    filter lands ONLY in the candidate clause — thresholds stay trained
+    on the full corpus, exactly like the implementation."""
+    old = "ON q.d = r.d AND r.vec_id <> q.qid"
+    assert base_sql.count(old) == 1
+    return base_sql.replace(
+        old,
+        f"ON q.d = r.d AND r.vec_id <> q.qid"
+        f" AND r.vec_id % {_SQ8_DELETE_MOD} <> {_SQ8_DELETE_RESIDUE}",
+    )
+
+
+_SQL_BQ_DELETE = _bq_delete_oracle(_SQL_BQ_TOPK)
+
+
+def _bq_delete_family(spark: SparkSession, sf_dir: str):
+    """The BQ instance of the delete-family namespace: flat codes (no
+    coarse prune — all_probed None; partition_by empty), frozen-threshold
+    pack as the survivors encode, the Hamming serve as the scan."""
+    from types import SimpleNamespace
+
+    th_path, codes_path = bq_index_path(spark, sf_dir)
+    [row] = spark.read.parquet(th_path).collect()  # bounded: 1 row
+    t_ = [int(v) for v in row["t"]]
+    qdf = bq_query_bits(spark, sf_dir, t_)
+
+    def encode(df: DataFrame) -> DataFrame:
+        return bq_pack(df.select("vec_id", "embedding"), t_)
+
+    def scan(codes: DataFrame) -> DataFrame:
+        return bq_serve(codes, qdf)
+
+    return SimpleNamespace(
+        codes_path=codes_path,
+        encode=encode,
+        scan=scan,
+        all_probed=None,
+        partition_by=[],
+    )
+
+
+@register(
+    "q_ann_bq_delete_mor",
+    _SQL_BQ_DELETE,
+    doc="MERGE-ON-READ deletes for the persisted BQ index — the fifth "
+    "persisted layout gets the same tombstone verb through the SAME "
+    "generalized body: the keys-table anti-join runs on the flat coded "
+    "scan (BQ has no coarse prune; the 32× bit scan is the prune), "
+    "thresholds untouched; RAISES unless bit-identical to serving over "
+    "a survivors-only frozen-threshold pack; full value oracle (the "
+    "Hamming ranking minus tombstoned candidates).",
+)
+def q_ann_bq_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fam = _bq_delete_family(spark, sf_dir)
+    emb = tp(spark, sf_dir, "embeddings")
+    return _ann_delete_mor_body(spark, sf_dir, fam, _sq8_tombstones(emb))
+
+
+@register(
+    "q_bq_delete_compact",
+    _SQL_BQ_DELETE,
+    doc="delete APPLICATION for the BQ index: flat rewrite without the "
+    "tombstoned rows (one row per vector — row delta == tombstoned row "
+    "count), staged-rename swap, live files stat-pinned until the swap, "
+    "post-apply direct serving == pre-apply MOR probe (RAISES "
+    "otherwise); shared oracle with q_ann_bq_delete_mor.",
+)
+def q_bq_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fam = _bq_delete_family(spark, sf_dir)
+    emb = tp(spark, sf_dir, "embeddings")
+    return _ann_delete_apply_body(
+        spark, sf_dir, fam, _sq8_tombstones(emb), "bq_delete_compact_index"
+    )
+
+
+_SQL_BQ_REFRESH = f"""
+    WITH {_SQL_BQ_CTES},
+    thh AS (SELECT d, CAST(floor(CAST(SUM(e) AS DOUBLE) / COUNT(*) + 0.5)
+                      AS BIGINT) AS t
+            FROM ev WHERE vec_id % 2 = 0 GROUP BY d),
+    mvd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims_moved
+            FROM th f JOIN thh h ON f.d = h.d WHERE f.t <> h.t)
+    SELECT t.qid, t.neighbor_id, t.hamming, t.rk,
+           m.n_dims_moved, CAST({SQ8_DIM} AS BIGINT) AS n_dims_total
+    FROM (
+      SELECT qid, vec_id AS neighbor_id, hamming, CAST(rk AS INT) AS rk FROM (
+        SELECT qid, vec_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY hamming ASC, vec_id) AS rk
+        FROM hd) WHERE rk <= {TOPK}
+    ) t, mvd m
+    ORDER BY t.qid, t.rk
+    """
+
+
+@register(
+    "q_bq_threshold_refresh",
+    _SQL_BQ_REFRESH,
+    doc="BQ sign-threshold REFRESH (the q_sq8_grid_refresh verb on the "
+    "32× rung — the APPLY step the health monitor's popcount drift "
+    "alarms): thresholds re-trained on the full corpus (stale = trained "
+    "on the even half), the coded table re-packed and swapped in behind "
+    "a staged rename (live files stat-pinned until the swap) — "
+    "necessarily a FULL rewrite (moved bits live inside packed int64 "
+    "words) but of the 32×-smaller table; RAISES unless the refreshed "
+    "serving is bit-identical to a from-scratch rebuild on the fresh "
+    "thresholds; emits the refreshed top-k plus (n_dims_moved, "
+    "n_dims_total); all-integer, full value oracle.",
+)
+def q_bq_threshold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # the live index, packed on STALE thresholds (even-half training)
+    t_h = bq_thresholds(emb.where(F.col("vec_id") % 2 == 0))
+    state = work_dir("bq_refresh_index")
+    current = _os.path.join(state, "codes")
+    bq_pack(emb, t_h).write.mode("overwrite").parquet(current)
+
+    # retrain on the full corpus; measure drift
+    t_f = bq_thresholds(emb)
+    n_moved = sum(1 for a, b in zip(t_h, t_f) if a != b)
+
+    def stat_map(root: str) -> dict[str, tuple[int, int]]:
+        out = {}
+        for r, _, files in _os.walk(root):
+            for fn in files:
+                p = _os.path.join(r, fn)
+                st = _os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    pre_stats = stat_map(current)
+    staged = current + "_staged"
+    _shutil.rmtree(staged, ignore_errors=True)
+    bq_pack(emb, t_f).write.mode("overwrite").parquet(staged)
+    if stat_map(current) != pre_stats:
+        raise AssertionError("live index files changed before the swap")
+    retired = current + "_retired"
+    _shutil.rmtree(retired, ignore_errors=True)
+    _os.replace(current, retired)
+    _os.replace(staged, current)
+    _shutil.rmtree(retired, ignore_errors=True)
+
+    probe = bq_serve(
+        spark.read.parquet(current), bq_query_bits(spark, sf_dir, t_f)
+    )
+    probe_rows = probe.collect()
+    full = bq_serve(bq_pack(emb, t_f), bq_query_bits(spark, sf_dir, t_f))
+    if sorted(map(tuple, probe_rows)) != sorted(map(tuple, full.collect())):
+        raise AssertionError("refreshed probe differs from the full rebuild")
+
+    counts = spark.createDataFrame(
+        [(int(n_moved), int(SQ8_DIM))],
+        "n_dims_moved bigint, n_dims_total bigint",
+    )
+    out = spark.createDataFrame(probe_rows, probe.schema)
+    return out.crossJoin(F.broadcast(counts)).orderBy("qid", "rk")

@@ -188,11 +188,13 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # ==== ROUND-17 PREFIX ===============================================
     # (executes the round-16 rotation plan below / VERDICT r16 item 1)
-    # -- the 10 round-17 additions (never driver-checked; locally green
+    # -- the 13 round-17 additions (never driver-checked; locally green
     #    at sf0.001 AND sf0.01): the delete pair on BOTH persisted PQ
     #    layouts through the parameterized MOR/APPLY bodies (VERDICT r16
     #    missing 1), the persisted BQ index + its grow/compact/health
-    #    lifecycle (missing 2), the TIME-sliced co-presence stream with
+    #    lifecycle (missing 2) PLUS the BQ delete pair and the BQ
+    #    threshold refresh (lifecycle symmetry closed on all FIVE
+    #    persisted layouts), the TIME-sliced co-presence stream with
     #    stateful session stitching (missing 3), and the dim-columnar
     #    zipper-merge serving query (missing 4) ------------------------
     "q_ann_pq_delete_mor",
@@ -203,6 +205,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_bq_index_grow",
     "q_bq_index_compact",
     "q_bq_index_health",
+    "q_ann_bq_delete_mor",
+    "q_bq_delete_compact",
+    "q_bq_threshold_refresh",
     "q_stream_sessions_overlap_timesliced",
     "q_sq8_dim_columnar_serve",
     # -- code or oracle changed this round, so driver-RE-check even
@@ -249,15 +254,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_partition_pruned_day",
     "q_compaction_plan",
     "q_table_fingerprint",
-    # -- 8 r11-stale records fill to 50, oldest-first ------------------
+    # -- 5 r11-stale records fill to 50, oldest-first ------------------
     "q_heavy_hitters_2gram",
     "q_dedup_simhash",
     "q_bm25_topk",
     "q_tfidf_topterms",
     "q_dsir_importance",
-    "q_chunk_documents",
-    "q_runtime_filter_join",
-    "q_stream_mq_wordcount",
 )
 # The ROUND-16 prefix this replaces (all 50 green in CORRECTNESS_r16.json):
 # the 14 round-16 additions (coarse/residual-grid refresh, dim-columnar

@@ -5047,3 +5047,52 @@ class TestDimColumnarZipper:
         shutil.copytree(tmp_out, target)
         with pytest.raises(Exception, match="not co-sorted"):
             sq8_dim_columnar_zipper(spark, root, 2, 2).collect()
+
+
+class TestBqDeleteAndRefresh:
+    """Round-17: BQ delete pair + threshold refresh — the lifecycle
+    symmetry closed on the fifth persisted layout
+    (operators/similarity.py:q_ann_bq_delete_mor,q_bq_delete_compact,
+    q_bq_threshold_refresh)."""
+
+    def test_tombstoned_ids_never_served(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        rows = get_queries()["q_ann_bq_delete_mor"](spark, sf_dir).collect()
+        assert rows
+        assert all(r["neighbor_id"] % 7 != 3 for r in rows)
+
+    def test_apply_serves_identically_without_tombstones(self, spark, sf_dir):
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        mor = sorted(map(tuple, qs["q_ann_bq_delete_mor"](spark, sf_dir).collect()))
+        applied = sorted(
+            map(tuple, qs["q_bq_delete_compact"](spark, sf_dir).collect())
+        )
+        assert mor == applied
+
+    def test_refresh_lands_on_fresh_threshold_ranking(self, spark, sf_dir):
+        """The refreshed serving must equal the inline twin (which
+        trains on the full corpus — the fresh thresholds) and report a
+        sane drift count."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            SQ8_DIM,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        qs = get_queries()
+        rows = qs["q_bq_threshold_refresh"](spark, sf_dir).collect()
+        assert rows
+        assert all(0 <= r["n_dims_moved"] <= SQ8_DIM for r in rows)
+        got = sorted((r["qid"], r["neighbor_id"], r["hamming"], r["rk"]) for r in rows)
+        want = sorted(
+            map(tuple, qs["q_ann_binary_quantized"](spark, sf_dir).collect())
+        )
+        assert got == want

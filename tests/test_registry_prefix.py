@@ -30,3 +30,17 @@ def test_prefix_queries_all_have_oracles():
     oracles = get_oracles()
     no_oracle = [n for n in _PRIORITY if n not in oracles]
     assert no_oracle == [], no_oracle
+
+
+def test_registered_fn_names_match_registry_keys():
+    """A @register decorator must sit directly on the query it names —
+    inserting a helper def between the decorator and the query silently
+    registers the HELPER as the query's fn (caught live in round 17:
+    q_ann_ivf_pq_persisted briefly resolved to pq_probe_tables)."""
+    get_queries()
+    bad = [
+        (n, q.fn.__name__)
+        for n, q in QUERIES.items()
+        if q.fn.__name__ != n
+    ]
+    assert bad == [], bad
