@@ -7440,3 +7440,203 @@ def q_bq_threshold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = spark.createDataFrame(probe_rows, probe.schema)
     return out.crossJoin(F.broadcast(counts)).orderBy("qid", "rk")
+
+
+# --------------------------------------------------------------------------
+# FILTERED vector search (round 17, beyond the brief): the production
+# verb every vector store leads with (Qdrant/Milvus/Weaviate filtered
+# ANN, FAISS IDSelector) — top-k among only the vectors satisfying a
+# metadata predicate. Two strategies exist and the difference is the
+# whole story:
+#   PRE-filter   restrict candidates BEFORE ranking — exact recall at
+#                any selectivity; on the label-partitioned persisted
+#                index the metadata filter IS a partition filter (the
+#                storage dividend: scan only matching label dirs).
+#   POST-filter  rank unfiltered top-R, then drop non-matching rows —
+#                cheap, but under a selective filter the surviving set
+#                starves (< k rows returned, recall lost). The loss
+#                read-out measures exactly this as a function of R —
+#                the number that justifies pre-filter as the default
+#                and sizes R where post-filter is unavoidable.
+# Deterministic predicate (label % 3 == 0) keeps both value-checkable.
+#
+# Scale: pre-filter serving scans |match|/|corpus| of the coded table
+# via partition pruning (plan-pinned) — no new shuffle; the loss
+# read-out ranks once at max R and re-ranks bounded Q·R partials.
+# --------------------------------------------------------------------------
+
+ANN_FILTER_MOD = 3
+ANN_FILTER_RESIDUE = 0
+
+
+def _sq8_filtered_ctes() -> str:
+    """_SQL_SQ8_CTES with the metadata filter landed ONLY in the
+    candidate clause (queries stay unfiltered — any vector may query a
+    filtered corpus)."""
+    old = "FROM sq8q q JOIN recon r ON q.d = r.d AND r.vec_id <> q.qid"
+    assert _SQL_SQ8_CTES.count(old) == 1
+    ctes = _SQL_SQ8_CTES.replace(
+        old,
+        old
+        + f"""
+             JOIN lblf l ON r.vec_id = l.vec_id
+                        AND l.label % {ANN_FILTER_MOD} = {ANN_FILTER_RESIDUE}""",
+    )
+    anchor = "sq8q AS (SELECT"
+    assert ctes.count(anchor) == 1
+    return ctes.replace(
+        anchor,
+        "lblf AS (SELECT vec_id, label FROM embeddings),\n    " + anchor,
+    )
+
+
+@register(
+    "q_ann_sq8_filtered",
+    f"""
+    WITH {_sq8_filtered_ctes()}
+    SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM sq8d) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """,
+    doc="metadata PRE-FILTERED ANN over the persisted SQ8 index (the "
+    "filtered-search verb every vector store leads with): top-k among "
+    f"only label % {ANN_FILTER_MOD} == {ANN_FILTER_RESIDUE} vectors — "
+    "the matching labels (a bounded |cells| collect) become a literal "
+    "IN PARTITION filter on the label-partitioned code scan "
+    "(plan-pinned: the metadata filter IS partition pruning at scale), "
+    "then the standard asymmetric scan ranks only surviving "
+    "candidates; queries stay unfiltered (any vector may query a "
+    "filtered corpus); RAISES unless bit-identical to encode-then-"
+    "filter; exact recall at any selectivity by construction; full "
+    "value oracle.",
+)
+def q_ann_sq8_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid_path, codes_path, cells_path = sq8_index_path(spark, sf_dir)
+    [grid] = spark.read.parquet(grid_path).collect()  # bounded: 1 row
+    mn, rng = list(grid["mn"]), list(grid["rng"])
+    labels = [
+        int(r["label"]) for r in spark.read.parquet(cells_path).collect()
+    ]  # bounded: |cells|
+    match = sorted(
+        lb for lb in labels if lb % ANN_FILTER_MOD == ANN_FILTER_RESIDUE
+    )
+    pruned = spark.read.parquet(codes_path).where(F.col("label").isin(match))
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    probe = sq8_topk(pruned, queries, mn, rng, TOPK)
+    probe_rows = probe.collect()
+    full = sq8_topk(
+        sq8_encode(
+            emb.where(F.col("label") % ANN_FILTER_MOD == ANN_FILTER_RESIDUE),
+            mn,
+            rng,
+        ),
+        queries,
+        mn,
+        rng,
+        TOPK,
+    )
+    if sorted(map(tuple, probe_rows)) != sorted(map(tuple, full.collect())):
+        raise AssertionError(
+            "partition-pruned filtered serving differs from "
+            "encode-then-filter"
+        )
+    out = spark.createDataFrame(probe_rows, probe.schema)
+    return out.orderBy("qid", "rk")
+
+
+_POSTFILTER_CUTS = [TOPK, 2 * TOPK, 4 * TOPK]
+
+
+@register(
+    "q_ann_filtered_postfilter_loss",
+    f"""
+    WITH {_SQL_SQ8_CTES},
+    lblf AS (SELECT vec_id, label FROM embeddings),
+    urk AS (SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY dist ASC, vec_id) AS urk
+            FROM sq8d),
+    fd AS (SELECT s.qid, s.vec_id, s.dist
+           FROM sq8d s JOIN lblf l ON s.vec_id = l.vec_id
+           WHERE l.label % {ANN_FILTER_MOD} = {ANN_FILTER_RESIDUE}),
+    ft AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, vec_id) AS rk
+      FROM fd) WHERE rk <= {TOPK}),
+    cuts AS (SELECT unnest([{", ".join(str(c) for c in _POSTFILTER_CUTS)}]) AS rc),
+    pf AS (SELECT c.rc, u.qid, u.vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY c.rc, u.qid
+                                     ORDER BY u.urk) AS prk
+           FROM urk u
+           JOIN lblf l ON u.vec_id = l.vec_id
+                      AND l.label % {ANN_FILTER_MOD} = {ANN_FILTER_RESIDUE},
+                cuts c
+           WHERE u.urk <= c.rc),
+    pfk AS (SELECT rc, qid, vec_id FROM pf WHERE prk <= {TOPK})
+    SELECT CAST(c.rc AS BIGINT) AS r_cutoff,
+           CAST((SELECT COUNT(*) FROM pfk WHERE pfk.rc = c.rc) AS BIGINT)
+             AS n_returned,
+           CAST((SELECT COUNT(*) FROM pfk p
+                 JOIN ft f ON p.qid = f.qid AND p.vec_id = f.vec_id
+                 WHERE p.rc = c.rc) AS BIGINT) AS recall_hits,
+           CAST((SELECT COUNT(*) FROM ft) AS BIGINT) AS recall_possible
+    FROM cuts c ORDER BY r_cutoff
+    """,
+    doc="POST-filter loss read-out for filtered ANN (the number that "
+    "justifies pre-filter as the default): rank the UNFILTERED SQ8 "
+    f"top-R, drop non-matching rows, keep the best {TOPK} — for R in "
+    f"{_POSTFILTER_CUTS}, how many rows actually survive and how much "
+    "of the TRUE filtered top-k do they recover? ONE ranking at max R "
+    "serves every cutoff (a smaller R's ranking is a prefix); "
+    "monotone-in-R suite pin; all-integer, full value oracle.",
+)
+def q_ann_filtered_postfilter_loss(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    mn, rng = sq8_stats(emb.select("vec_id", "embedding"))
+    coded = sq8_encode(emb, mn, rng)  # keeps label next to codes
+    queries = _collect_query_eq(
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    rmax = max(_POSTFILTER_CUTS)
+    # one unfiltered ranking at max R; every cutoff re-ranks its prefix
+    urk = sq8_topk(coded, queries, mn, rng, rmax).withColumnRenamed(
+        "rk", "urk"
+    )
+    lblf = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    ).where(F.col("label") % ANN_FILTER_MOD == ANN_FILTER_RESIDUE)
+    ft = sq8_topk(
+        coded.where(F.col("label") % ANN_FILTER_MOD == ANN_FILTER_RESIDUE),
+        queries,
+        mn,
+        rng,
+        TOPK,
+    ).select("qid", "neighbor_id")
+    n_possible = ft.count()  # bounded: Q·k
+    wpf = Window.partitionBy("qid").orderBy("urk")
+    parts = []
+    for rc in _POSTFILTER_CUTS:
+        pfk = (
+            urk.where(F.col("urk") <= rc)
+            .join(lblf.select("neighbor_id"), "neighbor_id")
+            .withColumn("prk", F.row_number().over(wpf))
+            .where(F.col("prk") <= TOPK)
+            .select("qid", "neighbor_id")
+        )
+        n_returned = pfk.count()
+        hits = pfk.join(ft, ["qid", "neighbor_id"]).count()
+        parts.append((rc, n_returned, hits, n_possible))
+    return spark.createDataFrame(
+        parts,
+        "r_cutoff bigint, n_returned bigint, recall_hits bigint, "
+        "recall_possible bigint",
+    ).orderBy("r_cutoff")

@@ -188,15 +188,16 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # ==== ROUND-17 PREFIX ===============================================
     # (executes the round-16 rotation plan below / VERDICT r16 item 1)
-    # -- the 13 round-17 additions (never driver-checked; locally green
+    # -- the 15 round-17 additions (never driver-checked; locally green
     #    at sf0.001 AND sf0.01): the delete pair on BOTH persisted PQ
     #    layouts through the parameterized MOR/APPLY bodies (VERDICT r16
     #    missing 1), the persisted BQ index + its grow/compact/health
     #    lifecycle (missing 2) PLUS the BQ delete pair and the BQ
     #    threshold refresh (lifecycle symmetry closed on all FIVE
     #    persisted layouts), the TIME-sliced co-presence stream with
-    #    stateful session stitching (missing 3), and the dim-columnar
-    #    zipper-merge serving query (missing 4) ------------------------
+    #    stateful session stitching (missing 3), the dim-columnar
+    #    zipper-merge serving query (missing 4), and the filtered-ANN
+    #    pair (pre-filter via partition pruning + post-filter loss) ----
     "q_ann_pq_delete_mor",
     "q_pq_delete_compact",
     "q_ann_pq_residual_delete_mor",
@@ -210,6 +211,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_bq_threshold_refresh",
     "q_stream_sessions_overlap_timesliced",
     "q_sq8_dim_columnar_serve",
+    "q_ann_sq8_filtered",
+    "q_ann_filtered_postfilter_loss",
     # -- code or oracle changed this round, so driver-RE-check even
     #    though r16 green: the four SQ8 delete queries moved onto the
     #    generalized _ann_delete_* bodies (keys-table tombstone
@@ -254,12 +257,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_partition_pruned_day",
     "q_compaction_plan",
     "q_table_fingerprint",
-    # -- 5 r11-stale records fill to 50, oldest-first ------------------
+    # -- 3 r11-stale records fill to 50, oldest-first ------------------
     "q_heavy_hitters_2gram",
     "q_dedup_simhash",
     "q_bm25_topk",
-    "q_tfidf_topterms",
-    "q_dsir_importance",
 )
 # The ROUND-16 prefix this replaces (all 50 green in CORRECTNESS_r16.json):
 # the 14 round-16 additions (coarse/residual-grid refresh, dim-columnar

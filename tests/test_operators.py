@@ -5096,3 +5096,57 @@ class TestBqDeleteAndRefresh:
             map(tuple, qs["q_ann_binary_quantized"](spark, sf_dir).collect())
         )
         assert got == want
+
+
+class TestFilteredAnn:
+    """Round-17: metadata-filtered vector search
+    (operators/similarity.py:q_ann_sq8_filtered,
+    q_ann_filtered_postfilter_loss)."""
+
+    def test_prefilter_all_neighbors_satisfy_predicate(self, spark, sf_dir):
+        """Every served neighbor must satisfy the metadata predicate
+        (the in-query encode-then-filter RAISE runs in the same call)."""
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            ANN_FILTER_MOD,
+            ANN_FILTER_RESIDUE,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        rows = get_queries()["q_ann_sq8_filtered"](spark, sf_dir).collect()
+        assert rows
+        lbl = {
+            r["vec_id"]: r["label"]
+            for r in t(spark, sf_dir, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+        }
+        assert all(
+            lbl[r["neighbor_id"]] % ANN_FILTER_MOD == ANN_FILTER_RESIDUE
+            for r in rows
+        )
+
+    def test_postfilter_loss_monotone_and_bounded(self, spark, sf_dir):
+        """More unfiltered candidates can only help: n_returned and
+        recall_hits are monotone in R, hits ≤ returned ≤ possible, and
+        at the smallest cutoff (R == k) a selective filter starves the
+        result set (n_returned < recall_possible — the loss the
+        read-out exists to expose)."""
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            get_queries,
+        )
+
+        rows = (
+            get_queries()["q_ann_filtered_postfilter_loss"](spark, sf_dir)
+            .orderBy("r_cutoff")
+            .collect()
+        )
+        assert len(rows) == 3
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["n_returned"] >= prev["n_returned"]
+            assert cur["recall_hits"] >= prev["recall_hits"]
+        for r in rows:
+            assert r["recall_hits"] <= r["n_returned"] <= r["recall_possible"]
+        assert rows[0]["n_returned"] < rows[0]["recall_possible"]

@@ -1125,3 +1125,45 @@ class TestRound17Plans:
         assert "CartesianProduct" not in p
         # and it actually reassembles the full corpus
         assert reassembled.count() == emb.count()
+
+    def test_filtered_ann_metadata_filter_is_partition_filter(
+        self, spark, sf_dir
+    ):
+        """The pre-filter serving scan must carry the metadata filter as
+        a PARTITION filter on the label-partitioned code scan — at scale
+        the predicate prunes label dirs before a single code row is
+        read."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from spark_sql_custom_mq_datasource_spark.operators.similarity import (
+            ANN_FILTER_MOD,
+            ANN_FILTER_RESIDUE,
+            N_QUERIES,
+            TOPK,
+            _collect_query_eq,
+            sq8_index_path,
+            sq8_topk,
+        )
+        from spark_sql_custom_mq_datasource_spark.plans.util import t
+
+        grid_path, codes_path, cells_path = sq8_index_path(spark, sf_dir)
+        [grid] = spark.read.parquet(grid_path).collect()
+        mn, rng = list(grid["mn"]), list(grid["rng"])
+        labels = [
+            int(r["label"]) for r in spark.read.parquet(cells_path).collect()
+        ]
+        match = sorted(
+            lb for lb in labels if lb % ANN_FILTER_MOD == ANN_FILTER_RESIDUE
+        )
+        pruned = spark.read.parquet(codes_path).where(
+            F.col("label").isin(match)
+        )
+        queries = _collect_query_eq(
+            t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+        )
+        probe = sq8_topk(pruned, queries, mn, rng, TOPK)
+        p = df_plan(spark, probe)
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+        assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
