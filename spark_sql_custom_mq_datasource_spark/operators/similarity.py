@@ -7640,3 +7640,141 @@ def q_ann_filtered_postfilter_loss(
         "r_cutoff bigint, n_returned bigint, recall_hits bigint, "
         "recall_possible bigint",
     ).orderBy("r_cutoff")
+
+
+# --------------------------------------------------------------------------
+# Binary IVF (round 17, beyond the brief): the FAISS IndexBinaryIVF
+# shape — the missing rung between the flat Hamming scan (fine up to
+# ~10^8 codes) and what a 100 TB corpus needs: a coarse quantizer in
+# HAMMING space. Cells follow the repo's IVF convention (label = the
+# coarse cell); each cell's centroid is its per-dim MAJORITY bit
+# (ties → 0 — deterministic in both engines), trained straight OFF the
+# packed index by summing extracted bits (shiftright + AND — no second
+# pass over raw vectors). A probe ranks the query's bits against the
+# |cells| packed centroids (broadcast), keeps nprobe cells, and scans
+# only their codes — the same XOR + bit_count + window tail as the flat
+# scan, still entirely inside codegen.
+#
+# Scale: the scan shrinks from |corpus| to ~nprobe/|cells| of the coded
+# table; with label-partitioned packed codes the probed cells become a
+# partition filter (the SQ8/PQ discipline); centroids are |cells| rows.
+# Recall < 1 vs the flat scan by construction — measured by comparing
+# against q_ann_binary_quantized (suite pin), exactly like the IVF-PQ
+# family's read-outs.
+# --------------------------------------------------------------------------
+
+BQ_IVF_NPROBE = 2
+
+
+def _bq_ivf_oracle() -> str:
+    return f"""
+    WITH {_SQL_BQ_BASE_CTES},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cbm AS (SELECT l.label, b.d,
+                   CASE WHEN 2 * SUM(b.b) > COUNT(*) THEN 1 ELSE 0 END AS cb
+            FROM bv b JOIN lbl l ON b.vec_id = l.vec_id
+            GROUP BY l.label, b.d),
+    qb AS (SELECT vec_id AS qid, d, b FROM bv WHERE vec_id < {N_QUERIES}),
+    qcd AS (SELECT q.qid, c.label,
+                   CAST(SUM(CASE WHEN q.b <> c.cb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cdist
+            FROM qb q JOIN cbm c ON q.d = c.d GROUP BY 1, 2),
+    probes AS (SELECT qid, label FROM (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cdist ASC, label) AS prk
+      FROM qcd) WHERE prk <= {BQ_IVF_NPROBE}),
+    hd AS (SELECT q.qid, r.vec_id,
+                  CAST(SUM(CASE WHEN q.b <> r.b THEN 1 ELSE 0 END) AS BIGINT)
+                    AS hamming
+           FROM qb q
+           JOIN bv r ON q.d = r.d AND r.vec_id <> q.qid
+           JOIN lbl l ON r.vec_id = l.vec_id
+           JOIN probes p ON p.qid = q.qid AND p.label = l.label
+           GROUP BY 1, 2)
+    SELECT qid, vec_id AS neighbor_id, hamming, CAST(rk AS INT) AS rk FROM (
+      SELECT qid, vec_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY hamming ASC, vec_id) AS rk
+      FROM hd) WHERE rk <= {TOPK}
+    ORDER BY qid, rk
+    """
+
+
+@register(
+    "q_ann_bq_ivf",
+    _bq_ivf_oracle(),
+    doc="BINARY IVF (the FAISS IndexBinaryIVF shape — the coarse rung "
+    "the flat Hamming scan needs past ~10^8 codes): per-cell MAJORITY-"
+    "bit centroids (ties → 0) trained straight OFF the packed index by "
+    "bit extraction (shiftright + AND — one agg over the coded table, "
+    "no second raw-vector pass), packed and broadcast (|cells| rows); "
+    f"each query probes its {BQ_IVF_NPROBE} Hamming-nearest cells and "
+    "scans ONLY their codes — the same codegen XOR + bit_count tail as "
+    "the flat scan; recall vs the flat scan measured suite-side; "
+    "all-integer, full value oracle.",
+)
+def q_ann_bq_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    t_ = bq_thresholds(emb.select("vec_id", "embedding"))
+    coded = bq_pack(emb, t_)  # keeps label next to the packed bits
+
+    # majority-bit centroids straight off the packed index: per-cell
+    # bit sums via shiftright + AND (64 integer aggs), |cells| rows
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("b0" if d < BQ_HALF else "b1"), d % BQ_HALF)
+            .bitwiseAND(F.lit(1))
+        ).alias(f"s{d}")
+        for d in range(SQ8_DIM)
+    ]
+    occ = coded.groupBy("label").agg(*bit_sums, F.count("*").alias("n"))
+    cells = []
+    for r in occ.collect():  # bounded: |cells| rows
+        cb0 = sum(
+            1 << d for d in range(BQ_HALF) if 2 * int(r[f"s{d}"]) > int(r["n"])
+        )
+        cb1 = sum(
+            1 << (d - BQ_HALF)
+            for d in range(BQ_HALF, SQ8_DIM)
+            if 2 * int(r[f"s{d}"]) > int(r["n"])
+        )
+        cells.append((int(r["label"]), cb0, cb1))
+    cells_df = spark.createDataFrame(
+        cells, "label int, cb0 long, cb1 long"
+    )
+
+    qdf = bq_query_bits(spark, sf_dir, t_)
+    cdist = (
+        F.bit_count(F.expr("qb0 ^ cb0")) + F.bit_count(F.expr("qb1 ^ cb1"))
+    ).alias("cdist")
+    wprobe = Window.partitionBy("qid").orderBy(F.asc("cdist"), F.asc("label"))
+    probes = (
+        F.broadcast(qdf)
+        .crossJoin(F.broadcast(cells_df))  # Q × |cells| rows — tiny
+        .select("qid", "label", "qb0", "qb1", cdist)
+        .withColumn("prk", F.row_number().over(wprobe))
+        .where(F.col("prk") <= BQ_IVF_NPROBE)
+        .select("qid", "label", "qb0", "qb1")
+    )
+    ham = (
+        F.bit_count(F.expr("b0 ^ qb0")) + F.bit_count(F.expr("b1 ^ qb1"))
+    ).alias("hamming")
+    w = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        coded.select(
+            F.col("vec_id").alias("neighbor_id"), "label", "b0", "b1"
+        )
+        .join(F.broadcast(probes), "label")
+        .where(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "neighbor_id", ham)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.col("hamming").cast("bigint").alias("hamming"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
+    )

@@ -188,7 +188,7 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # ==== ROUND-17 PREFIX ===============================================
     # (executes the round-16 rotation plan below / VERDICT r16 item 1)
-    # -- the 15 round-17 additions (never driver-checked; locally green
+    # -- the 16 round-17 additions (never driver-checked; locally green
     #    at sf0.001 AND sf0.01): the delete pair on BOTH persisted PQ
     #    layouts through the parameterized MOR/APPLY bodies (VERDICT r16
     #    missing 1), the persisted BQ index + its grow/compact/health
@@ -197,7 +197,8 @@ _PRIORITY: tuple[str, ...] = (
     #    persisted layouts), the TIME-sliced co-presence stream with
     #    stateful session stitching (missing 3), the dim-columnar
     #    zipper-merge serving query (missing 4), and the filtered-ANN
-    #    pair (pre-filter via partition pruning + post-filter loss) ----
+    #    pair (pre-filter via partition pruning + post-filter loss)
+    #    and binary IVF (majority-bit centroids, Hamming coarse prune) -
     "q_ann_pq_delete_mor",
     "q_pq_delete_compact",
     "q_ann_pq_residual_delete_mor",
@@ -213,6 +214,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sq8_dim_columnar_serve",
     "q_ann_sq8_filtered",
     "q_ann_filtered_postfilter_loss",
+    "q_ann_bq_ivf",
     # -- code or oracle changed this round, so driver-RE-check even
     #    though r16 green: the four SQ8 delete queries moved onto the
     #    generalized _ann_delete_* bodies (keys-table tombstone
@@ -257,10 +259,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_partition_pruned_day",
     "q_compaction_plan",
     "q_table_fingerprint",
-    # -- 3 r11-stale records fill to 50, oldest-first ------------------
+    # -- 2 r11-stale records fill to 50, oldest-first ------------------
     "q_heavy_hitters_2gram",
     "q_dedup_simhash",
-    "q_bm25_topk",
 )
 # The ROUND-16 prefix this replaces (all 50 green in CORRECTNESS_r16.json):
 # the 14 round-16 additions (coarse/residual-grid refresh, dim-columnar

@@ -5150,3 +5150,32 @@ class TestFilteredAnn:
         for r in rows:
             assert r["recall_hits"] <= r["n_returned"] <= r["recall_possible"]
         assert rows[0]["n_returned"] < rows[0]["recall_possible"]
+
+
+class TestBqIvf:
+    """Round-17: binary IVF (operators/similarity.py:q_ann_bq_ivf)."""
+
+    def test_prune_subsets_flat_scan_and_stays_in_codegen(self, spark, sf_dir):
+        """Every IVF result must exist in the corpus and carry a
+        Hamming distance ≥ the flat scan's k-th best (pruning can only
+        lose candidates, never invent closer ones); the scan keeps the
+        flat twin's plan discipline (no Python eval, no cartesian)."""
+        from tests.test_plans import df_plan
+        from spark_sql_custom_mq_datasource_spark.plans.registry import (
+            QUERIES,
+            get_queries,
+        )
+
+        qs = get_queries()
+        ivf = qs["q_ann_bq_ivf"](spark, sf_dir).collect()
+        flat = qs["q_ann_binary_quantized"](spark, sf_dir).collect()
+        assert ivf
+        flat_best = {}
+        for r in flat:
+            flat_best.setdefault(r["qid"], []).append(r["hamming"])
+        for r in ivf:
+            # the IVF rank-j distance can never beat the flat rank-j
+            assert r["hamming"] >= flat_best[r["qid"]][r["rk"] - 1]
+        p = df_plan(spark, QUERIES["q_ann_bq_ivf"].fn(spark, sf_dir))
+        assert "EvalPython" not in p
+        assert "CartesianProduct" not in p
