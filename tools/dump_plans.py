@@ -490,6 +490,30 @@ SHOWCASE = [
         "reconstructs in absolute space (cq*255 + mn*255 + code*rng) so "
         "queries never re-center per cell.",
     ),
+    (
+        "q_ann_sq8_filtered",
+        "Metadata-filtered ANN (round 17): the predicate's matching "
+        "labels land as a literal IN PartitionFilter on the persisted "
+        "label-partitioned code scan — at 100 TB the metadata filter is "
+        "a directory prune, not a scan+filter; the ranking tail is the "
+        "standard asymmetric numpy scan over only surviving partitions.",
+    ),
+    (
+        "q_sq8_dim_columnar_serve",
+        "Dim-columnar zipper serving (round 17): Range(buckets) feeds "
+        "MapInPandas directly — NO Exchange anywhere before the top-k "
+        "window; each task zips its bucket's 64 co-sorted per-dim "
+        "column files positionally (the groupBy reassembly this "
+        "replaced paid an N·dim shuffle, 64x the logical table).",
+    ),
+    (
+        "q_ann_bq_persisted",
+        "Persisted BQ serving (round 17): one FileScan over the packed "
+        "16-byte/vector coded table (raw embeddings never read), "
+        "XOR + bit_count + window top-k in whole-stage codegen; the "
+        "only BroadcastNestedLoopJoin is the Q-row query-bits "
+        "broadcast — the standard bit-scan shape.",
+    ),
 ]
 
 
