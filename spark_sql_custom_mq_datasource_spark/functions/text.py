@@ -461,25 +461,32 @@ HH_TOP = 20
 
 
 def _mg_partial(k: int):
+    """Per-partition Misra-Gries candidate sketch, BATCHED (guide §4.2):
+    instead of a per-token Python dict loop (interpreted cost per gram
+    occurrence), each Arrow batch collapses to value_counts and merges
+    into the running summary; when the summary exceeds k entries it is
+    pruned by subtracting the (k+1)-th largest residual from everything
+    and dropping <= 0 (the mergeable-summaries MG merge). Recall
+    guarantee unchanged — each prune of `cut` removes >= (k+1)*cut total
+    mass, so per-partition undercount <= n_p/(k+1) and every gram with
+    global frequency > N/k still reaches at least one summary; the exact
+    recount downstream makes the final result identical either way."""
+    import numpy as np
     import pandas as pd
 
     def summarize(pdfs):
-        counters: dict[str, int] = {}
+        acc = None  # pd.Series: gram -> residual count
         for pdf in pdfs:
-            for g in pdf["gram"]:
-                if g in counters:
-                    counters[g] += 1
-                elif len(counters) < k:
-                    counters[g] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"gram": list(counters) or []}, dtype="object")
+            vc = pdf["gram"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                vals = acc.to_numpy()
+                cut = np.partition(vals, len(vals) - (k + 1))[
+                    len(vals) - (k + 1)
+                ]
+                acc = acc[acc > cut] - cut
+        grams = [] if acc is None else list(acc.index)
+        yield pd.DataFrame({"gram": grams or []}, dtype="object")
 
     return summarize
 

@@ -1024,29 +1024,50 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gated = gated.persist(StorageLevel.DISK_ONLY)
 
+    # Stage boundaries carry SURVIVOR ID-SETS through eager
+    # localCheckpoints (the snapshot_diff discipline — executor-side
+    # blocks, GC-reclaimed, nothing outlives the query). Without them,
+    # every downstream stage re-derives its predecessors' subtrees per
+    # consumer and the composed plan goes multiplicative — measured
+    # 4,322 plan lines / 94 SortMergeJoins at r16 HEAD, with Catalyst
+    # re-optimizing the duplicated gate/dedup/PPJoin branches on every
+    # reference. The id-sets are 1-column doc_id tables (the §8
+    # "decide with small rows" shape: bytes per survivor, never the
+    # text), each stage's row content re-reads the ONE persisted gated
+    # slice, and the checkpoint truncates both planning and recompute.
+
     # stage 2: exact dedup (min id per content hash)
     exact_keep = gated.groupBy(F.md5(F.lower("text")).alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    s2 = gated.join(exact_keep.select("doc_id"), "doc_id", "left_semi")
+    s2_ids = exact_keep.select("doc_id").localCheckpoint(eager=True)
+    s2 = gated.join(s2_ids, "doc_id", "left_semi")
 
     # stage 3: near-dup drop over the survivors (PPJoin candidates,
-    # verified Jaccard; the greater member of each pair drops)
+    # verified Jaccard; the greater member of each pair drops).
+    # s2's doc_ids == s2_ids (exact_keep ids are drawn from gated), so
+    # the shingle slice semi-joins the checkpointed id-set directly.
     sets = shingle_sets_cached(spark, sf_dir)
-    sets2 = sets.join(s2.select("doc_id"), "doc_id", "left_semi")
+    sets2 = sets.join(s2_ids, "doc_id", "left_semi")
     pairs = jaccard_pairs_from_sets(sets2, max_shingle_df=None)
     dropd = pairs.select(F.col("db").alias("doc_id")).distinct()
-    s3 = s2.join(dropd, "doc_id", "left_anti")
+    s3_ids = s2_ids.join(dropd, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    s3 = gated.join(s3_ids, "doc_id", "left_semi")
 
     # stage 4: decontamination vs the eval slice of the FULL corpus
     eval_sets = sets.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
-    train_sets = sets.join(s3.select("doc_id"), "doc_id", "left_semi")
+    train_sets = sets.join(s3_ids, "doc_id", "left_semi")
     flagged = (
         decontaminate_pairs(train_sets, eval_sets)
         .select("doc_id")
         .distinct()
     )
-    s4 = s3.join(flagged, "doc_id", "left_anti")
+    s4_ids = s3_ids.join(flagged, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    s4 = gated.join(s4_ids, "doc_id", "left_semi")
 
     # stage 5: chunk the final corpus and inventory per source
     chunks_per_doc = (

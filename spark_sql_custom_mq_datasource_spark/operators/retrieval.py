@@ -109,6 +109,13 @@ def bm25_topk(
         .join(F.broadcast(qt), "t")
         .groupBy("doc_id", "dl", "t")
         .agg(F.count("*").alias("tf"))
+        # Materialize the query-term postings ONCE: score_postings reads
+        # this subtree twice (df aggregate + scoring join), and without a
+        # boundary each consumer re-runs the corpus explode + broadcast
+        # cut + groupBy — the expensive pass, paid 2x (r16 plan: two
+        # full token-stream branches). The checkpointed slice is
+        # O(query-term postings) rows — bytes at any corpus scale.
+        .localCheckpoint(eager=True)
     )
     return score_postings(tf, stats, queries, k=k, k1=k1, b=b, exclude_self=exclude_self)
 

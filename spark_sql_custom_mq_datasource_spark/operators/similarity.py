@@ -803,17 +803,48 @@ def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     )
 
 
-def kmeans_assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
-    """(vec_id, cid): nearest (max-cosine) centroid, ties to lowest cid."""
-    from .dedup import dot
+def _kmeans_best_struct(cents: list) -> Column:
+    """struct(sim, negcid) of the nearest (max-cosine) centroid for the
+    `vu` column, ties to lowest cid — the argmax as ONE stateless
+    projection over centroid LITERALS (the q_stream_kmeans_assign shape,
+    whose equivalence to the window form is driver-checked against the
+    same oracle). The r16 form crossJoined a broadcast centroid table and
+    ranked with a per-vec_id window — an n·K-row exchange PER Lloyd round
+    that at 100 TB shuffles K× the corpus for what is a map-side argmax
+    (guide §2.4: remove shuffles outright). Sims are the identical
+    sequential zip_with/aggregate fold, so the chosen cid is bit-for-bit
+    the window result; array_max's struct ordering is (sim, negcid) —
+    max sim, ties to the LOWEST cid, matching ORDER BY sim DESC, cid."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(-cid).alias("negcid"),
+                F.array(*[F.lit(float(v)) for v in cu]).alias("cu"),
+            )
+            for cid, cu in cents
+        ]
+    )
+    sims = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("vu"), c["cu"], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("sim"),
+            c["negcid"].alias("negcid"),
+        ),
+    )
+    return F.array_max(sims)
 
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        emb.crossJoin(F.broadcast(cdf))
-        .withColumn("sim", dot(F.col("vu"), F.col("cu")))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cid")
+
+def kmeans_assign(emb: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, cid): nearest (max-cosine) centroid, ties to lowest cid.
+    Pure projection — no join, no window (see _kmeans_best_struct)."""
+    if not cents:
+        return emb.select("vec_id", F.lit(0).alias("cid")).where(F.lit(False))
+    return emb.select(
+        "vec_id", (-_kmeans_best_struct(cents)["negcid"]).cast("int").alias("cid")
     )
 
 
@@ -853,10 +884,14 @@ def _kmeans_loop(
 
     dims = range(KMEANS_DIM)
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "cid int, cu array<double>")
-        assigned = kmeans_assign(vecs, cdf)
+        if not cents:  # empty corpus: nothing to assign or update
+            break
+        # assignment is a PROJECTION on vecs (no crossJoin, no window, no
+        # join-back): each round is one scan + one |K|-row shuffle
         means = (
-            vecs.join(assigned, "vec_id")
+            vecs.withColumn(
+                "cid", (-_kmeans_best_struct(cents)["negcid"]).cast("int")
+            )
             .groupBy("cid")
             .agg(
                 *[
@@ -883,8 +918,7 @@ def semantic_kmeans(
 ) -> DataFrame:
     """(vec_id, cid) after `iters` Lloyd rounds. emb: (vec_id, embedding)."""
     vecs, cents = _kmeans_loop(spark, emb, k, iters)
-    cdf = spark.createDataFrame(cents, "cid int, cu array<double>")
-    return kmeans_assign(vecs, cdf)
+    return kmeans_assign(vecs, cents)
 
 
 @register(
@@ -954,17 +988,21 @@ def _kmeans_apply_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> st
     "keep-list a semantic pruner would LEFT ANTI against the corpus.",
 )
 def q_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import dot
-
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     vecs, cents = _kmeans_loop(spark, emb)  # ONE loop: assignment + centroids
-    cdf = spark.createDataFrame(cents, "cid int, cu array<double>")
-    assigned = kmeans_assign(vecs, cdf)
+    if not cents:  # empty corpus: no clusters, no representatives
+        return spark.createDataFrame(
+            [], "cid int, n_vectors bigint, keeper_id long, sim_q20 bigint"
+        )
+    # cid AND its sim come from the SAME argmax projection — the two
+    # join-backs (assignment->vu, assignment->centroid) the r16 form paid
+    # to recompute dot(vu, cu) are gone; sim is the identical fold value.
+    best = _kmeans_best_struct(cents)
     w = Window.partitionBy("cid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    scored = (
-        assigned.join(vecs.select("vec_id", "vu"), "vec_id")
-        .join(F.broadcast(cdf), "cid")
-        .withColumn("sim", dot(F.col("vu"), F.col("cu")))
+    scored = vecs.select(
+        "vec_id",
+        (-best["negcid"]).cast("int").alias("cid"),
+        best["sim"].alias("sim"),
     )
     return (
         scored.withColumn("n_vectors", F.count("*").over(Window.partitionBy("cid")))
@@ -4150,21 +4188,35 @@ def sq8_topk(
     qids = np.asarray([q[0] for q in queries_eq], dtype=np.int64)
     qs = np.asarray([q[1] for q in queries_eq], dtype=np.int64) * levels
 
+    # ||q||^2 once, outside the batch loop; the per-batch distance matrix
+    # is q2 - 2 q.r + r2 — ONE int64 matmul instead of Q broadcast-subtract
+    # passes over the batch (identical ints: int64 arithmetic is mod-2^64,
+    # and the true squared distance fits int64, so the decomposition and
+    # the direct (q-r)^2 sum agree bit-for-bit)
+    q2 = np.einsum("ij,ij->i", qs, qs) if len(qs) else qs.reshape(0)
+
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             recon = mn_a * levels + codes * rng_a  # (n, dim) int64
+            r2 = np.einsum("ij,ij->i", recon, recon)
+            dist_all = q2[:, None] + r2[None, :] - 2 * (qs @ recon.T)
+            parts = []
             for qi in range(len(qids)):
-                diff = qs[qi][None, :] - recon  # exact int64
-                dist = (diff * diff).sum(axis=1)
                 mask = ids != qids[qi]
-                d, cid = dist[mask], ids[mask]
+                d, cid = dist_all[qi][mask], ids[mask]
                 if len(cid) == 0:
                     continue
                 order = np.lexsort((cid, d))[:k]
+                parts.append((np.full(len(order), qids[qi]), cid[order], d[order]))
+            if parts:  # ONE Arrow batch back per input batch, not Q
                 yield pd.DataFrame(
-                    {"qid": qids[qi], "neighbor_id": cid[order], "dist": d[order]}
+                    {
+                        "qid": np.concatenate([p[0] for p in parts]),
+                        "neighbor_id": np.concatenate([p[1] for p in parts]),
+                        "dist": np.concatenate([p[2] for p in parts]),
+                    }
                 )
 
     schema = StructType(

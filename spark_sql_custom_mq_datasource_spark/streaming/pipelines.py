@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import uuid
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2122,7 +2123,15 @@ def _register_stream_split_route() -> None:
                 t_quar,
                 batch_id,
             )
-            if batch_id == 0:  # redelivery is a no-op on each sink
+            # redelivery is a no-op on each sink — a correctness exercise,
+            # not part of the routing fold's cost; bench runs exclude it
+            # via the same env gate the incremental-dedup fold uses
+            # (ADVICE r09 item 1), correctness runs keep it ON
+            import os as _os
+
+            if batch_id == 0 and (
+                _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0"
+            ):
                 assert (
                     append_snapshot(
                         scored.where("ok").select("doc_id", "n_tokens"),
@@ -2187,23 +2196,39 @@ def _register_stream_debounce() -> None:
     gap_us = DEBOUNCE_GAP_S * 1_000_000
 
     def fold(key: tuple, pdfs, state: GroupState):
+        # Vectorized per-key body (guide §4.2): the fold runs once per
+        # (user, type) key per micro-batch — tens of thousands of calls
+        # per drain — so per-call pandas overhead (concat + sort_values +
+        # a per-row Python loop) dominated the stateful stage. numpy
+        # lexsort + one diff-against-previous comparison computes the
+        # identical kept/dropped split: an event is KEPT iff it starts a
+        # burst (no prior event, or gap > gap_us from the PREVIOUS event
+        # in (tsu, event_id) order — `last` advances every event).
         last, kept, dropped = (
             state.get if state.exists else (None, 0, 0)
         )
-        frames = [pdf for pdf in pdfs]
-        rows = (
-            pd.concat(frames)
-            if frames
-            else pd.DataFrame({"tsu": [], "event_id": []})
-        )
-        rows = rows.sort_values(["tsu", "event_id"])
-        for tsu in rows["tsu"]:
-            tsu = int(tsu)
-            if last is None or tsu - last > gap_us:
-                kept += 1
-            else:
-                dropped += 1
-            last = tsu
+        tsu_parts, eid_parts = [], []
+        for pdf in pdfs:  # single pass: pdfs is a one-shot iterator
+            tsu_parts.append(pdf["tsu"].to_numpy(np.int64))
+            eid_parts.append(pdf["event_id"].to_numpy(np.int64))
+        tsu = (
+            np.concatenate(tsu_parts) if len(tsu_parts) > 1 else tsu_parts[0]
+        ) if tsu_parts else np.empty(0, np.int64)
+        if tsu.size:
+            eid = (
+                np.concatenate(eid_parts)
+                if len(eid_parts) > 1
+                else eid_parts[0]
+            )
+            order = np.lexsort((eid, tsu))
+            ts = tsu[order]
+            prev = np.empty_like(ts)
+            prev[0] = ts[0] - gap_us - 1 if last is None else last
+            prev[1:] = ts[:-1]
+            n_new = int(np.count_nonzero(ts - prev > gap_us))
+            kept += n_new
+            dropped += ts.size - n_new
+            last = int(ts[-1])
         state.update((last, int(kept), int(dropped)))
         yield pd.DataFrame(
             {
