@@ -861,17 +861,18 @@ def _kmeans_loop(
     eq = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("double")
     )
-    # quantize/normalize once behind barriers (the IVF discipline: the
-    # fold-per-pair form would re-inline the 64-dim transforms otherwise)
+    # quantize once behind ONE barrier (the IVF discipline: projection
+    # collapse would re-inline the 64-dim transform into every reference
+    # otherwise). Above the exchange, `eq` is a materialized column, so
+    # normalized() references a column read — no re-inlining — and the
+    # r16 second repartition was a redundant second shuffle (guide §2.4).
     base = (
         emb.select("vec_id", eq.alias("eq"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
     from .dedup import normalized
 
-    vecs = base.select("vec_id", "eq", normalized(F.col("eq")).alias("vu")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    vecs = base.select("vec_id", "eq", normalized(F.col("eq")).alias("vu"))
     # DISK_ONLY like the module's other array-heavy persists: every Lloyd
     # round reads vecs twice (assign + update); on-heap caching of the
     # n x 2*dim double arrays would tax unrelated queries with GC pressure
@@ -2786,13 +2787,13 @@ def pq_probe_tables(
     q: DataFrame, cdf: DataFrame, cells: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """The query-side tables of every raw-PQ IVF probe: the coarse prune
-    against the persisted cell centroids (probes: qid, label —
-    localCheckpoint'd since every caller reuses it at least twice) and
-    the Q·M·K ADC lookup (qd — broadcast). The raw twin of
-    residual_probe_tables, shared by the persisted serving path and the
-    delete family. q: (qid, m, qsv)."""
+    against the persisted cell centroids (probes: qid, label — a bounded
+    collect rebuilt as a local relation, since every caller reuses it at
+    least twice) and the Q·M·K ADC lookup (qd — broadcast). The raw twin
+    of residual_probe_tables, shared by the persisted serving path and
+    the delete family. q: (qid, m, qsv)."""
     wprobe = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("label"))
-    probes = (
+    probes_plan = (
         F.broadcast(q)
         .join(F.broadcast(cells), "m")
         .select("qid", "label", "m", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
@@ -2801,7 +2802,15 @@ def pq_probe_tables(
         .withColumn("prk", F.row_number().over(wprobe))
         .where(F.col("prk") <= IVFPQ_NPROBE)
         .select("qid", "label")
-        .localCheckpoint(eager=True)  # reused: literal filter + equi-join
+    )
+    # Bounded by contract: ≤ Q·nprobe rows. Collect ONCE and rebuild as a
+    # local relation — every caller reuses probes at least twice (the
+    # equi-join build side AND the label partition filter), and the r16
+    # eager localCheckpoint + a separate distinct().collect() paid two
+    # extra jobs for what is a driver-resident table (guide §2.4; the
+    # MAX_COLLECTED_QUERIES bounded-collect discipline).
+    probes = q.sparkSession.createDataFrame(
+        probes_plan.collect(), probes_plan.schema
     )
     qd = (
         F.broadcast(q)
@@ -3331,12 +3340,12 @@ def residual_probe_tables(
     q: DataFrame, rcdf: DataFrame, cells: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """The query-side tables of every residual ADC probe: the coarse
-    prune against the INT cell centroids (probes: qid, label —
-    localCheckpoint'd since every caller reuses it at least twice) and
-    the per-(query, probed cell) residualized ADC lookup (rqd:
-    Q·nprobe·M·K rows — broadcast). q: (qid, m, qsv)."""
+    prune against the INT cell centroids (probes: qid, label — a bounded
+    collect rebuilt as a local relation, since every caller reuses it at
+    least twice) and the per-(query, probed cell) residualized ADC
+    lookup (rqd: Q·nprobe·M·K rows — broadcast). q: (qid, m, qsv)."""
     wprobe = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("label"))
-    probes = (
+    probes_plan = (
         F.broadcast(q)
         .join(F.broadcast(cells), "m")
         .select("qid", "label", "m", _pq_l2(F.col("qsv"), F.col("cu")).alias("dd"))
@@ -3345,7 +3354,11 @@ def residual_probe_tables(
         .withColumn("prk", F.row_number().over(wprobe))
         .where(F.col("prk") <= IVFPQ_NPROBE)
         .select("qid", "label")
-        .localCheckpoint(eager=True)  # reused: literal filter + equi-join
+    )
+    # Bounded by contract: ≤ Q·nprobe rows — collected once and rebuilt
+    # as a local relation (see pq_probe_tables; same two-job saving).
+    probes = q.sparkSession.createDataFrame(
+        probes_plan.collect(), probes_plan.schema
     )
     qr = (
         F.broadcast(probes)
@@ -4132,11 +4145,19 @@ SQ8_LEVELS = 255  # codes 0..255 via (e - mn) * 255 div rng
 SQ8_DIM = 64
 
 
-def sq8_stats(emb: DataFrame, dim: int = SQ8_DIM) -> tuple[list[int], list[int]]:
+def sq8_stats(
+    emb: DataFrame, dim: int = SQ8_DIM, queries_below: int | None = None
+) -> tuple[list[int], list[int]] | tuple[list[int], list[int], list]:
     """Per-dimension (mn, rng) on the Q20 integer grid, one corpus scan.
 
     rng is floored at 1 so constant dimensions encode to 0 instead of
-    dividing by zero. Bounded driver transfer: 2*dim int64 cells."""
+    dividing by zero. Bounded driver transfer: 2*dim int64 cells.
+
+    queries_below: when set, the SAME scan also collects the query
+    vectors (vec_id < queries_below — bounded by contract) as a
+    collect_list aggregate, and a third element with the
+    _collect_query_eq-shaped (vec_id, eq) list is returned — one corpus
+    pass instead of two (guide §2.4)."""
     eqd = [
         F.floor(F.element_at("embedding", d + 1).cast("double") * QUANT + F.lit(0.5))
         .cast("bigint")
@@ -4145,10 +4166,29 @@ def sq8_stats(emb: DataFrame, dim: int = SQ8_DIM) -> tuple[list[int], list[int]]
     aggs = [F.min(eqd[d]).alias(f"mn{d}") for d in range(dim)] + [
         F.max(eqd[d]).alias(f"mx{d}") for d in range(dim)
     ]
+    if queries_below is not None:
+        aggs.append(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("vec_id") < queries_below,
+                        F.struct("vec_id", "embedding"),
+                    )
+                )
+            ).alias("qrows")
+        )
     row = emb.agg(*aggs).collect()[0]
     mn = [int(row[f"mn{d}"]) for d in range(dim)]
     rng = [max(int(row[f"mx{d}"]) - mn[d], 1) for d in range(dim)]
-    return mn, rng
+    if queries_below is None:
+        return mn, rng
+    queries = []
+    for r in row["qrows"]:
+        eq = np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * QUANT + 0.5
+        ).astype(np.int64)
+        queries.append((int(r["vec_id"]), [int(v) for v in eq]))
+    return mn, rng, queries
 
 
 def sq8_encode(
@@ -4297,11 +4337,9 @@ _SQL_SQ8_CTES = f"""
 )
 def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    mn, rng = sq8_stats(emb)
+    # the query vectors ride the stats scan (one corpus pass, not two)
+    mn, rng, queries = sq8_stats(emb, queries_below=N_QUERIES)
     coded = sq8_encode(emb, mn, rng)
-    queries = _collect_query_eq(
-        t(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
-    )
     return sq8_topk(coded, queries, mn, rng, TOPK).orderBy("qid", "rk")
 
 

@@ -445,6 +445,60 @@ def append_snapshot(
     )
 
 
+def append_file_dir(
+    table: str, src_dir: str | None, batch_id: int, max_retries: int = 5
+) -> int | None:
+    """Register an ALREADY-WRITTEN directory of parquet files as a new
+    snapshot: the files are MOVED (one rename) under the table and the
+    commit is metadata-only. This is append_snapshot's exactly-once /
+    rebase contract minus the per-sink Spark write — the multi-sink
+    routing path writes ONE dataset partitioned by destination and
+    registers each partition directory with its sink's manifest, so N
+    sinks cost one write job instead of N (guide §2.4). A missing or
+    None src_dir commits an empty file list (the batch had no rows for
+    this sink) so redelivery stays a no-op."""
+    batch_dir: str | None = None
+    new_files: list = []
+    for _ in range(max_retries):
+        base = _observed_version(table)
+        if base is not None:
+            m = read_manifest(table, base)
+            if batch_id in m.get("batches", []):
+                return None  # exactly-once: this batch already committed
+            old_files = m["files"]
+            old_batches = m.get("batches", [])
+        else:
+            old_files, old_batches = [], []
+
+        if batch_dir is None:  # move data once; rebases are metadata-only
+            if src_dir and os.path.isdir(src_dir):
+                batch_dir = os.path.join(table, "data", uuid.uuid4().hex[:12])
+                os.makedirs(os.path.dirname(batch_dir), exist_ok=True)
+                os.rename(src_dir, batch_dir)
+                new_files = [
+                    {"path": os.path.relpath(os.path.join(root, n), table)}
+                    for root, _, names in os.walk(batch_dir)
+                    for n in names
+                    if n.endswith(".parquet")
+                ]
+            else:
+                batch_dir = ""  # empty side: metadata-only batch marker
+        try:
+            return _commit(
+                table,
+                {
+                    "files": old_files + new_files,
+                    "batches": old_batches + [batch_id],
+                },
+                base,
+            )
+        except CommitConflict:
+            continue  # rebase on the winner and retry
+    raise CommitConflict(
+        f"file-dir append of batch {batch_id} lost {max_retries} commit races"
+    )
+
+
 def read_append_table(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:

@@ -2109,38 +2109,48 @@ def _register_stream_split_route() -> None:
             letters * 16 <= F.size(toks) * _MAX_MEAN_WORD_LEN_X16
         )
 
+        from ..sources.manifest import append_file_dir
+
         def route(bdf: DataFrame, batch_id: int) -> None:
-            scored = bdf.select(
-                "doc_id", F.size(toks).alias("n_tokens"), gate.alias("ok")
-            ).persist()  # one gate evaluation feeds both sinks
-            append_snapshot(
-                scored.where("ok").select("doc_id", "n_tokens"),
-                t_accept,
-                batch_id,
+            import os as _os
+            import shutil as _shutil
+
+            # ONE gate evaluation, ONE write: the batch is written once
+            # partitioned by destination, then each partition directory
+            # is registered with its sink's manifest as a metadata-only
+            # commit (append_file_dir) — the r16 shape persisted the
+            # scored batch and ran a separate Spark write per sink, so
+            # every trigger paid N sink write jobs for one routing pass
+            # (guide §2.4: N sinks, one data move).
+            staging = _os.path.join(root, "staging", f"b{batch_id}")
+            _shutil.rmtree(staging, ignore_errors=True)
+            (
+                bdf.select(
+                    "doc_id",
+                    F.size(toks).alias("n_tokens"),
+                    F.when(gate, F.lit("accept"))
+                    .otherwise(F.lit("quarantine"))
+                    .alias("dest"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("dest")
+                .parquet(staging)
             )
-            append_snapshot(
-                scored.where(~F.col("ok")).select("doc_id", "n_tokens"),
-                t_quar,
-                batch_id,
+            append_file_dir(
+                t_accept, _os.path.join(staging, "dest=accept"), batch_id
+            )
+            append_file_dir(
+                t_quar, _os.path.join(staging, "dest=quarantine"), batch_id
             )
             # redelivery is a no-op on each sink — a correctness exercise,
             # not part of the routing fold's cost; bench runs exclude it
             # via the same env gate the incremental-dedup fold uses
             # (ADVICE r09 item 1), correctness runs keep it ON
-            import os as _os
-
             if batch_id == 0 and (
                 _os.environ.get("SPARK_GRAFT_REDELIVERY_EXERCISE") != "0"
             ):
-                assert (
-                    append_snapshot(
-                        scored.where("ok").select("doc_id", "n_tokens"),
-                        t_accept,
-                        batch_id,
-                    )
-                    is None
-                )
-            scored.unpersist()
+                assert append_file_dir(t_accept, None, batch_id) is None
+            _shutil.rmtree(staging, ignore_errors=True)
 
         q = (
             stream.writeStream.foreachBatch(route)
