@@ -122,26 +122,50 @@ def run_to_table(
     df: DataFrame,
     output_mode: str,
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a finite streaming DataFrame via Trigger.AvailableNow into a
-    memory sink; return the sink contents as a batch DataFrame."""
+    memory sink; return the sink contents as a batch DataFrame.
+
+    ``state_partitions``: optional override of ``spark.sql.shuffle.partitions``
+    for the duration of the drain. The shuffle-partition count at stream START
+    pins the number of state partitions — one RocksDB instance each — for the
+    checkpoint's lifetime, and every micro-batch pays a FIXED per-instance
+    update/commit cost (measured ~0.4-1.0 s/partition/batch at sf0.1)
+    regardless of how little state the instance holds. Callers whose total
+    state is small and bounded pass a value derived from
+    ``defaultParallelism`` so the instance count tracks state volume instead
+    of defaulting to one instance per core (guide §2.2: partition count must
+    match the data, not the machine). Results are invariant to the setting —
+    it only shards the state rows. The session value is restored after the
+    drain; the stream itself keeps the cloned conf it captured at start."""
     configure_state_store(spark)
     name = "strm_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _ckpt("run_to_table"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    restore: str | None = None
+    if state_partitions is not None:
+        restore = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(f"streaming query {name} did not drain in {timeout_sec}s")
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ckpt("run_to_table"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"streaming query {name} did not drain in {timeout_sec}s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        if restore is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore)
     return spark.table(name)
 
 
@@ -2404,7 +2428,21 @@ def _register_stream_debounce() -> None:
         updates = bucketed.groupBy("bucket").applyInPandasWithState(
             fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
-        out = run_to_table(spark, updates, "update")
+        # State-partition count tracks the (bounded) state volume, not the
+        # core count: with B = 8x parallelism buckets, parallelism/4
+        # partitions keep ~32 buckets per RocksDB instance, amortizing the
+        # fixed per-instance per-batch update/commit cost 4x better than
+        # one instance per core (measured at sf0.1/local[32]: 19.0 s drain
+        # at 32 state partitions vs 6.8 s at 8, identical rows; the fold
+        # work per batch is microseconds, so instance overhead dominated).
+        # Scales with SPARK_GRAFT_CPUS / cluster parallelism, not a local
+        # constant (guide §2.2).
+        out = run_to_table(
+            spark,
+            updates,
+            "update",
+            state_partitions=max(1, spark.sparkContext.defaultParallelism // 4),
+        )
         # kept/dropped are monotone per key; the max update is converged
         conv = out.groupBy("user_id", "event_type").agg(
             F.max("kept").alias("kept"), F.max("dropped").alias("dropped")

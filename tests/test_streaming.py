@@ -109,6 +109,30 @@ class TestRocksDBStateStore:
         out = run_to_table(spark, agg, "complete")
         assert out.count() > 0
 
+    def test_state_partitions_override_restores_conf_same_rows(self, spark):
+        """run_to_table(state_partitions=N) pins N state partitions for the
+        drain (one RocksDB instance each — the r17 fix for per-instance
+        fixed cost dwarfing tiny state), restores the session's
+        shuffle-partition setting afterwards, and leaves the drained rows
+        identical to the default-partitioning drain."""
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            events_stream,
+            run_to_table,
+        )
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        agg = events_stream(spark, SF).groupBy("event_type").count()
+        base = sorted(map(tuple, run_to_table(spark, agg, "complete").collect()))
+        agg2 = events_stream(spark, SF).groupBy("event_type").count()
+        got = sorted(
+            map(
+                tuple,
+                run_to_table(spark, agg2, "complete", state_partitions=2).collect(),
+            )
+        )
+        assert got == base
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
 
 class TestRocksDBRecovery:
     def test_state_survives_restart_under_rocksdb(self, spark):
