@@ -169,6 +169,23 @@ def run_to_table(
     return spark.table(name)
 
 
+def small_state_parts(spark: SparkSession) -> int:
+    """``state_partitions`` value for drains whose TOTAL state is small and
+    bounded by the operator's construction — a fixed shard count or a
+    few-key domain (event types, sources, langs, calendar windows) — so the
+    per-RocksDB-instance fixed update/commit cost dominates the fold work.
+    Measured at sf0.1/local[32] (tools/probe_state_parts.py, warm draws):
+    parallelism//4 = 8 instances reads 1.4-1.8x faster than one instance
+    per core and 5-6x faster than the vanilla-session conf default of 200
+    (e.g. q_stream_table_fingerprint 5.5 s @32 / 18.1 s @200 / 3.0 s @8).
+    Derived from cluster parallelism, not a local constant (guide §2.2);
+    results are invariant — the value only shards the state map. Streams
+    whose state grows with the data (stream-stream joins, dedup state,
+    per-user folds, vocabulary counts) deliberately do NOT use this: at
+    scale they need the full stateful-stage parallelism."""
+    return max(1, spark.sparkContext.defaultParallelism // 4)
+
+
 # --------------------------------------------------------------------------
 # 1. Tumbling window, complete mode — bit-identical to the batch window agg.
 # --------------------------------------------------------------------------
@@ -193,7 +210,9 @@ def q_stream_tumbling_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"))
     )
-    out = run_to_table(spark, agg, "complete")
+    out = run_to_table(
+        spark, agg, "complete", state_partitions=small_state_parts(spark)
+    )
     return out.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
@@ -232,7 +251,9 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"))
     )
-    out = run_to_table(spark, agg, "append")
+    out = run_to_table(
+        spark, agg, "append", state_partitions=small_state_parts(spark)
+    )
     return out.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
@@ -279,7 +300,9 @@ def q_stream_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
         )
     )
-    out = run_to_table(spark, agg, "complete")
+    out = run_to_table(
+        spark, agg, "complete", state_partitions=small_state_parts(spark)
+    )
     return out.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "cnt",
@@ -465,7 +488,9 @@ def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
-    out = run_to_table(spark, updates, "update")
+    out = run_to_table(
+        spark, updates, "update", state_partitions=small_state_parts(spark)
+    )
     # multiple micro-batches would emit one update per key per batch; the
     # final (max-cnt) update per key is the converged value.
     return (
@@ -634,7 +659,9 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
         )
     )
-    return run_to_table(spark, joined, "complete").orderBy("segment")
+    return run_to_table(
+        spark, joined, "complete", state_partitions=small_state_parts(spark)
+    ).orderBy("segment")
 
 
 # --------------------------------------------------------------------------
@@ -674,7 +701,9 @@ def q_stream_mq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_event_id"),
         F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
     )
-    return run_to_table(spark, agg, "complete").orderBy("event_type")
+    return run_to_table(
+        spark, agg, "complete", state_partitions=small_state_parts(spark)
+    ).orderBy("event_type")
 
 
 # --------------------------------------------------------------------------
@@ -1238,7 +1267,9 @@ def _register_stream_quality_gate() -> None:
             ).alias("accept"),
         )
         counts = gated.groupBy("lang", "accept").agg(F.count("*").alias("n_docs"))
-        return run_to_table(spark, counts, "complete").orderBy("lang", "accept")
+        return run_to_table(
+            spark, counts, "complete", state_partitions=small_state_parts(spark)
+        ).orderBy("lang", "accept")
 
 
 _register_stream_quality_gate()
@@ -2441,7 +2472,7 @@ def _register_stream_debounce() -> None:
             spark,
             updates,
             "update",
-            state_partitions=max(1, spark.sparkContext.defaultParallelism // 4),
+            state_partitions=small_state_parts(spark),
         )
         # kept/dropped are monotone per key; the max update is converged
         conv = out.groupBy("user_id", "event_type").agg(
@@ -2974,7 +3005,9 @@ def _register_stream_source_quota() -> None:
         admitted = stream.groupBy("source").applyInPandasWithState(
             fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
-        out = run_to_table(spark, admitted, "update")
+        out = run_to_table(
+            spark, admitted, "update", state_partitions=small_state_parts(spark)
+        )
         return out.select("doc_id", "source").orderBy("source", "doc_id")
 
 
@@ -3144,7 +3177,9 @@ def _register_stream_anomaly() -> None:
         updates = stream.groupBy("event_type").applyInPandasWithState(
             fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
-        out = run_to_table(spark, updates, "update")
+        out = run_to_table(
+            spark, updates, "update", state_partitions=small_state_parts(spark)
+        )
         # each (type, day) is emitted exactly once (its day-complete batch)
         return (
             out.select(
@@ -3265,7 +3300,9 @@ def stream_heavy_hitters(
             GroupStateTimeout.NoTimeout,
         )
     )
-    out = run_to_table(spark, updates, "update")
+    out = run_to_table(
+        spark, updates, "update", state_partitions=small_state_parts(spark)
+    )
     # keep each shard's LAST summary (a shard may skip a trigger, so seqs
     # differ per shard); per-shard window over the bounded summary table
     mx = F.max("seq").over(Window.partitionBy("shard"))
@@ -3425,7 +3462,9 @@ def q_stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fp_fold, _FP_OUT, _FP_STATE, "update", GroupStateTimeout.NoTimeout
         )
     )
-    out = run_to_table(spark, updates, "update")
+    out = run_to_table(
+        spark, updates, "update", state_partitions=small_state_parts(spark)
+    )
     # last update per source = converged value (n_rows is monotone)
     mx = F.max("n_rows").over(Window.partitionBy("source"))
     return (
