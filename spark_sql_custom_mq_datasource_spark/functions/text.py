@@ -386,43 +386,59 @@ GOPHER_MWL_MAX_Q20 = 6 * 1048576
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tp(spark, sf_dir, "documents")
     q20 = F.lit(1048576.0)
-    # 2-gram repetition: per-row HOF, no shuffle
-    g2 = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
-            " i -> concat(split(trim(text), ' ')[i], ' ',"
-            "             split(trim(text), ' ')[i+1]))"
-        ).alias("g2"),
-    ).where(F.size("g2") > 0)
-    rep2 = g2.select(
-        "doc_id",
-        F.floor(
-            (F.size("g2") - F.size(F.array_distinct("g2"))) * q20 / F.size("g2")
-            + F.lit(0.5)
+    # Every metric is a PER-ROW function of the doc's own tokens (the
+    # shape the streaming twin and the pipeline gate already use): the
+    # 2-gram repetition is an array HOF, the word count is size(), the
+    # top-word count is the max run length of the SORTED token array,
+    # and the mean-word-length numerator is a fold. The explode +
+    # groupBy(doc_id, w) + groupBy(doc_id) + doc_id self-join of the
+    # grouped form collapse into one projection — two corpus shuffles
+    # and a join removed; integers identical to the grouped form by
+    # construction (same token multiset, same double quantization).
+    g2 = F.expr(
+        "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+        " i -> concat(split(trim(text), ' ')[i], ' ',"
+        "             split(trim(text), ' ')[i+1]))"
+    )
+    ws = F.array_sort(F.split(F.trim("text"), " "))
+    run_state = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def run_step(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
-        .cast("bigint")
-        .alias("dup2_q20"),
+
+    top_cnt = F.aggregate(ws, run_state, run_step, lambda acc: acc["best"])
+    len_sum = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
     )
-    # word stats: one corpus shuffle
-    wcnt = (
-        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("n"))
-    )
-    wstat = wcnt.groupBy("doc_id").agg(
-        F.sum("n").cast("bigint").alias("wc"),
-        F.floor(F.max("n") * q20 / F.sum("n") + F.lit(0.5))
-        .cast("bigint")
-        .alias("topword_q20"),
-        F.floor(
-            F.sum(F.col("n") * F.length("w")) * q20 / F.sum("n") + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("mwl_q20"),
-    )
+    wc = F.size(ws).cast("bigint")
     return (
-        wstat.join(rep2, "doc_id")
+        docs.select(
+            "doc_id",
+            wc.alias("wc"),
+            F.floor(
+                (F.size(g2) - F.size(F.array_distinct(g2))) * q20 / F.size(g2)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dup2_q20"),
+            F.floor(top_cnt * q20 / wc + F.lit(0.5))
+            .cast("bigint")
+            .alias("topword_q20"),
+            F.floor(len_sum * q20 / wc + F.lit(0.5))
+            .cast("bigint")
+            .alias("mwl_q20"),
+            F.size(g2).alias("_g2n"),
+        )
+        .where(F.col("_g2n") > 0)
         .select(
             "doc_id",
             "wc",
@@ -470,13 +486,21 @@ def _mg_partial(k: int):
     guarantee unchanged — each prune of `cut` removes >= (k+1)*cut total
     mass, so per-partition undercount <= n_p/(k+1) and every gram with
     global frequency > N/k still reaches at least one summary; the exact
-    recount downstream makes the final result identical either way."""
+    recount downstream makes the final result identical either way.
+
+    Besides the candidate grams, each partition emits ONE trailer row
+    (gram NULL, n = its exact input row count) so the corpus total rides
+    the sketch pass instead of costing a second full explode+count scan
+    (guide §2.4): SUM(n) over the summaries == COUNT(*) over the grams,
+    exactly."""
     import numpy as np
     import pandas as pd
 
     def summarize(pdfs):
         acc = None  # pd.Series: gram -> residual count
+        n_rows = 0
         for pdf in pdfs:
+            n_rows += len(pdf)
             vc = pdf["gram"].value_counts()
             acc = vc if acc is None else acc.add(vc, fill_value=0)
             if len(acc) > k:
@@ -486,7 +510,12 @@ def _mg_partial(k: int):
                 ]
                 acc = acc[acc > cut] - cut
         grams = [] if acc is None else list(acc.index)
-        yield pd.DataFrame({"gram": grams or []}, dtype="object")
+        yield pd.DataFrame(
+            {
+                "gram": pd.Series(grams + [None], dtype="object"),
+                "n": np.array([0] * len(grams) + [n_rows], dtype="int64"),
+            }
+        )
 
     return summarize
 
@@ -495,18 +524,30 @@ def heavy_hitters(grams: DataFrame, top: int = HH_TOP, k: int = MG_K) -> DataFra
     """Exact top-`top` grams among items with frequency > N/k.
 
     grams: a DataFrame with one string column `gram` (one row per
-    occurrence). Phase 1 sketches per partition (mapInPandas, no shuffle);
-    phase 2 recounts ONLY the candidates exactly (semi-join then groupBy —
-    the shuffle is bounded by |candidates|, not |distinct grams|)."""
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    cand = (
-        grams.mapInPandas(
-            _mg_partial(k), StructType([StructField("gram", StringType())])
-        )
-        .distinct()
+    occurrence). Phase 1 sketches per partition (mapInPandas, no shuffle)
+    and carries the exact corpus total in per-partition trailer rows —
+    ONE corpus pass yields both candidates and N, where the previous
+    shape paid a second full explode+count scan for N alone (guide §2.4).
+    Phase 2 recounts ONLY the candidates exactly (semi-join then groupBy —
+    the shuffle is bounded by |candidates|, not |distinct grams|). The
+    sketch output is bounded (partitions x (k+1) rows), so the eager
+    localCheckpoint that lets both consumers read it without re-running
+    the corpus pass is executor-side and tiny."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
-    total = grams.agg(F.count("*").alias("n_total"))
+
+    sketch = grams.mapInPandas(
+        _mg_partial(k),
+        StructType(
+            [StructField("gram", StringType()), StructField("n", LongType())]
+        ),
+    ).localCheckpoint(eager=True)
+    cand = sketch.where(F.col("gram").isNotNull()).select("gram").distinct()
+    total = sketch.agg(F.sum("n").alias("n_total"))
     return (
         grams.join(F.broadcast(cand), "gram")
         .groupBy("gram")

@@ -945,30 +945,21 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tp(spark, sf_dir, "documents")
     q20 = F.lit(1048576.0)
 
-    # stage 1: Gopher gate (same kernels as q_quality_gopher)
-    g2 = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
-            " i -> concat(split(trim(text), ' ')[i], ' ',"
-            "             split(trim(text), ' ')[i+1]))"
-        ).alias("g2"),
-    ).where(F.size("g2") > 0)
-    rep2 = g2.select(
-        "doc_id",
-        F.floor(
-            (F.size("g2") - F.size(F.array_distinct("g2"))) * q20 / F.size("g2")
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("dup2"),
+    # stage 1: Gopher gate (same kernels as q_quality_gopher). Every
+    # metric is a PER-ROW function of the doc's own tokens: the 2-gram
+    # repetition is an array HOF, word stats are folds over the sorted
+    # token array (the max-run-length of a sorted array IS the top word
+    # count). All of them inline into ONE projection over the corpus
+    # scan — the previous shape computed rep2/wstat as separate per-row
+    # projections and doc_id-self-JOINED them back (two SortMergeJoins,
+    # three corpus scans, three exchanges); the fused gate is one scan,
+    # zero exchanges, integers identical by construction. q20 stays
+    # float for the final quantization only.
+    g2 = F.expr(
+        "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+        " i -> concat(split(trim(text), ' ')[i], ' ',"
+        "             split(trim(text), ' ')[i+1]))"
     )
-    # word stats as PER-ROW folds over the sorted token array — the
-    # max-run-length of a sorted array IS the top word count, so the
-    # (doc, word) shuffle and the follow-up doc regroup both vanish
-    # (two corpus exchanges removed from the DAG; integers identical to
-    # the grouped form by construction). q20 stays float for the final
-    # quantization only.
     ws = F.array_sort(F.split(F.trim("text"), " "))
     run_state = F.struct(
         F.lit("").alias("prev"),
@@ -988,27 +979,30 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_sum = F.aggregate(
         ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
     )
-    wstat = docs.select(
-        "doc_id",
-        F.size(ws).cast("bigint").alias("wc"),
-        F.floor(top_cnt * q20 / F.size(ws) + F.lit(0.5))
-        .cast("bigint")
-        .alias("topw"),
-        F.floor(len_sum * q20 / F.size(ws) + F.lit(0.5))
-        .cast("bigint")
-        .alias("mwl"),
-    )
     gated = (
         docs.select(
             "doc_id",
             "source",
             "text",
             F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),
+            F.size(g2).alias("_g2n"),
+            F.floor(
+                (F.size(g2) - F.size(F.array_distinct(g2))) * q20 / F.size(g2)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dup2"),
+            F.size(ws).cast("bigint").alias("wc"),
+            F.floor(top_cnt * q20 / F.size(ws) + F.lit(0.5))
+            .cast("bigint")
+            .alias("topw"),
+            F.floor(len_sum * q20 / F.size(ws) + F.lit(0.5))
+            .cast("bigint")
+            .alias("mwl"),
         )
-        .join(rep2, "doc_id")
-        .join(wstat, "doc_id")
         .where(
-            (F.col("wc") >= GOPHER_MIN_WORDS)
+            (F.col("_g2n") > 0)
+            & (F.col("wc") >= GOPHER_MIN_WORDS)
             & (F.col("dup2") <= GOPHER_DUP2_MAX_Q20)
             & (F.col("topw") <= GOPHER_TOPWORD_MAX_Q20)
             & (F.col("mwl") >= GOPHER_MWL_MIN_Q20)

@@ -1167,3 +1167,23 @@ class TestRound17Plans:
         p = df_plan(spark, probe)
         pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
         assert pf and "label" in pf.group(1) and " IN " in pf.group(1)
+
+
+class TestRound17OptimizationPlans:
+    def test_quality_gopher_fused_one_scan_no_join(self, spark, sf_dir):
+        """r17: all four Gopher metrics are per-row folds over the doc's
+        own tokens — the plan must carry NO join and NO aggregate (the
+        grouped form paid an explode + two hash exchanges + a self-join);
+        the only hash/range exchanges allowed are the loader repartition
+        and the declared ORDER BY."""
+        p = plan(spark, sf_dir, "q_quality_gopher")
+        assert "Join" not in p
+        assert "HashAggregate" not in p and "Generate" not in p
+        assert p.count("Scan parquet") == 2  # tree + detail: ONE scan
+
+    def test_pipeline_gate_fused_no_smj(self, spark, sf_dir):
+        """r17: the end-to-end pipeline's Gopher gate inlines rep2/wstat
+        into the corpus projection — no SortMergeJoin may appear anywhere
+        in the composed plan (r16 HEAD carried 94)."""
+        p = plan(spark, sf_dir, "q_pipeline_end_to_end")
+        assert "SortMergeJoin" not in p

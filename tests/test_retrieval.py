@@ -280,6 +280,36 @@ class TestHeavyHitters:
             (r["gram"], r["cnt"]) for r in sketched
         ]
 
+    def test_sketch_trailer_total_is_exact(self, spark):
+        """The corpus total rides the sketch pass (r17): each partition's
+        trailer row (gram NULL, n = its input row count) must sum to the
+        EXACT grams count, with one trailer per partition."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from spark_sql_custom_mq_datasource_spark.functions.text import (
+            _mg_partial,
+        )
+
+        rows = [(f"g{i % 37}",) for i in range(1000)]
+        grams = spark.createDataFrame(rows, "gram string").repartition(8)
+        sketch = grams.mapInPandas(
+            _mg_partial(10),
+            StructType(
+                [StructField("gram", StringType()), StructField("n", LongType())]
+            ),
+        )
+        agg = sketch.agg(
+            F.sum("n").alias("total"),
+            F.count(F.when(F.col("gram").isNull(), 1)).alias("trailers"),
+        ).collect()[0]
+        assert agg["total"] == 1000
+        assert agg["trailers"] == 8
+
 
 class TestPersistedLSHIndex:
     def test_persisted_probe_matches_in_memory_path(self, spark, sf_dir):
