@@ -182,8 +182,48 @@ def small_state_parts(spark: SparkSession) -> int:
     results are invariant — the value only shards the state map. Streams
     whose state grows with the data (stream-stream joins, dedup state,
     per-user folds, vocabulary counts) deliberately do NOT use this: at
-    scale they need the full stateful-stage parallelism."""
+    scale they need the full stateful-stage parallelism — they derive
+    their count from the feed's volume instead (volume_state_parts)."""
     return max(1, spark.sparkContext.defaultParallelism // 4)
+
+
+VOLUME_BYTES_PER_STATE_PART = 32 * 1024 * 1024
+
+
+def volume_state_parts(spark: SparkSession, inbox: str) -> int:
+    """``state_partitions`` value for drains whose state GROWS with the
+    data (per-user sessionizers, stream-stream join buffers, key-domain
+    dedup), derived from the feed's actual byte volume rather than the
+    machine's core count or the conf default (guide §2.2: partition from
+    input size, never a constant tuned for one deployment). One state
+    partition per ~``VOLUME_BYTES_PER_STATE_PART`` of feed, floored at
+    ``small_state_parts`` (below that the fixed per-RocksDB-instance
+    update/commit cost dominates: measured ~95-110 s vs ~9-12 s for the
+    5-trigger timesliced co-presence drain at sf0.001 under the
+    vanilla-session default of 200 instances vs the derived 8) and
+    capped at 8x the cluster parallelism (a 100 TB feed saturates the
+    cap, getting the full stateful-stage width and then some; a
+    test-scale feed stops paying for hundreds of idle instances).
+    ``inbox`` may be a directory of feed files or a single feed file;
+    the byte total comes from listing it — metadata-rate at any scale,
+    the same listing the file stream source already does. Results are
+    invariant — the value only shards the state map."""
+    import os as _os
+
+    total = 0
+    if _os.path.isfile(inbox):
+        total = _os.path.getsize(inbox)
+    else:
+        for root, _dirs, files in _os.walk(inbox):
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    try:
+                        total += _os.path.getsize(_os.path.join(root, fname))
+                    except OSError:
+                        pass
+    need = -(-total // VOLUME_BYTES_PER_STATE_PART)
+    para = spark.sparkContext.defaultParallelism
+    return min(max(small_state_parts(spark), need), max(1, para * 8))
 
 
 # --------------------------------------------------------------------------
@@ -331,7 +371,12 @@ def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    return run_to_table(spark, dedup, "append").orderBy("user_id", "event_type")
+    return run_to_table(
+        spark,
+        dedup,
+        "append",
+        state_partitions=volume_state_parts(spark, f"{sf_dir}/events.parquet"),
+    ).orderBy("user_id", "event_type")
 
 
 # --------------------------------------------------------------------------
@@ -359,7 +404,12 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_table(spark, dedup, "append").orderBy("user_id", "event_type")
+    return run_to_table(
+        spark,
+        dedup,
+        "append",
+        state_partitions=volume_state_parts(spark, f"{sf_dir}/events.parquet"),
+    ).orderBy("user_id", "event_type")
 
 
 # --------------------------------------------------------------------------
@@ -418,9 +468,14 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "click_id",
     )
-    return run_to_table(spark, joined, "append").orderBy(
-        "user_id", "purchase_id", "click_id"
-    )
+    # join-buffer state grows with the watermark window's share of the
+    # feed — derive the state-partition count from the feed volume
+    return run_to_table(
+        spark,
+        joined,
+        "append",
+        state_partitions=volume_state_parts(spark, f"{sf_dir}/events.parquet"),
+    ).orderBy("user_id", "purchase_id", "click_id")
 
 
 # --------------------------------------------------------------------------
@@ -551,7 +606,12 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
         .agg(F.count("*").alias("n_events"))
     )
-    per_session = run_to_table(spark, sessions, "complete")
+    per_session = run_to_table(
+        spark,
+        sessions,
+        "complete",
+        state_partitions=volume_state_parts(spark, f"{sf_dir}/events.parquet"),
+    )
     return (
         per_session.groupBy("user_id")
         .agg(
@@ -924,7 +984,12 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    out = run_to_table(spark, agg, "update")
+    out = run_to_table(
+        spark,
+        agg,
+        "update",
+        state_partitions=volume_state_parts(spark, f"{sf_dir}/events.parquet"),
+    )
     # availableNow may split the file into several batches; keep each
     # user's LAST update (the running state is monotone in batch order).
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -1019,9 +1084,12 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left_outer",
     ).select(F.col("p_user").alias("user_id"), "purchase_id", "click_id")
-    return run_to_table(spark, joined, "append").orderBy(
-        "user_id", "purchase_id", "click_id"
-    )
+    return run_to_table(
+        spark,
+        joined,
+        "append",
+        state_partitions=volume_state_parts(spark, f"{sf_dir}/events.parquet"),
+    ).orderBy("user_id", "purchase_id", "click_id")
 
 
 # --------------------------------------------------------------------------
@@ -1894,7 +1962,12 @@ def _register_stream_funnel() -> None:
         updates = stream.groupBy("user_id").applyInPandasWithState(
             fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
-        out = run_to_table(spark, updates, "update")
+        out = run_to_table(
+            spark,
+            updates,
+            "update",
+            state_partitions=volume_state_parts(spark, inbox),
+        )
         # stage reach is monotone per user; the max update is the converged
         # value, and counts of stage >= k reproduce the funnel rows
         reach = out.groupBy("user_id").agg(F.max("stage").alias("stage"))
@@ -6142,18 +6215,33 @@ def _overlap_timesliced_run(
         )
         _overlap_fold_intervals(spark, state, iv, batch_id)
 
-    q = (
-        closed.writeStream.foreachBatch(fold)
-        .outputMode("update")  # the stateful sessionizer emits updates
-        .option("checkpointLocation", _ckpt(ckpt_name))
-        .trigger(availableNow=True)
-        .start()
+    # The shuffle-partition count at stream START pins one RocksDB state
+    # instance per partition for the checkpoint's lifetime, and each of
+    # the 5 triggers pays a fixed per-instance update/commit cost. The
+    # per-user sessionizer state grows with the feed, so the count is
+    # derived from the feed's byte volume (volume_state_parts): full
+    # width at 100 TB, no idle instances at test scale. Same
+    # set/restore contract as run_to_table's state_partitions.
+    restore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(volume_state_parts(spark, inbox)),
     )
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError(f"{state_name} did not drain")
+        q = (
+            closed.writeStream.foreachBatch(fold)
+            .outputMode("update")  # the stateful sessionizer emits updates
+            .option("checkpointLocation", _ckpt(ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(f"{state_name} did not drain")
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", restore)
 
     # Redelivery exercise (env-gated default ON) at the SINK level — the
     # replay risk in a foreachBatch pipeline: re-fold the last batch's

@@ -133,6 +133,37 @@ class TestRocksDBStateStore:
         assert got == base
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
+    def test_volume_state_parts_floor_scale_cap(self, spark, tmp_path):
+        """volume_state_parts derives the state-partition count from the
+        inbox's parquet byte volume: floored at small_state_parts for
+        tiny feeds, one partition per VOLUME_BYTES_PER_STATE_PART as the
+        feed grows, capped at 8x parallelism (guide §2.2 — scale with
+        the data, never a constant for one deployment)."""
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            VOLUME_BYTES_PER_STATE_PART,
+            small_state_parts,
+            volume_state_parts,
+        )
+
+        para = spark.sparkContext.defaultParallelism
+        floor = small_state_parts(spark)
+        d = tmp_path / "inbox"
+        d.mkdir()
+        (d / "00.parquet").write_bytes(b"x" * 1024)
+        assert volume_state_parts(spark, str(d)) == floor
+        # a feed big enough to need more partitions than the floor
+        n_over = floor + 3
+        (d / "01.parquet").write_bytes(
+            b"x" * (VOLUME_BYTES_PER_STATE_PART * n_over)
+        )
+        assert volume_state_parts(spark, str(d)) == n_over + 1
+        # and the cap: 8x parallelism, however big the feed claims to be
+        (d / "02.parquet").write_bytes(b"")
+        import os
+
+        os.truncate(d / "02.parquet", VOLUME_BYTES_PER_STATE_PART * para * 64)
+        assert volume_state_parts(spark, str(d)) == para * 8
+
 
 class TestRocksDBRecovery:
     def test_state_survives_restart_under_rocksdb(self, spark):
