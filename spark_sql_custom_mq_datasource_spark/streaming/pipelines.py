@@ -181,9 +181,9 @@ def small_state_parts(spark: SparkSession) -> int:
     Derived from cluster parallelism, not a local constant (guide §2.2);
     results are invariant — the value only shards the state map. Streams
     whose state grows with the data (stream-stream joins, dedup state,
-    per-user folds, vocabulary counts) deliberately do NOT use this: at
-    scale they need the full stateful-stage parallelism — they derive
-    their count from the feed's volume instead (volume_state_parts)."""
+    per-user folds) deliberately do NOT use this: at scale they need the
+    full stateful-stage parallelism — they derive their count from the
+    feed's volume instead (volume_state_parts)."""
     return max(1, spark.sparkContext.defaultParallelism // 4)
 
 
@@ -681,7 +681,14 @@ def q_stream_mq_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .count()
     )
-    return run_to_table(spark, counts, "complete").orderBy("word")
+    # state is small BY THE SOURCE'S CONSTRUCTION: the mq mock fabricates
+    # payloads from its fixed 20-word _VOCAB (sources/mq.py), so the
+    # grouped state is <= 20 keys however long the feed runs — the
+    # few-key-domain category, not a growing vocabulary (the
+    # high-cardinality twin is q_stream_gram_counts_mv)
+    return run_to_table(
+        spark, counts, "complete", state_partitions=small_state_parts(spark)
+    ).orderBy("word")
 
 
 # --------------------------------------------------------------------------
