@@ -215,7 +215,30 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Tail-capture guard (VERDICT r17 item 9): the driver parses this ONE
+    # line from a bounded tail capture, and BENCH_r16.json was lost to
+    # mid-JSON truncation when the line grew (draws). If the line would
+    # exceed the guard, spill `draws` to a side file and keep the line
+    # small; every contract field (metric/value/unit/queries/sf) stays on
+    # the line unconditionally.
+    line = json.dumps(out)
+    if len(line) > 12000 and "draws" in out:
+        try:
+            side = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_runs",
+                "bench_last_draws.json",
+            )
+            os.makedirs(os.path.dirname(side), exist_ok=True)
+            with open(side, "w") as fh:
+                json.dump({"draws": out["draws"]}, fh)
+            out["draws_file"] = os.path.basename(side)
+        except OSError:
+            pass  # keep the full line if the side write is impossible
+        else:
+            del out["draws"]
+            line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -401,6 +401,12 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "             split(trim(text), ' ')[i+1]))"
     )
     ws = F.array_sort(F.split(F.trim("text"), " "))
+    # LOAD-BEARING sentinel interaction (ADVICE r17 item 3): prev="" can
+    # collide with a genuine empty-string token (split on double spaces),
+    # but run is initialized to 0, so the accidental match yields
+    # run = 0 + 1 = 1 — exactly what a first occurrence must produce.
+    # If the init ever changes from 0, switch prev to a null sentinel
+    # with a null-safe comparison instead.
     run_state = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).cast("int").alias("run"),

@@ -1010,10 +1010,13 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "text", "n_tokens")
     )
-    # DISK_ONLY: the gate chain (two corpus shuffles) feeds the exact-
-    # dedup grouping AND the survivor join; the persist trades one
-    # serialize of the gated slice for the duplicate recompute (A/B on
-    # the 32-core bench session, warm: 10.8 s -> 9.9 s at sf0.1).
+    # DISK_ONLY: the gated slice feeds the exact-dedup grouping AND the
+    # survivor joins of every later stage; the persist trades one
+    # serialize for re-running the gate per consumer. (The original A/B,
+    # 10.8 -> 9.9 s warm at sf0.1, predates the r17 gate fusion — the
+    # gate is now ONE scan+projection, so the persist's margin is
+    # thinner; kept because 5 downstream consumers re-reading one
+    # serialized slice still beats 5 re-runs of the scan+HOF projection.)
     from pyspark.storagelevel import StorageLevel
 
     gated = gated.persist(StorageLevel.DISK_ONLY)

@@ -71,24 +71,71 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Minimum compressed input bytes one compute task should own before more
+# spread pays: below this the fixed per-task cost (scheduling, codegen
+# entry, Arrow/python-worker round-trip) exceeds the work it parallelizes.
+# Measured (tools/probe_tp_width.py, sf0.1, local[32], best-of-3): forcing
+# the spread from 32 to the 8-16 band this constant yields read 1.2-1.7x
+# faster on EVERY probed compute-heavy query (q_lm_perplexity 0.99->0.60 s,
+# q_ann_sq8_topk 1.90->1.40, q_dedup_substring_spans 1.36->0.81,
+# q_pipeline_end_to_end 2.93->2.10, q_bm25_topk 2.11->1.57, ...); width 4
+# over-serialized the heaviest (q_heavy_hitters_2gram, q_semantic_kmeans),
+# so the floor stays bytes-derived rather than a constant. Env-overridable
+# for probing; the cap is ALWAYS cluster parallelism, so at real scale the
+# formula saturates to exactly the old behavior (guide §2.2: partition
+# from input size, never from the machine alone).
+TP_BYTES_PER_TASK = 64 * 1024
+
+
+def _fixture_bytes(sf_dir: str, name: str) -> int:
+    """Compressed on-disk size of one fixture table — a local-FS listing
+    (the fixtures are driver-local files by the TESTDATA contract; a
+    remote store would list via the Hadoop FS API instead)."""
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if not fname.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, fname))
+                except OSError:
+                    pass
+    return total
+
+
 def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Fixture table repartitioned to cluster parallelism for compute-heavy
-    per-row work (shingling, hashing, vector math).
+    """Fixture table repartitioned for compute-heavy per-row work
+    (shingling, hashing, vector math).
 
     Small fixture tables arrive as a single parquet split, which would
-    serialize CPU-bound stages onto one task; at 100 TB the same principle
-    applies whenever row *cost* (not byte size) dominates — split count must
-    track cores (byte-based split sizing is exactly the wrong signal for
-    text/vector compute), so pay one narrow round-robin shuffle up front.
-    CONDITIONAL (VERDICT.md r03 perf watch item): the shuffle only happens
-    when the scan yields fewer splits than cores — a 100 TB table already
+    serialize CPU-bound stages onto one task, so pay one narrow
+    round-robin shuffle up front. The spread target is derived from the
+    table's INPUT SIZE and capped at cluster parallelism (guide §2.2):
+    one task per TP_BYTES_PER_TASK of compressed input, so a tiny table
+    stops paying per-task fixed costs for idle width (the r17 scaling
+    block showed 8 cores beating 32 on every sf0.1 query — the width was
+    matched to the machine, not the data), while any table bigger than
+    cores x TP_BYTES_PER_TASK still spreads to every core. CONDITIONAL
+    (VERDICT.md r03 perf watch item): the shuffle only happens when the
+    scan yields fewer splits than the target — a 100 TB table already
     arrives in thousands of splits and passes through untouched.
-    Aggregates downstream are order-independent (decimal sums / min / max),
-    so the nondeterministic row order a repartition introduces is safe."""
+    Aggregates downstream are order-independent (decimal sums / min /
+    max), so the nondeterministic row order a repartition introduces is
+    safe; the partition COUNT is likewise result-invariant (sketch-based
+    operators recount candidates exactly by construction)."""
     key = (session_key(spark), sf_dir, name, "tp")
     if key not in _cache:
         df = t(spark, sf_dir, name)
-        target = spark.sparkContext.defaultParallelism
+        per_task = int(
+            os.environ.get("SPARK_GRAFT_TP_BYTES_PER_TASK", TP_BYTES_PER_TASK)
+        )
+        need = -(-_fixture_bytes(sf_dir, name) // max(per_task, 1))
+        target = min(spark.sparkContext.defaultParallelism, max(1, need))
+        probe = os.environ.get("SPARK_GRAFT_TP_WIDTH")  # probe knob, see tools/probe_tp_width.py
+        if probe:
+            target = min(spark.sparkContext.defaultParallelism, max(1, int(probe)))
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
         _cache[key] = df

@@ -164,6 +164,30 @@ class TestRocksDBStateStore:
         os.truncate(d / "02.parquet", VOLUME_BYTES_PER_STATE_PART * para * 64)
         assert volume_state_parts(spark, str(d)) == para * 8
 
+    def test_volume_state_parts_counts_non_parquet_data_files(
+        self, spark, tmp_path
+    ):
+        """A mixed inbox must size by ALL data files, not only *.parquet —
+        a non-parquet feed silently took the floor before (VERDICT r17
+        item 3 / ADVICE r17 item 1). Hidden/metadata names (_SUCCESS,
+        .crc) stay excluded."""
+        from spark_sql_custom_mq_datasource_spark.streaming.pipelines import (
+            VOLUME_BYTES_PER_STATE_PART,
+            small_state_parts,
+            volume_state_parts,
+        )
+
+        floor = small_state_parts(spark)
+        n_over = floor + 3
+        d = tmp_path / "inbox"
+        d.mkdir()
+        (d / "00.json").write_bytes(b"x" * (VOLUME_BYTES_PER_STATE_PART * n_over))
+        assert volume_state_parts(spark, str(d)) == n_over
+        # metadata/hidden files contribute nothing
+        (d / "_SUCCESS").write_bytes(b"x" * VOLUME_BYTES_PER_STATE_PART * 8)
+        (d / ".00.json.crc").write_bytes(b"x" * VOLUME_BYTES_PER_STATE_PART * 8)
+        assert volume_state_parts(spark, str(d)) == n_over
+
 
 class TestRocksDBRecovery:
     def test_state_survives_restart_under_rocksdb(self, spark):
