@@ -186,6 +186,72 @@ def register(
 #      additions, then the r05 TPC-H/window/set-op block. Everything
 #      displaced stays green in CORRECTNESS_r08/r09.json.
 _PRIORITY: tuple[str, ...] = (
+    # ==== ROUND-18 PREFIX ===============================================
+    # (executes VERDICT r17 item 8's rotation plan: queries whose code or
+    # executed plan changed this round first, then ALL 44 r11-stale
+    # records oldest-first per tools/rotation_plan.py — after the r18
+    # driver run no record is older than r12)
+    # -- code changed this round: the gram-count MV fold (one-scan bucket
+    #    merge + volume-derived per-trigger width) -----------------------
+    "q_stream_gram_counts_mv",
+    # -- executed plan changed this round (tp()'s input-derived spread:
+    #    RoundRobinPartitioning 32 -> 10/13 under every documents/
+    #    embeddings compute path) — re-check one representative per
+    #    affected family even where the record is fresh ------------------
+    "q_heavy_hitters_2gram",
+    "q_pipeline_end_to_end",
+    "q_semantic_kmeans",
+    "q_lm_perplexity",
+    "q_dedup_substring_spans",
+    # -- ALL 44 remaining r11-stale records, rotation-plan order — after
+    #    this round the oldest record anywhere is r12 --------------------
+    "q_bm25_topk",
+    "q_tfidf_topterms",
+    "q_dsir_importance",
+    "q_chunk_documents",
+    "q_runtime_filter_join",
+    "q_stream_mq_wordcount",
+    "q_stream_decontaminate",
+    "q_stream_quality_gate",
+    "q_stream_pii_redact",
+    "q_percentiles_price",
+    "q_wordcount_topk",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_anti_join_idle_customers",
+    "q_outer_join_nation_customers",
+    "q_rollup_returns",
+    "q_grouping_sets_sql",
+    "q_approx_distinct_parts",
+    "q_setops_active_customers",
+    "q_window_top_parts_per_brand",
+    "q_window_rank_dense_ntile",
+    "q_scalar_functions",
+    "q_date_functions",
+    "q_subquery_above_avg",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_priority_by_class",
+    "q16_supplier_diversity",
+    "q20_heavy_promo_shippers",
+    "q21_waiting_suppliers",
+)
+# The ROUND-17 prefix this replaces (all 50 green in CORRECTNESS_r17.json):
+_ROUND17_PREFIX_RETIRED = (
     # ==== ROUND-17 PREFIX ===============================================
     # (executes the round-16 rotation plan below / VERDICT r16 item 1)
     # -- the 16 round-17 additions (never driver-checked; locally green
